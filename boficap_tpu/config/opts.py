@@ -1,0 +1,249 @@
+"""CLI flag surface, default values, and merge order.
+
+Parity with the reference's argparse surface (captioning/utils/opts.py:21-300):
+defaults below match the reference's defaults flag-for-flag; merge precedence is
+CLI > ``--set_cfgs`` > ``--cfg`` yaml > defaults (opts.py:256-276).  Derived
+defaults (checkpoint path from id, box features widening att_feat_size) follow
+opts.py:293-298.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict, List, Optional
+
+from .config import Config, load_yaml_with_base
+
+# ---------------------------------------------------------------------------
+# Defaults (name -> default). One source of truth for both the CLI parser and
+# programmatic Config construction.
+# ---------------------------------------------------------------------------
+DEFAULTS: Dict[str, Any] = dict(
+    # data input settings
+    input_json="data/coco.json",
+    input_fc_dir="data/cocotalk_fc",
+    input_att_dir="data/cocotalk_att",
+    input_box_dir="data/cocotalk_box",
+    input_label_h5="data/coco_label.h5",
+    input_multilabel_dir=None,
+    data_in_memory=False,
+    start_from=None,
+    cached_tokens="coco-train-idxs",
+    init_from=None,
+    # model settings
+    train_mode="AIC",
+    preprocess_mode="phrase",
+    norm_mode="copy",
+    decoder_input_mode="add",
+    N_len=0,
+    self_dis=False,
+    rl_kl=False,
+    caption_model="transformer",
+    rnn_size=512,
+    num_layers=1,
+    rnn_type="lstm",
+    input_encoding_size=512,
+    att_hid_size=512,
+    fc_feat_size=2048,
+    att_feat_size=2048,
+    logit_layers=1,
+    use_bn=0,
+    max_boxes=100,
+    norm_att_feat=0,
+    use_box=0,
+    norm_box_feat=0,
+    # transformer dims (yaml usually sets these; getattr-style fallback to the
+    # rnn names as the reference does at TransformerModel.py:1631-1640)
+    N_enc=None,
+    N_dec=None,
+    d_model=None,
+    d_ff=None,
+    num_att_heads=8,
+    dropout=0.1,
+    max_length=20,
+    # optimization: general
+    max_epochs=-1,
+    batch_size=16,
+    grad_clip_mode="value",
+    grad_clip_value=0.1,
+    drop_prob_lm=0.5,
+    self_critical_after=-1,
+    seq_per_img=5,
+    # optimization: for the language model
+    optim="adam",
+    learning_rate=4e-4,
+    learning_rate_decay_start=-1,
+    learning_rate_decay_every=3,
+    learning_rate_decay_rate=0.8,
+    optim_alpha=0.9,
+    optim_beta=0.999,
+    optim_epsilon=1e-8,
+    weight_decay=0.0,
+    label_smoothing=0.0,
+    noamopt=False,
+    noamopt_warmup=2000,
+    noamopt_factor=1.0,
+    reduce_on_plateau=False,
+    reduce_on_plateau_factor=0.5,
+    reduce_on_plateau_patience=3,
+    cached_transformer=False,
+    use_warmup=False,
+    scheduled_sampling_start=-1,
+    scheduled_sampling_increase_every=5,
+    scheduled_sampling_increase_prob=0.05,
+    scheduled_sampling_max_prob=0.25,
+    # glancing training (GLAT) anneal
+    glancing_token=False,
+    unmasked_rate_decay_start=2,
+    unmasked_rate_decay_every=2,
+    unmasked_rate_decay_rate=0.1,
+    unmasked_rate_start=0.5,
+    unmasked_rate_end=0.1,
+    # evaluation/checkpointing
+    val_images_use=3200,
+    save_checkpoint_every=2500,
+    save_every_epoch=False,
+    save_history_ckpt=0,
+    checkpoint_path=None,
+    language_eval=0,
+    losses_log_every=25,
+    load_best_score=1,
+    # misc
+    id="",
+    train_only=0,
+    # reward
+    cider_reward_weight=1.0,
+    bleu_reward_weight=0.0,
+    # structure loss
+    structure_loss_weight=1.0,
+    structure_after=-1,
+    structure_loss_type="seqnll",
+    struc_use_logsoftmax=False,
+    entropy_reward_weight=0.0,
+    self_cider_reward_weight=0.0,
+    train_sample_n=16,
+    train_sample_method="sample",
+    train_beam_size=1,
+    sc_sample_method="greedy",
+    sc_beam_size=1,
+    # drop worst
+    drop_worst_after=-1,
+    drop_worst_rate=0.0,
+    # sampling defaults used by eval / SCST
+    beam_size=1,
+    sample_method="greedy",
+    temperature=1.0,
+    sample_n=1,
+    group_size=1,
+    diversity_lambda=0.5,
+    decoding_constraint=0,
+    block_trigrams=0,
+    remove_bad_endings=0,
+    suppress_UNK=1,
+    length_penalty="",
+    inference_mode="",
+    # misc knobs specific to this rebuild
+    seed=42,
+    dtype="bfloat16",          # compute dtype on TPU
+    param_dtype="float32",
+    mesh_shape=None,            # e.g. {"data": 8}; None = all devices on 'data'
+    use_pallas=False,           # pallas attention kernels for the hot paths
+    REFORWARD=False,
+)
+
+
+def default_config() -> Config:
+    return Config({k: v for k, v in DEFAULTS.items()})
+
+
+def add_eval_options(parser: argparse.ArgumentParser) -> None:
+    """Eval-only flags (reference opts.py:303-382)."""
+    parser.add_argument("--batch_size", type=int, default=0)
+    parser.add_argument("--num_images", type=int, default=-1)
+    parser.add_argument("--language_eval", type=int, default=0)
+    parser.add_argument("--dump_images", type=int, default=1)
+    parser.add_argument("--dump_json", type=int, default=1)
+    parser.add_argument("--dump_path", type=int, default=0)
+    parser.add_argument("--image_folder", type=str, default="")
+    parser.add_argument("--image_root", type=str, default="")
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--coco_json", type=str, default="")
+    parser.add_argument("--KD_file", type=str, default="")
+    parser.add_argument("--inference_mode", type=str, default="")
+    parser.add_argument("--only_lang_eval", type=int, default=0)
+    parser.add_argument("--force", type=int, default=0)
+    parser.add_argument("--device", type=str, default="tpu")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="BoFiCap-TPU trainer", allow_abbrev=False
+    )
+    parser.add_argument("--cfg", type=str, default=None, help="config yaml (supports _BASE_)")
+    parser.add_argument(
+        "--set_cfgs",
+        nargs=argparse.REMAINDER,
+        default=None,
+        help="override config keys: --set_cfgs key1 val1 key2 val2 ...",
+    )
+    for name, default in DEFAULTS.items():
+        flag = "--" + name
+        if isinstance(default, bool):
+            parser.add_argument(flag, type=_str2bool, nargs="?", const=True, default=None)
+        elif default is None:
+            parser.add_argument(flag, default=None)
+        else:
+            parser.add_argument(flag, type=type(default), default=None)
+    return parser
+
+
+def _str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def merge_cli(cfg: Config, args: argparse.Namespace) -> Config:
+    for k, v in vars(args).items():
+        if k in ("cfg", "set_cfgs") or v is None:
+            continue
+        cfg[k] = v
+    return cfg
+
+
+def parse_opt(argv: Optional[List[str]] = None) -> Config:
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+
+    cfg = default_config()
+    if args.cfg is not None:
+        cfg.merge_from_dict(load_yaml_with_base(args.cfg))
+    if args.set_cfgs:
+        cfg.merge_from_list(args.set_cfgs)
+    merge_cli(cfg, args)
+    finalize(cfg)
+    return cfg
+
+
+def finalize(cfg: Config) -> Config:
+    """Validity checks + derived defaults (reference opts.py:279-298)."""
+    assert cfg.batch_size >= 0, "batch_size should be >= 0"
+    assert cfg.seq_per_img > 0, "seq_per_img should be >0"
+    assert cfg.beam_size > 0, "beam_size should be >0"
+    assert cfg.save_checkpoint_every > 0, "save_checkpoint_every should be >0"
+    assert cfg.losses_log_every > 0, "losses_log_every should be >0"
+    assert cfg.language_eval in (0, 1), "language_eval should be 0 or 1"
+    assert cfg.load_best_score in (0, 1), "load_best_score should be 0 or 1"
+
+    if not cfg.get("checkpoint_path"):
+        cfg.checkpoint_path = "log_%s" % cfg.id
+    if cfg.use_box:
+        cfg.att_feat_size = cfg.att_feat_size + 5
+    # transformer hyperparameter fallbacks (TransformerModel.py:1631-1640)
+    if cfg.get("N_enc") is None:
+        cfg.N_enc = cfg.num_layers
+    if cfg.get("N_dec") is None:
+        cfg.N_dec = cfg.num_layers
+    if cfg.get("d_model") is None:
+        cfg.d_model = cfg.input_encoding_size
+    if cfg.get("d_ff") is None:
+        cfg.d_ff = cfg.rnn_size
+    return cfg
