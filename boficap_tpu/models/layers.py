@@ -1,0 +1,277 @@
+"""Transformer primitives (flax.linen), architecture-parity with the
+reference's annotated-transformer pieces (captioning/models/TransformerModel.py:
+1312-1507) but TPU-idiomatic:
+
+  * attention logits/softmax in float32, everything else in ``dtype``
+    (bfloat16 by default) for MXU-friendly matmuls,
+  * masks are bool "visible" tensors broadcast over heads; masked logits are
+    filled with a large finite negative (the reference uses -inf, which it
+    then has to guard with NaN checks at TransformerModel.py:1956-1958 —
+    finite fill makes fully-masked rows produce a uniform, NaN-free softmax),
+  * Xavier-uniform init for matrices (make_model's init, TransformerModel.py:
+    1621-1623).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+MASK_FILL = -1e9
+
+dense_init = nn.initializers.xavier_uniform()
+
+
+class MultiHeadAttention(nn.Module):
+    """Scaled dot-product MHA (reference TransformerModel.py:1421-1467)."""
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        H = self.num_heads
+        Dh = self.d_model // H
+
+        wq = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wq")
+        wk = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wk")
+        wv = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wv")
+        wo = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wo")
+
+        qh = wq(q).reshape(B, Lq, H, Dh).transpose(0, 2, 1, 3)
+        kh = wk(k).reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+        vh = wv(v).reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / math.sqrt(Dh)
+        if mask is not None:
+            if mask.ndim == 2:       # [B, Lk] padding mask
+                mask = mask[:, None, None, :]
+            elif mask.ndim == 3:     # [B, Lq, Lk]
+                mask = mask[:, None, :, :]
+            scores = jnp.where(mask, scores, MASK_FILL)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+        return wo(out)
+
+
+class PositionwiseFFN(nn.Module):
+    """d -> d_ff -> d with relu + dropout (reference :1469-1478)."""
+
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.d_ff, kernel_init=dense_init, dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype)(h)
+
+
+def layer_norm(dtype):
+    return nn.LayerNorm(epsilon=1e-6, dtype=dtype)
+
+
+class PreNormResidual(nn.Module):
+    """x + dropout(f(norm(x))) (reference SublayerConnection :1351-1363)."""
+
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.norm = layer_norm(self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, fn, deterministic: bool = True):
+        return x + self.drop(fn(self.norm(x)), deterministic=deterministic)
+
+    def norm_only(self, x):
+        return self.norm(x)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    d_ff: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, self.d_model,
+                                            self.dropout_rate, self.dtype)
+        self.ffn = PositionwiseFFN(self.d_model, self.d_ff, self.dropout_rate, self.dtype)
+        self.sub0 = PreNormResidual(self.dropout_rate, self.dtype)
+        self.sub1 = PreNormResidual(self.dropout_rate, self.dtype)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        x = self.sub0(x, lambda y: self.self_attn(y, y, y, mask, deterministic),
+                      deterministic)
+        return self.sub1(x, lambda y: self.ffn(y, deterministic), deterministic)
+
+
+class Encoder(nn.Module):
+    """N-layer self-attention encoder over region features (reference :1325-1336)."""
+
+    num_layers: int
+    d_model: int
+    d_ff: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = EncoderLayer(self.d_model, self.d_ff, self.num_heads,
+                             self.dropout_rate, self.dtype, name=f"layer{i}")(
+                x, mask, deterministic)
+        return layer_norm(self.dtype)(x)
+
+
+class DecoderLayer(nn.Module):
+    """self-attn + cross-attn + ffn; generic over any bool tgt mask
+    (this generality is what lets one decoder serve AR/SA/NA — reference
+    :1398-1413).  Also reused as the length-predictor layer (:1016-1029)."""
+
+    d_model: int
+    d_ff: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, self.d_model,
+                                            self.dropout_rate, self.dtype)
+        self.src_attn = MultiHeadAttention(self.num_heads, self.d_model,
+                                           self.dropout_rate, self.dtype)
+        self.ffn = PositionwiseFFN(self.d_model, self.d_ff, self.dropout_rate, self.dtype)
+        self.sub0 = PreNormResidual(self.dropout_rate, self.dtype)
+        self.sub1 = PreNormResidual(self.dropout_rate, self.dtype)
+        self.sub2 = PreNormResidual(self.dropout_rate, self.dtype)
+
+    def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True,
+                 kv=None):
+        """``kv`` (optional) supplies distinct self-attention keys/values —
+        used by the fast bounding path where the queries are S copies of the
+        [LEN] row but keys are the full sequence (normed with the SAME params,
+        so this is numerically identical to the reference's per-step pass)."""
+        if kv is None:
+            x = self.sub0(x, lambda y: self.self_attn(y, y, y, tgt_mask,
+                                                      deterministic), deterministic)
+        else:
+            nkv = self.sub0.norm_only(kv)
+            x = self.sub0(x, lambda y: self.self_attn(y, nkv, nkv, tgt_mask,
+                                                      deterministic), deterministic)
+        x = self.sub1(x, lambda y: self.src_attn(y, memory, memory, src_mask,
+                                                 deterministic), deterministic)
+        return self.sub2(x, lambda y: self.ffn(y, deterministic), deterministic)
+
+    def cross_only(self, x, memory, src_mask, deterministic: bool = True):
+        """N_len == 0 predictor variant: one cross-attention sublayer
+        (reference LengthPredictor_*.__init__ N_len==0 branch)."""
+        return self.sub0(x, lambda y: self.src_attn(y, memory, memory, src_mask,
+                                                    deterministic), deterministic)
+
+
+class Decoder(nn.Module):
+    """N DecoderLayers + final norm (reference :1379-1396)."""
+
+    num_layers: int
+    d_model: int
+    d_ff: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = DecoderLayer(self.d_model, self.d_ff, self.num_heads,
+                             self.dropout_rate, self.dtype, name=f"layer{i}")(
+                x, memory, src_mask, tgt_mask, deterministic)
+        return layer_norm(self.dtype)(x)
+
+
+class TokenEmbed(nn.Module):
+    """Embedding scaled by sqrt(d) (reference Embeddings :1480-1487)."""
+
+    vocab: int
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids):
+        emb = nn.Embed(self.vocab, self.d_model,
+                       embedding_init=nn.initializers.xavier_uniform(),
+                       dtype=self.dtype)(ids)
+        return emb * math.sqrt(self.d_model)
+
+
+def sinusoid_table(max_len: int, d_model: int) -> jnp.ndarray:
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * -(math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal PE + dropout (reference :1489-1507).
+
+    ``offset`` lets single-token decode steps pick the right row.
+    """
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, offset: int = 0):
+        pe = sinusoid_table(self.max_len, self.d_model)
+        L = x.shape[-2]
+        x = x + jax.lax.dynamic_slice_in_dim(pe, offset, L, axis=0).astype(x.dtype)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class Generator(nn.Module):
+    """Linear d -> vocab, log_softmax in f32 (reference :1312-1319)."""
+
+    vocab: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.proj = nn.Dense(self.vocab, kernel_init=dense_init, dtype=self.dtype)
+
+    def __call__(self, x):
+        return jax.nn.log_softmax(self.logits(x), axis=-1)
+
+    def logits(self, x):
+        return self.proj(x).astype(jnp.float32)
+
+
+def causal_mask(L: int) -> jnp.ndarray:
+    """[L, L] lower-triangular visibility (reference subsequent_mask :1415-1419)."""
+    return jnp.tril(jnp.ones((L, L), dtype=bool))
+
+
+def prefix_mask(prefix: jnp.ndarray, Lk: int) -> jnp.ndarray:
+    """[..., Lk] visibility: key < prefix[...]. prefix int [...]."""
+    key = jnp.arange(Lk).reshape((1,) * prefix.ndim + (Lk,))
+    return key < prefix[..., None]

@@ -1,19 +1,27 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax imports.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated on virtual CPU devices
 (xla_force_host_platform_device_count) since real multi-chip TPU hardware is
 not available in CI; the same pjit programs run unchanged on a TPU mesh.
+
+Note: the environment's sitecustomize registers the axon TPU plugin and
+re-exports JAX_PLATFORMS=axon, so the env var alone is not enough — we must
+also flip jax's config after import (before any backend initialization).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

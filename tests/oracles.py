@@ -90,7 +90,7 @@ def oracle_word_loss_mask(pl, L):
     return m
 
 
-def random_phrase_row(rng, L, max_phrases=None):
+def random_phrase_row(rng, L, max_phrases=None, vocab=100):
     """Random valid (labels, phrase_num, pl, syn) row."""
     total = rng.randint(1, L + 1)
     lengths = []
@@ -112,6 +112,6 @@ def random_phrase_row(rng, L, max_phrases=None):
     syn[1 + n] = EOS
     labels = np.zeros(L + 2, dtype=np.int64)
     labels[0] = BOS
-    labels[1 : 1 + total] = rng.randint(4, 100, size=total)
+    labels[1 : 1 + total] = rng.randint(4, vocab, size=total)
     labels[L + 1] = EOS
     return labels, n + 1, pl, syn
