@@ -1,0 +1,183 @@
+"""Autoregressive decoding: KV-cached sampling loop + batched beam search.
+
+Behavioral parity with the reference's AR paths (captioning/models/
+AttModel.py:307-430 sample loop, CaptionModel.py:48-222 beam_search), but
+TPU-native:
+
+  * the step function uses a per-layer KV cache (the reference re-runs the
+    full decoder on the growing prefix each step, TransformerModel.py:
+    1791-1804) and cross-attention K/V projected once per sequence,
+  * the sampling loop is a ``lax.while_loop`` with per-sample finished flags
+    (early exit when the whole batch has emitted eos),
+  * beam search is fully batched: top-k over K·V candidates per step, a
+    merged top-K "done" pool instead of Python done-beam lists, and beam
+    state gathered with one vectorized index per step.
+
+Gradients: these loops are for inference/sampling only.  RL training gets
+log-probs by re-scoring the sampled sequences with the (differentiable)
+teacher-forced forward — bit-identical because causal masking makes every
+step's computation reproducible from the final sequence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import BOS, EOS, PAD
+from .sampling import NEG_INF, sample_next_word
+
+
+def length_penalty_fn(spec: str):
+    """'' | 'wu_X' | 'avg_X' (reference utils/misc.py:133-157)."""
+    if not spec:
+        return lambda length, logp: logp
+    kind, alpha = spec.split("_")
+    alpha = float(alpha)
+    if kind == "wu":
+        return lambda length, logp: logp / (
+            ((5.0 + length) ** alpha) / (6.0 ** alpha))
+    if kind == "avg":
+        return lambda length, logp: logp / jnp.maximum(length, 1) ** alpha
+    raise ValueError(f"unknown length penalty {spec}")
+
+
+def ar_sample(model, params, rng, memory, src_mask, *,
+              sample_method: str = "greedy", temperature: float = 1.0,
+              decoding_constraint: bool = False,
+              suppress_unk_idx: Optional[int] = None) -> Dict[str, Any]:
+    """Sample (or greedy-decode) captions autoregressively.
+
+    Returns {'seq': [B, L] int32, 'logprobs': [B, L, V] float32} matching the
+    reference's (seq, seqLogprobs) contract (AttModel.py:341-410): finished
+    rows get PAD tokens and zeroed log-prob rows.
+    """
+    L = model.max_length
+    B = memory.shape[0]
+    V = model.tgt_vocab
+    cache = model.apply(params, memory, L + 1, method="init_ar_cache")
+
+    def cond(s):
+        return (s["pos"] < L) & jnp.any(s["unfinished"])
+
+    def body(s):
+        rng, skey = jax.random.split(s["rng"])
+        logprob, cache = model.apply(
+            params, s["it"], s["pos"], s["cache"], src_mask,
+            method="ar_step")
+        if suppress_unk_idx is not None:
+            logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
+        if decoding_constraint:
+            # forbid repeating the previous word (AttModel.py:349-352); no-op
+            # at pos 0 where "previous" is the bos input
+            pen = jnp.where(s["pos"] > 0,
+                            jax.nn.one_hot(s["it"], V) * NEG_INF, 0.0)
+            logprob = logprob + pen
+        ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
+        ids = jnp.where(s["unfinished"], ids, PAD).astype(jnp.int32)
+        store = jnp.where(s["unfinished"][:, None], logprob, 0.0)
+        seq = s["seq"].at[:, s["pos"]].set(ids)
+        seqlp = jax.lax.dynamic_update_slice_in_dim(
+            s["seqlp"], store[:, None, :], s["pos"], axis=1)
+        unfinished = s["unfinished"] & (ids != EOS)
+        return {"pos": s["pos"] + 1, "it": ids, "cache": cache, "seq": seq,
+                "seqlp": seqlp, "unfinished": unfinished, "rng": rng}
+
+    init = {
+        "pos": jnp.array(0, jnp.int32),
+        "it": jnp.full((B,), BOS, jnp.int32),
+        "cache": cache,
+        "seq": jnp.full((B, L), PAD, jnp.int32),
+        "seqlp": jnp.zeros((B, L, V), jnp.float32),
+        "unfinished": jnp.ones((B,), bool),
+        "rng": rng,
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return {"seq": out["seq"], "logprobs": out["seqlp"]}
+
+
+def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
+                   length_penalty: str = "",
+                   suppress_unk_idx: Optional[int] = None,
+                   return_all_beams: bool = False) -> Dict[str, Any]:
+    """Batched beam search (reference CaptionModel.beam_search, group_size=1).
+
+    Per step: expand K beams to K·V candidates, keep top K by cumulative
+    log-prob; beams whose new token is eos (or that reach max length) are
+    merged into a top-K done pool with the length penalty applied
+    (CaptionModel.py:193-209) and their alive score knocked down by 1000
+    (:210).  Returns the done pool sorted best-first:
+    {'seq': [B, K, L], 'tok_logprobs': [B, K, L], 'scores': [B, K]}.
+    """
+    L = model.max_length
+    B = memory.shape[0]
+    K = beam_size
+    V = model.tgt_vocab
+    penalty = length_penalty_fn(length_penalty)
+
+    mem_k = jnp.repeat(memory, K, axis=0)
+    mask_k = None if src_mask is None else jnp.repeat(src_mask, K, axis=0)
+    cache = model.apply(params, mem_k, L + 1, method="init_ar_cache")
+
+    def step(state, pos):
+        logprob, cache = model.apply(
+            params, state["it"], pos, state["cache"], mask_k,
+            method="ar_step")
+        if suppress_unk_idx is not None:
+            logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
+        lp = logprob.reshape(B, K, V)
+        cand = state["sum_lp"][:, :, None] + lp                  # [B, K, V]
+        flat = cand.reshape(B, K * V)
+        scores, idx = jax.lax.top_k(flat, K)                     # [B, K]
+        beam_ix = idx // V
+        word = (idx % V).astype(jnp.int32)
+
+        def g(x):  # gather beam-major arrays [B, K, ...] by beam_ix
+            return jnp.take_along_axis(
+                x, beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2)),
+                axis=1)
+
+        seq = g(state["seq"]).at[:, :, pos].set(word)
+        tok = jnp.take_along_axis(g(lp), word[:, :, None], axis=2)[:, :, 0]
+        tok_lp = g(state["tok_lp"]).at[:, :, pos].set(tok)
+
+        # flat gather of the cache (leading dim B*K)
+        flat_ix = (jnp.arange(B)[:, None] * K + beam_ix).reshape(-1)
+        cache = jax.tree_util.tree_map(lambda c: c[flat_ix], cache)
+
+        # done pool merge
+        is_end = (word == EOS) | (pos == L - 1)
+        cand_p = jnp.where(is_end, penalty(pos + 1, scores), NEG_INF)
+        all_p = jnp.concatenate([state["done_p"], cand_p], axis=1)
+        all_seq = jnp.concatenate([state["done_seq"], seq], axis=1)
+        all_tok = jnp.concatenate([state["done_tok"], tok_lp], axis=1)
+        done_p, keep = jax.lax.top_k(all_p, K)
+        done_seq = jnp.take_along_axis(all_seq, keep[:, :, None], axis=1)
+        done_tok = jnp.take_along_axis(all_tok, keep[:, :, None], axis=1)
+
+        sum_lp = jnp.where(word == EOS, scores - 1000.0, scores)
+        new_state = {
+            "it": word.reshape(-1), "cache": cache, "sum_lp": sum_lp,
+            "seq": seq, "tok_lp": tok_lp, "done_p": done_p,
+            "done_seq": done_seq, "done_tok": done_tok,
+        }
+        return new_state, None
+
+    init = {
+        "it": jnp.full((B * K,), BOS, jnp.int32),
+        "cache": cache,
+        # only beam 0 alive at step 0 so identical init beams don't duplicate
+        "sum_lp": jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+                            ) * jnp.ones((B, 1)),
+        "seq": jnp.full((B, K, L), PAD, jnp.int32),
+        "tok_lp": jnp.zeros((B, K, L), jnp.float32),
+        "done_p": jnp.full((B, K), NEG_INF, jnp.float32),
+        "done_seq": jnp.full((B, K, L), PAD, jnp.int32),
+        "done_tok": jnp.zeros((B, K, L), jnp.float32),
+    }
+    final, _ = jax.lax.scan(step, init, jnp.arange(L))
+    return {"seq": final["done_seq"], "tok_logprobs": final["done_tok"],
+            "scores": final["done_p"]}

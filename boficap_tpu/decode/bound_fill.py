@@ -1,0 +1,242 @@
+"""Bound-and-fill inference: the product's signature NA / SA decode paths.
+
+Parity targets:
+  * NA ("bound then fill"): reference ``core_NAIC``
+    (captioning/models/TransformerModel.py:1823-1876) — a Python loop doing
+    per-sample mask surgery per step, then one parallel fill decode.
+  * SA (per-phrase fill): reference ``core_SAIC`` (:1878-1986) — interleaves
+    predict (len, syn) → copy previous phrase's words into the new slot →
+    one full decoder pass → sample the slot's words.
+
+TPU-native re-expression: each loop is ONE ``lax.while_loop`` over fixed-shape
+carries with per-sample ``finished`` flags (early exit when the whole batch
+is done); all masks are computed from integer prefix state via broadcasted
+iota comparisons — the B×L×L boolean tensors the reference mutates on host
+never materialize outside the attention call.  The copy-from-previous-phrase
+decoder init is the same closed-form index map used by the training collate
+(boficap_tpu/data/phrase_ops.copy_init_src_indices).
+
+Known reference defect NOT replicated: core_NAIC builds the fill mask from
+``last[j]`` of the final loop iteration variable for every row
+(TransformerModel.py:1872-1874 uses ``last[j]`` inside ``for i in range(B)``),
+i.e. every sample gets the LAST sample's plan length.  We use each sample's
+own ``last[i]`` (the obvious intent, and what the training mask does).
+
+Gradients: sampling loops are non-differentiable by design; RL re-scores the
+sampled plan with the teacher-forced forward, which is exactly reproducible
+because the blockwise phrase-causal mask means every position only ever
+attends positions finalized no later than its own phrase.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EOS, BOS, LEN, PAD, SYN_LOWER, SYN_UPPER
+from .sampling import sample_next_word
+
+Array = jnp.ndarray
+
+
+def _bound_update(s, len_N, syn_N, L, slot, last_key):
+    """Shared bounding bookkeeping (reference core_NAIC :1843-1867 /
+    core_SAIC :1915-1930): stop / clamp / record the new phrase slot.
+
+    Returns (len_eff [B], emit_slot [B], new partial state dict).
+    """
+    last = s[last_key]
+    stop = (len_N == 0) | (syn_N < SYN_LOWER) | (syn_N > SYN_UPPER)
+    emit_slot = (~s["finished"]) & (~stop)
+    clamp = (len_N + last) >= (L + 1)
+    len_eff = jnp.where(clamp, L + 1 - last, len_N)
+    len_eff = jnp.where(emit_slot, len_eff, 0).astype(jnp.int32)
+
+    phrase_length = s["phrase_length"].at[:, slot].set(
+        jnp.where(emit_slot, len_eff, 0))
+    phrase_syn = s["phrase_syn"].at[:, slot].set(
+        jnp.where(emit_slot, syn_N, PAD))
+    phrase_num = s["phrase_num"] + emit_slot.astype(jnp.int32)
+    finished = s["finished"] | stop | (emit_slot & clamp)
+    return len_eff, emit_slot, {
+        "phrase_length": phrase_length, "phrase_syn": phrase_syn,
+        "phrase_num": phrase_num, "finished": finished,
+    }
+
+
+def na_decode(model, params, rng, memory, src_mask, *,
+              sample_method: str = "greedy", temperature: float = 1.0
+              ) -> Dict[str, Any]:
+    """Bound (length/syn while_loop) then fill (one parallel decode).
+
+    Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
+    'phrase_length': [B, L], 'phrase_syn': [B, L]} matching the reference's
+    NAIC sample contract (AttModel.py:419-429).
+    """
+    L = model.max_length
+    L2 = L + 2
+    B = memory.shape[0]
+
+    def bound_step(ids, prefix):
+        return model.apply(params, ids, prefix, memory, src_mask, True,
+                           method="bound_step")
+
+    def cond(s):
+        return (s["i"] < L) & jnp.any(~s["finished"])
+
+    def body(s):
+        len_lp, syn_lp = bound_step(s["extend_syn"], s["last"])
+        len_N = jnp.argmax(len_lp, -1).astype(jnp.int32)
+        syn_N = jnp.argmax(syn_lp, -1).astype(jnp.int32)
+        len_eff, _, upd = _bound_update(s, len_N, syn_N, L, s["i"], "last")
+
+        pos = jnp.arange(L2)[None, :]
+        w = (pos >= s["last"][:, None]) & (pos < (s["last"] + len_eff)[:, None])
+        extend_syn = jnp.where(w, syn_N[:, None], s["extend_syn"])
+        return {**s, **upd, "extend_syn": extend_syn,
+                "last": s["last"] + len_eff, "i": s["i"] + 1}
+
+    init = {
+        "i": jnp.array(0, jnp.int32),
+        "extend_syn": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(LEN),
+        "last": jnp.ones((B,), jnp.int32),
+        "finished": jnp.zeros((B,), bool),
+        "phrase_length": jnp.zeros((B, L2), jnp.int32),
+        "phrase_syn": jnp.full((B, L2), PAD, jnp.int32),
+        "phrase_num": jnp.zeros((B,), jnp.int32),
+    }
+    s = jax.lax.while_loop(cond, body, init)
+
+    # FILL: one parallel decode over the planned words
+    total = s["last"] - 1                                         # [B]
+    na_mask = jnp.broadcast_to(
+        jnp.arange(L)[None, None, :] < total[:, None, None], (B, L, L))
+
+    def fill(m):
+        h = m.decode_na(s["extend_syn"][:, 1:-1], memory, src_mask, na_mask)
+        return m.generate(h)
+
+    logprob = model.apply(params, method=fill)
+    ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
+    seq = jnp.where(jnp.arange(L)[None, :] < total[:, None],
+                    ids.astype(jnp.int32), PAD)
+    return {"seq": seq, "logprobs": logprob, "phrase_num": s["phrase_num"],
+            "phrase_length": s["phrase_length"][:, :L],
+            "phrase_syn": s["phrase_syn"][:, :L]}
+
+
+def _copy_phrase(seq, seq_last, prev, cur, phrase_last, L2):
+    """Closed-form copy-from-previous-phrase for ONE new slot
+    (reference core_SAIC :1934-1947; same math as
+    phrase_ops.copy_init_src_indices but for a single phrase).
+
+    Returns (values [B, L2], in_phrase [B, L2]) where values holds the copied
+    words at positions [phrase_last, phrase_last + cur).
+    """
+    pos = jnp.arange(L2)[None, :]
+    o = pos - phrase_last[:, None]
+    in_ph = (o >= 0) & (o < cur[:, None])
+    prev_ = prev[:, None]
+    cur_ = cur[:, None]
+    prev_safe = jnp.maximum(prev_, 1)
+    ct = cur_ // prev_safe
+    pre_less = prev_ - cur_ % prev_safe
+    src_short = seq_last[:, None] + (prev_ - cur_) + o
+    ct_safe = jnp.maximum(ct, 1)
+    k_src = jnp.where(o < pre_less * ct, o // ct_safe,
+                      pre_less + (o - pre_less * ct) // (ct_safe + 1))
+    src = jnp.where(cur_ <= prev_, src_short, seq_last[:, None] + k_src)
+    src = jnp.clip(jnp.where(in_ph, src, 0), 0, L2 - 1)
+    return jnp.take_along_axis(seq, src, axis=-1), in_ph
+
+
+def sa_decode(model, params, rng, memory, src_mask, *,
+              sample_method: str = "greedy", temperature: float = 1.0
+              ) -> Dict[str, Any]:
+    """Semi-autoregressive decode: one predictor + one decoder pass per
+    PHRASE (reference core_SAIC, TransformerModel.py:1878-1986).
+
+    Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
+    'phrase_length': [B, L], 'phrase_syn': [B, L]}.
+    """
+    L = model.max_length
+    L2 = L + 2
+    B = memory.shape[0]
+    V = model.tgt_vocab
+    pos_dec = jnp.arange(L)[None, :]
+
+    def cond(s):
+        return (s["i"] <= L) & jnp.any(~s["finished"])
+
+    def body(s):
+        rng, skey = jax.random.split(s["rng"])
+        len_lp, syn_lp = model.apply(
+            params, s["extend_len"], s["phrase_last"], memory, src_mask,
+            False, method="bound_step")
+        len_N = jnp.argmax(len_lp, -1).astype(jnp.int32)
+        syn_N = jnp.argmax(syn_lp, -1).astype(jnp.int32)
+        len_eff, _, upd = _bound_update(s, len_N, syn_N, L, s["i"],
+                                        "phrase_last")
+        emit = len_eff > 0
+
+        # copy-init the new slot's decoder input from the previous phrase
+        vals, in_ph = _copy_phrase(s["seq"], s["seq_last"], s["prev_len"],
+                                   len_eff, s["phrase_last"], L2)
+        extend_word = jnp.where(in_ph, vals, s["extend_word"])
+        extend_syn = jnp.where(in_ph, syn_N[:, None], s["extend_syn"])
+
+        # blockwise mask rows >= current start see keys < current end
+        start_dec = s["phrase_last"] - 1
+        end_dec = start_dec + len_eff
+        vis_dec = jnp.where(emit[:, None] & (pos_dec >= start_dec[:, None]),
+                            end_dec[:, None], s["vis_dec"])
+        tgt_mask = pos_dec[:, None, :] < vis_dec[:, :, None]      # [B, L, L]
+
+        def sa_fill(m):
+            h = m.decode_sa(extend_word[:, 1:-1], extend_syn[:, 1:-1],
+                            memory, src_mask, tgt_mask)
+            return m.generate(h)
+
+        logprob = model.apply(params, method=sa_fill)              # [B, L, V]
+        ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
+        ids_lab = jnp.pad(ids.astype(jnp.int32), ((0, 0), (1, 1)))  # shift +1
+
+        in_dec = emit[:, None] & (pos_dec >= start_dec[:, None]) \
+            & (pos_dec < end_dec[:, None])
+        seq = jnp.where(in_ph, ids_lab, s["seq"])
+        extend_len = jnp.where(in_ph, ids_lab, s["extend_len"])
+        seq_lp = jnp.where(in_dec[:, :, None], logprob, s["seq_lp"])
+
+        return {**s, **upd,
+                "seq": seq, "extend_len": extend_len,
+                "extend_word": extend_word, "extend_syn": extend_syn,
+                "vis_dec": vis_dec, "seq_lp": seq_lp,
+                "seq_last": s["seq_last"] + jnp.where(emit, s["prev_len"], 0),
+                "phrase_last": s["phrase_last"] + len_eff,
+                "prev_len": jnp.where(emit, len_eff, s["prev_len"]),
+                "rng": rng, "i": s["i"] + 1}
+
+    init = {
+        "i": jnp.array(1, jnp.int32),
+        "seq": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(BOS),
+        "extend_len": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(LEN),
+        "extend_word": jnp.full((B, L2), PAD, jnp.int32),
+        "extend_syn": jnp.full((B, L2), PAD, jnp.int32),
+        "vis_dec": jnp.zeros((B, L), jnp.int32),
+        "phrase_last": jnp.ones((B,), jnp.int32),
+        "seq_last": jnp.zeros((B,), jnp.int32),
+        "prev_len": jnp.ones((B,), jnp.int32),
+        "phrase_length": jnp.zeros((B, L2), jnp.int32).at[:, 0].set(1),
+        "phrase_syn": jnp.full((B, L2), PAD, jnp.int32),
+        "phrase_num": jnp.zeros((B,), jnp.int32),
+        "finished": jnp.zeros((B,), bool),
+        "seq_lp": jnp.zeros((B, L, V), jnp.float32),
+        "rng": rng,
+    }
+    s = jax.lax.while_loop(cond, body, init)
+    return {"seq": s["seq"][:, 1:-1], "logprobs": s["seq_lp"],
+            "phrase_num": s["phrase_num"],
+            "phrase_length": s["phrase_length"][:, 1:-1],
+            "phrase_syn": s["phrase_syn"][:, 1:-1]}

@@ -275,6 +275,24 @@ class BoFiCap(nn.Module):
             x = self.posenc(self.word_embed(word_seq), deterministic=deterministic)
         return self._decoder("A")(x, memory, src_mask, tgt_mask, deterministic)
 
+    def init_ar_cache(self, memory, max_len: int):
+        """KV cache for the AR decoder (cross-attn K/V projected once)."""
+        return self._decoder("A").init_cache(memory, max_len)
+
+    def ar_step(self, it, pos, cache, src_mask, deterministic=True,
+                syn_t=None):
+        """One KV-cached AR step: token ids ``it`` [B] at position ``pos`` ->
+        (logprob [B, V], new cache).  The reference instead re-runs the full
+        decoder on the growing prefix per step (TransformerModel.py:1791-1804,
+        no KV cache)."""
+        x = self.word_embed(it[:, None])
+        if syn_t is not None:
+            x = x + self.syn_embed(syn_t[:, None])
+        x = self.posenc(x, deterministic=deterministic, offset=pos)
+        h, cache = self._decoder("A").step(x, cache, pos, src_mask,
+                                           deterministic)
+        return self.generate(h)[:, 0], cache
+
     def generate(self, h):
         return self.generator(h)
 

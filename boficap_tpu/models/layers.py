@@ -27,29 +27,42 @@ dense_init = nn.initializers.xavier_uniform()
 
 
 class MultiHeadAttention(nn.Module):
-    """Scaled dot-product MHA (reference TransformerModel.py:1421-1467)."""
+    """Scaled dot-product MHA (reference TransformerModel.py:1421-1467).
+
+    Exposes ``project_q`` / ``project_kv`` / ``attend`` separately so the
+    KV-cached autoregressive decode path can update per-step caches without
+    re-projecting the whole prefix."""
 
     num_heads: int
     d_model: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
-        B, Lq, _ = q.shape
-        Lk = k.shape[1]
+    def setup(self):
+        self.wq = nn.Dense(self.d_model, kernel_init=dense_init,
+                           dtype=self.dtype, name="wq")
+        self.wk = nn.Dense(self.d_model, kernel_init=dense_init,
+                           dtype=self.dtype, name="wk")
+        self.wv = nn.Dense(self.d_model, kernel_init=dense_init,
+                           dtype=self.dtype, name="wv")
+        self.wo = nn.Dense(self.d_model, kernel_init=dense_init,
+                           dtype=self.dtype, name="wo")
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def _heads(self, x):
+        B, L, _ = x.shape
         H = self.num_heads
-        Dh = self.d_model // H
+        return x.reshape(B, L, H, self.d_model // H).transpose(0, 2, 1, 3)
 
-        wq = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wq")
-        wk = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wk")
-        wv = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wv")
-        wo = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype, name="wo")
+    def project_q(self, x):
+        return self._heads(self.wq(x))
 
-        qh = wq(q).reshape(B, Lq, H, Dh).transpose(0, 2, 1, 3)
-        kh = wk(k).reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
-        vh = wv(v).reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+    def project_kv(self, x):
+        return self._heads(self.wk(x)), self._heads(self.wv(x))
 
+    def attend(self, qh, kh, vh, mask=None, deterministic: bool = True):
+        """qh [B,H,Lq,Dh], kh/vh [B,H,Lk,Dh]; mask [B,Lk] | [B,Lq,Lk] | 4-D."""
+        B, H, Lq, Dh = qh.shape
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
         ) / math.sqrt(Dh)
@@ -60,10 +73,16 @@ class MultiHeadAttention(nn.Module):
                 mask = mask[:, None, :, :]
             scores = jnp.where(mask, scores, MASK_FILL)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        probs = self.drop(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
-        return wo(out)
+        return self.wo(out)
+
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+        qh = self.project_q(q)
+        kh = self._heads(self.wk(k))
+        vh = self._heads(self.wv(v))
+        return self.attend(qh, kh, vh, mask, deterministic)
 
 
 class PositionwiseFFN(nn.Module):
@@ -186,6 +205,39 @@ class DecoderLayer(nn.Module):
         return self.sub0(x, lambda y: self.src_attn(y, memory, memory, src_mask,
                                                     deterministic), deterministic)
 
+    def init_cache(self, memory, max_len: int):
+        """Per-layer KV cache: zeroed self-attn K/V of width ``max_len`` plus
+        the cross-attn K/V of the encoder memory projected ONCE (the
+        reference re-runs the full decoder per AR step with no cache,
+        TransformerModel.py:1791-1804 — the cache is a free win on TPU)."""
+        B = memory.shape[0]
+        H = self.num_heads
+        Dh = self.d_model // H
+        kc, vc = self.src_attn.project_kv(memory)
+        z = jnp.zeros((B, H, max_len, Dh), dtype=kc.dtype)
+        return {"ks": z, "vs": z, "kc": kc, "vc": vc}
+
+    def step(self, x_t, cache, pos, src_mask, deterministic: bool = True):
+        """One causal decode step.  x_t [B, 1, d]; pos is the 0-based position
+        of this token.  Returns (out_t [B, 1, d], new cache)."""
+        n = self.sub0.norm_only(x_t)
+        kh, vh = self.self_attn.project_kv(n)
+        ks = jax.lax.dynamic_update_slice_in_dim(cache["ks"], kh, pos, axis=2)
+        vs = jax.lax.dynamic_update_slice_in_dim(cache["vs"], vh, pos, axis=2)
+        Lmax = ks.shape[2]
+        vis = (jnp.arange(Lmax) <= pos)[None, None, None, :]
+        qh = self.self_attn.project_q(n)
+        att = self.self_attn.attend(qh, ks, vs, vis, deterministic)
+        x = x_t + self.sub0.drop(att, deterministic=deterministic)
+
+        n1 = self.sub1.norm_only(x)
+        q1 = self.src_attn.project_q(n1)
+        att1 = self.src_attn.attend(q1, cache["kc"], cache["vc"], src_mask,
+                                    deterministic)
+        x = x + self.sub1.drop(att1, deterministic=deterministic)
+        x = self.sub2(x, lambda y: self.ffn(y, deterministic), deterministic)
+        return x, {"ks": ks, "vs": vs, "kc": cache["kc"], "vc": cache["vc"]}
+
 
 class Decoder(nn.Module):
     """N DecoderLayers + final norm (reference :1379-1396)."""
@@ -197,13 +249,28 @@ class Decoder(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            DecoderLayer(self.d_model, self.d_ff, self.num_heads,
+                         self.dropout_rate, self.dtype, name=f"layer{i}")
+            for i in range(self.num_layers)
+        ]
+        self.norm = layer_norm(self.dtype)
+
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic: bool = True):
-        for i in range(self.num_layers):
-            x = DecoderLayer(self.d_model, self.d_ff, self.num_heads,
-                             self.dropout_rate, self.dtype, name=f"layer{i}")(
-                x, memory, src_mask, tgt_mask, deterministic)
-        return layer_norm(self.dtype)(x)
+        for layer in self.layers:
+            x = layer(x, memory, src_mask, tgt_mask, deterministic)
+        return self.norm(x)
+
+    def init_cache(self, memory, max_len: int):
+        return [layer.init_cache(memory, max_len) for layer in self.layers]
+
+    def step(self, x_t, caches, pos, src_mask, deterministic: bool = True):
+        new = []
+        for layer, cache in zip(self.layers, caches):
+            x_t, c = layer.step(x_t, cache, pos, src_mask, deterministic)
+            new.append(c)
+        return self.norm(x_t), new
 
 
 class TokenEmbed(nn.Module):

@@ -1,0 +1,318 @@
+"""Decode-path tests: the jit'd while_loop NA/SA decoders are checked against
+step-by-step Python oracles that mirror the reference's control flow
+(core_NAIC TransformerModel.py:1823-1876, core_SAIC :1878-1986) exactly,
+calling the same model predictor/decoder methods per step; the KV-cached AR
+path is checked against a no-cache full-recompute decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boficap_tpu.decode import ar as ar_mod
+from boficap_tpu.decode import bound_fill as bf
+from boficap_tpu.decode.sampling import sample_next_word
+from boficap_tpu.models.boficap import BoFiCap, build_model
+from boficap_tpu.models.layers import causal_mask
+from boficap_tpu.constants import BOS, EOS, LEN, PAD, SYN_LOWER, SYN_UPPER
+from tests.test_model import make_batch, tiny_cfg
+
+L = 20
+L2 = L + 2
+V = 50
+
+
+def _setup(train_mode, seed=0, B=4):
+    cfg = tiny_cfg(train_mode)
+    model = build_model(cfg, V)
+    batch = make_batch(B=B, seed=seed)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    if train_mode == "AIC":
+        params = model.init({"params": jax.random.PRNGKey(seed)}, att, am,
+                            jnp.asarray(batch["labels"]), deterministic=True)
+    else:
+        params = model.init(
+            {"params": jax.random.PRNGKey(seed)}, att, am,
+            jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+            jnp.asarray(batch["phrase_length"]),
+            jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method=BoFiCap.encode)
+    src_mask = am.astype(bool)
+    return model, params, memory, src_mask
+
+
+# ---------------------------------------------------------------------------
+# NA oracle: reference core_NAIC per-sample bookkeeping
+# ---------------------------------------------------------------------------
+
+def oracle_na(model, params, memory, src_mask):
+    B = memory.shape[0]
+    extend_syn = np.zeros((B, L2), np.int32)
+    extend_syn[:, 0] = LEN
+    last = np.ones(B, np.int32)
+    finished = np.zeros(B, bool)
+    pl = np.zeros((B, L2), np.int32)
+    ps = np.zeros((B, L2), np.int32)
+    pn = np.zeros(B, np.int32)
+    for i in range(L):
+        len_lp, syn_lp = model.apply(
+            params, jnp.asarray(extend_syn), jnp.asarray(last), memory,
+            src_mask, True, method="bound_step")
+        len_N = np.asarray(jnp.argmax(len_lp, -1)).copy()
+        syn_N = np.asarray(jnp.argmax(syn_lp, -1)).copy()
+        for j in range(B):
+            if finished[j]:
+                continue
+            if len_N[j] == 0 or syn_N[j] < SYN_LOWER or syn_N[j] > SYN_UPPER:
+                finished[j] = True
+                continue
+            if len_N[j] + last[j] >= L + 1:
+                len_N[j] = L + 1 - last[j]
+                finished[j] = True
+            pl[j, i] = len_N[j]
+            ps[j, i] = syn_N[j]
+            pn[j] += 1
+            extend_syn[j, last[j]:last[j] + pl[j, i]] = ps[j, i]
+            last[j] += pl[j, i]
+        if finished.all():
+            break
+    total = last - 1
+    na_mask = np.zeros((B, L, L), bool)
+    for j in range(B):
+        na_mask[j, :, :total[j]] = True
+
+    def fill(m):
+        h = m.decode_na(jnp.asarray(extend_syn[:, 1:-1]), memory, src_mask,
+                        jnp.asarray(na_mask))
+        return m.generate(h)
+
+    logprob = np.asarray(model.apply(params, method=fill))
+    seq = logprob.argmax(-1)
+    for j in range(B):
+        seq[j, total[j]:] = PAD
+    return dict(seq=seq, logprobs=logprob, phrase_num=pn,
+                phrase_length=pl[:, :L], phrase_syn=ps[:, :L])
+
+
+def test_na_decode_matches_oracle():
+    model, params, memory, src_mask = _setup("UIC", seed=11)
+    got = jax.jit(lambda m, sm, r: bf.na_decode(
+        model, params, r, m, sm))(memory, src_mask, jax.random.PRNGKey(0))
+    want = oracle_na(model, params, memory, src_mask)
+    np.testing.assert_array_equal(np.asarray(got["phrase_length"]),
+                                  want["phrase_length"])
+    np.testing.assert_array_equal(np.asarray(got["phrase_syn"]),
+                                  want["phrase_syn"])
+    np.testing.assert_array_equal(np.asarray(got["phrase_num"]),
+                                  want["phrase_num"])
+    np.testing.assert_array_equal(np.asarray(got["seq"]), want["seq"])
+    # loose float tolerance: whole-program XLA fusion vs op-by-op eager
+    # reorders f32 reductions; an eager na_decode matches the oracle exactly
+    np.testing.assert_allclose(np.asarray(got["logprobs"]), want["logprobs"],
+                               rtol=2e-2, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# SA oracle: reference core_SAIC per-sample bookkeeping
+# ---------------------------------------------------------------------------
+
+def oracle_sa(model, params, memory, src_mask):
+    B = memory.shape[0]
+    seq = np.zeros((B, L2), np.int64)
+    seq[:, 0] = BOS
+    seq_lp = np.zeros((B, L, model.tgt_vocab), np.float32)
+    extend_len = np.zeros((B, L2), np.int32)
+    extend_len[:, 0] = LEN
+    extend_word = np.zeros((B, L2), np.int64)
+    extend_syn = np.zeros((B, L2), np.int64)
+    phrase_mask = np.zeros((B, L2, L2), bool)
+    pl = np.zeros((B, L2), np.int32)
+    pl[:, 0] = 1
+    ps = np.zeros((B, L2), np.int32)
+    pn = np.zeros(B, np.int32)
+    finished = np.zeros(B, bool)
+    seq_last = np.zeros(B, np.int32)
+    phrase_last = np.ones(B, np.int32)
+    for i in range(1, L + 1):
+        len_lp, syn_lp = model.apply(
+            params, jnp.asarray(extend_len), jnp.asarray(phrase_last),
+            memory, src_mask, False, method="bound_step")
+        len_N = np.asarray(jnp.argmax(len_lp, -1)).copy()
+        syn_N = np.asarray(jnp.argmax(syn_lp, -1)).copy()
+        for j in range(B):
+            if finished[j]:
+                continue
+            if len_N[j] == 0 or syn_N[j] < SYN_LOWER or syn_N[j] > SYN_UPPER:
+                finished[j] = True
+                continue
+            if len_N[j] + phrase_last[j] >= L + 1:
+                len_N[j] = L + 1 - phrase_last[j]
+                finished[j] = True
+            pl[j, i] = len_N[j]
+            ps[j, i] = syn_N[j]
+            pn[j] += 1
+        for j in range(B):
+            if pl[j, i] == 0:
+                continue
+            extend_syn[j, phrase_last[j]:phrase_last[j] + pl[j, i]] = ps[j, i]
+            cur, prev = int(pl[j, i]), int(pl[j, i - 1])
+            if cur <= prev:
+                pre_pad = prev - cur
+                extend_word[j, phrase_last[j]:phrase_last[j] + cur] = \
+                    seq[j, seq_last[j] + pre_pad:seq_last[j] + pre_pad + cur]
+            else:
+                pre_less = prev - cur % prev
+                ct = cur // prev
+                copied = 0
+                for k in range(prev):
+                    times = ct if k < pre_less else ct + 1
+                    extend_word[j, phrase_last[j] + copied:
+                                phrase_last[j] + copied + times] = \
+                        seq[j, seq_last[j] + k]
+                    copied += times
+            phrase_mask[j, phrase_last[j]:, :phrase_last[j] + pl[j, i]] = True
+
+        def sa_fill(m):
+            h = m.decode_sa(jnp.asarray(extend_word[:, 1:-1]),
+                            jnp.asarray(extend_syn[:, 1:-1]), memory,
+                            src_mask, jnp.asarray(phrase_mask[:, 1:-1, 1:-1]))
+            return m.generate(h)
+
+        logprob = np.asarray(model.apply(params, method=sa_fill))
+        words = logprob.argmax(-1)
+        for j in range(B):
+            if pl[j, i] == 0:
+                continue
+            lo, n = phrase_last[j], pl[j, i]
+            seq[j, lo:lo + n] = words[j, lo - 1:lo - 1 + n]
+            seq_lp[j, lo - 1:lo - 1 + n] = logprob[j, lo - 1:lo - 1 + n]
+            extend_len[j, lo:lo + n] = words[j, lo - 1:lo - 1 + n]
+            phrase_last[j] += n
+            seq_last[j] += pl[j, i - 1]
+        if finished.all():
+            break
+    return dict(seq=seq[:, 1:-1], logprobs=seq_lp, phrase_num=pn,
+                phrase_length=pl[:, 1:-1], phrase_syn=ps[:, 1:-1])
+
+
+def test_sa_decode_matches_oracle():
+    model, params, memory, src_mask = _setup("UIC", seed=13)
+    got = jax.jit(lambda m, sm, r: bf.sa_decode(
+        model, params, r, m, sm))(memory, src_mask, jax.random.PRNGKey(0))
+    want = oracle_sa(model, params, memory, src_mask)
+    np.testing.assert_array_equal(np.asarray(got["phrase_length"]),
+                                  want["phrase_length"])
+    np.testing.assert_array_equal(np.asarray(got["phrase_num"]),
+                                  want["phrase_num"])
+    np.testing.assert_array_equal(np.asarray(got["seq"]), want["seq"])
+    np.testing.assert_allclose(np.asarray(got["logprobs"]), want["logprobs"],
+                               rtol=2e-2, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# AR: KV-cached decode == full-recompute decode; beam(1) == greedy
+# ---------------------------------------------------------------------------
+
+def oracle_ar_greedy(model, params, memory, src_mask):
+    """No-cache greedy decode: re-run the full decoder per step on the
+    growing prefix (exactly the reference core, TransformerModel.py:1791-1804)."""
+    B = memory.shape[0]
+    seq = np.full((B, L), PAD, np.int32)
+    lps = np.zeros((B, L, model.tgt_vocab), np.float32)
+    unfinished = np.ones(B, bool)
+    prefix = np.full((B, 1), BOS, np.int32)
+    for t in range(L):
+        Lp = prefix.shape[1]
+        mask = np.asarray(causal_mask(Lp))[None]
+
+        def step(m):
+            h = m.decode_a(jnp.asarray(prefix), memory, src_mask,
+                           jnp.asarray(np.broadcast_to(mask, (B, Lp, Lp))))
+            return m.generate(h)
+
+        logprob = np.asarray(model.apply(params, method=step))[:, -1]
+        ids = logprob.argmax(-1)
+        ids = np.where(unfinished, ids, PAD)
+        lps[:, t] = np.where(unfinished[:, None], logprob, 0.0)
+        seq[:, t] = ids
+        unfinished = unfinished & (ids != EOS)
+        prefix = np.concatenate([prefix, ids[:, None].astype(np.int32)], 1)
+        if not unfinished.any():
+            break
+    return seq, lps
+
+
+def test_ar_kv_cache_matches_full_recompute():
+    """Eager step-by-step KV-cache decode must EXACTLY reproduce the
+    no-cache full-recompute decode on the same token stream.  (Comparing two
+    free-running greedy trajectories instead would be flaky: compile-fusion
+    noise can flip near-tie argmaxes.)"""
+    model, params, memory, src_mask = _setup("AIC", seed=17)
+    seq, lps = oracle_ar_greedy(model, params, memory, src_mask)
+    B = memory.shape[0]
+    cache = model.apply(params, memory, L + 1, method="init_ar_cache")
+    it = jnp.full((B,), BOS, jnp.int32)
+    for t in range(L):
+        lp, cache = model.apply(params, it, t, cache, src_mask,
+                                method="ar_step")
+        np.testing.assert_allclose(np.asarray(lp), lps[:, t],
+                                   rtol=1e-5, atol=1e-6)
+        it = jnp.asarray(seq[:, t])
+
+
+def test_ar_sample_self_consistent():
+    """Greedy ar_sample: each emitted token is the argmax of its own stored
+    log-prob row; rows after eos are PAD with zeroed log-probs."""
+    model, params, memory, src_mask = _setup("AIC", seed=17)
+    got = jax.jit(lambda m, sm, r: ar_mod.ar_sample(
+        model, params, r, m, sm))(memory, src_mask, jax.random.PRNGKey(0))
+    seq = np.asarray(got["seq"])
+    lps = np.asarray(got["logprobs"])
+    for b in range(seq.shape[0]):
+        done = False
+        for t in range(L):
+            if done:
+                assert seq[b, t] == PAD and (lps[b, t] == 0).all()
+            else:
+                assert seq[b, t] == lps[b, t].argmax()
+            if seq[b, t] == EOS:
+                done = True
+
+
+def test_beam_one_equals_greedy():
+    model, params, memory, src_mask = _setup("AIC", seed=19)
+    greedy = ar_mod.ar_sample(model, params, jax.random.PRNGKey(0), memory,
+                              src_mask)
+    beam = jax.jit(lambda m, sm: ar_mod.ar_beam_search(
+        model, params, m, sm, beam_size=1))(memory, src_mask)
+    g = np.asarray(greedy["seq"])
+    b = np.asarray(beam["seq"])[:, 0]
+    # beam seq includes everything up to & incl. eos; greedy pads after eos
+    for i in range(g.shape[0]):
+        n = np.argmax(g[i] == EOS) + 1 if (g[i] == EOS).any() else L
+        np.testing.assert_array_equal(g[i, :n], b[i, :n])
+
+
+def test_beam_scores_improve_with_width():
+    model, params, memory, src_mask = _setup("AIC", seed=23)
+    b1 = ar_mod.ar_beam_search(model, params, memory, src_mask, beam_size=1)
+    b4 = ar_mod.ar_beam_search(model, params, memory, src_mask, beam_size=4)
+    assert (np.asarray(b4["scores"][:, 0])
+            >= np.asarray(b1["scores"][:, 0]) - 1e-5).all()
+
+
+def test_sampling_methods(rng):
+    lp = jnp.asarray(np.log(np.full((3, 7), 1.0 / 7, np.float32)))
+    for method in ("greedy", "sample", "top3", "top0.8", "gumbel"):
+        ids, tok = sample_next_word(jax.random.PRNGKey(1), lp, method, 1.0)
+        assert ids.shape == (3,)
+        assert np.isfinite(np.asarray(tok)).all()
+    # greedy picks argmax
+    lp2 = jnp.asarray(np.log(np.array([[0.1, 0.7, 0.2]], np.float32)))
+    ids, tok = sample_next_word(jax.random.PRNGKey(1), lp2, "greedy", 1.0)
+    assert int(ids[0]) == 1
+    # top-k masks everything outside k
+    ids_k, _ = sample_next_word(jax.random.PRNGKey(2), lp2, "top1", 1.0)
+    assert int(ids_k[0]) == 1
