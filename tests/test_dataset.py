@@ -1,0 +1,127 @@
+"""Data-layer tests: synthetic store, file round-trip, batch shapes,
+sampler resume, pp_mode transforms."""
+
+import numpy as np
+import pytest
+
+from boficap_tpu.config import default_config, finalize
+from boficap_tpu.constants import BOS, EOS
+from boficap_tpu.data.dataset import (CaptionData, LabelStore, pp_mode_word,
+                                      pp_mode_phrase2)
+from boficap_tpu.data.readers import SyntheticFeatures
+
+
+def data_cfg(train_mode="UIC", **kw):
+    cfg = default_config()
+    cfg.train_mode = train_mode
+    cfg.input_json = "synthetic"
+    cfg.input_att_dir = "synthetic"
+    cfg.batch_size = 4
+    cfg.max_boxes = 36
+    cfg.id = "t"
+    for k, v in kw.items():
+        cfg[k] = v
+    finalize(cfg)
+    return cfg
+
+
+def test_batch_shapes_static():
+    d = CaptionData(data_cfg())
+    for _ in range(3):
+        b = d.get_batch("train")
+        assert b["att_feats"].shape == (4, 36, 2048)
+        assert b["labels"].shape == (4, 5, 22)
+        assert b["phrase_length"].shape == (4, 5, 22)
+        assert b["phrase_num"].shape == (4, 5)
+        assert (b["labels"][:, :, 0] == BOS).all()
+        assert (b["labels"][:, :, -1] == EOS).all()
+        # phrase_length framing: leading 1, sums <= L+1
+        assert (b["phrase_length"][:, :, 0] == 1).all()
+        assert (b["phrase_length"].sum(-1) <= 21).all()
+        # phrase_syn framing: BOS head, EOS after the last real phrase
+        ps, pn = b["phrase_syn"], b["phrase_num"]
+        assert (ps[:, :, 0] == BOS).all()
+        for i in range(4):
+            for s in range(5):
+                assert ps[i, s, pn[i, s]] == EOS
+        assert len(b["gts"]) == 4
+
+
+def test_extend_and_copy_match_reference_collate():
+    """The on-device tensor builders reproduce the host collate the reference
+    ships to the GPU (dataloader.py:372-396)."""
+    from boficap_tpu.data import phrase_ops as po
+    from tests.oracles import oracle_extend_syn, oracle_copy_init
+
+    d = CaptionData(data_cfg())
+    b = d.get_batch("train")
+    L = 20
+    pl = b["phrase_length"].reshape(-1, 22)
+    ps = b["phrase_syn"].reshape(-1, 22)
+    lab = b["labels"].reshape(-1, 22)
+    ext = np.asarray(po.extend_syn_seq(pl, ps, L))
+    cp = np.asarray(po.copy_init(lab, pl, L))
+    for i in range(pl.shape[0]):
+        np.testing.assert_array_equal(ext[i], oracle_extend_syn(pl[i], ps[i], L))
+        np.testing.assert_array_equal(cp[i], oracle_copy_init(lab[i], pl[i], L))
+
+
+def test_sampler_resume():
+    cfg = data_cfg()
+    d1 = CaptionData(cfg)
+    for _ in range(3):
+        d1.get_batch("train")
+    state = d1.state_dict()
+    want = [d1.get_batch("train")["infos"] for _ in range(3)]
+
+    d2 = CaptionData(cfg)
+    d2.load_state_dict(state)
+    d2._cap_rng = d1._cap_rng  # caption sampling rng is part of resume noise
+    got = [d2.get_batch("train")["infos"] for _ in range(3)]
+    assert [[i["id"] for i in batch] for batch in want] == \
+        [[i["id"] for i in batch] for batch in got]
+
+
+def test_eval_split_ordered_and_wraps():
+    d = CaptionData(data_cfg())
+    n_val = len(d.split_ix["val"])
+    seen = []
+    wrapped = False
+    steps = 0
+    while not wrapped:
+        b = d.get_batch("val")
+        seen += [i["id"] for i in b["infos"]]
+        wrapped = b["bounds"]["wrapped"]
+        steps += 1
+        assert steps < 100
+    assert set(seen[:n_val]) == set(d.labels.images[ix]["id"]
+                                    for ix in d.split_ix["val"])
+
+
+def test_file_roundtrip(tmp_path):
+    st = LabelStore.synthetic(n_images=10)
+    st.save(str(tmp_path))
+    st2 = LabelStore.from_files(str(tmp_path / "data.json"),
+                                str(tmp_path / "label.h5"), True)
+    np.testing.assert_array_equal(st.labels, st2.labels)
+    np.testing.assert_array_equal(st.phrase_length, st2.phrase_length)
+    assert st2.vocab_size == st.vocab_size
+
+
+def test_pp_mode_word():
+    pn = np.array([2])
+    pl = np.zeros((1, 10), int)
+    pl[0, :2] = [3, 2]
+    pn2, pl2 = pp_mode_word(pn, pl)
+    assert pn2[0] == 5
+    np.testing.assert_array_equal(pl2[0, :5], [1, 1, 1, 1, 1])
+
+
+def test_pp_mode_phrase2():
+    pn = np.array([4])
+    pl = np.zeros((1, 10), int)
+    pl[0, :4] = [1, 3, 1, 1]
+    pn2, pl2 = pp_mode_phrase2(pn, pl)
+    # [1,3] merge -> 4; [1,1] merge -> 2
+    assert pn2[0] == 2
+    np.testing.assert_array_equal(pl2[0, :2], [4, 2])
