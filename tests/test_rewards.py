@@ -1,0 +1,103 @@
+"""Reward-layer tests: CIDEr-D / BLEU properties + SCST plumbing."""
+
+import numpy as np
+import pytest
+
+from boficap_tpu.rewards import self_critical as sc
+from boficap_tpu.rewards.bleu import Bleu
+from boficap_tpu.rewards.cider import Cider, CiderD
+from boficap_tpu.rewards.ngrams import (build_doc_freq, load_doc_freq,
+                                        precook, save_doc_freq)
+
+
+GTS = {
+    0: ["4 5 6 7 0", "4 5 8 9 0"],
+    1: ["10 11 12 0", "10 13 12 0"],
+    2: ["14 15 16 17 18 0", "14 15 19 0"],
+}
+
+
+def test_precook():
+    c = precook("a b a b", 2)
+    assert c[("a",)] == 2 and c[("b",)] == 2
+    assert c[("a", "b")] == 2 and c[("b", "a")] == 1
+
+
+def test_doc_freq_roundtrip(tmp_path):
+    df, n = build_doc_freq(GTS.values())
+    assert n == 3
+    assert df[("4", "5")] == 1.0          # appears in image 0 only
+    p = str(tmp_path / "df.p")
+    save_doc_freq(p, df, n)
+    df2, n2 = load_doc_freq(p)
+    assert n2 == 3 and df2[("4", "5")] == 1.0
+
+
+def test_ciderd_perfect_match_scores_ten():
+    scorer = CiderD(df="corpus")
+    res = [{"image_id": i, "caption": [GTS[i][0]]} for i in GTS]
+    mean, scores = scorer.compute_score(GTS, res)
+    # candidate identical to one of two refs: sim with that ref == 1 per n
+    assert scores.shape == (3,)
+    assert (scores > 4.9).all()           # >= 10 * (1/2 refs) - cross terms
+    solo_gts = {i: [GTS[i][0]] for i in GTS}
+    _, solo = scorer.compute_score(solo_gts, res)
+    np.testing.assert_allclose(solo, 10.0, atol=1e-6)
+
+
+def test_ciderd_length_penalty_orders():
+    scorer = CiderD(df="corpus")
+    res_good = [{"image_id": 0, "caption": ["4 5 6 7 0"]}]
+    res_short = [{"image_id": 0, "caption": ["4 5 0"]}]
+    # multi-image gts so idf > 0 (log(1)-corpus degenerates to zero vectors)
+    _, a = scorer.compute_score(GTS, res_good)
+    _, b = scorer.compute_score(GTS, res_short)
+    assert a[0] > b[0]
+
+
+def test_bleu_perfect_and_zero():
+    bl = Bleu(4)
+    corpus, per = bl.compute_score({0: ["4 5 6 7"]}, {0: ["4 5 6 7"]})
+    assert corpus[3] == pytest.approx(1.0, abs=1e-6)
+    corpus0, per0 = bl.compute_score({0: ["4 5 6 7"]}, {0: ["9 10 11 12"]})
+    assert corpus0[3] < 1e-3
+
+
+def test_scst_reward_shapes_and_sign():
+    sc.init_scorer("corpus")
+    gts = [np.array([[4, 5, 6, 7, 0, 0]]), np.array([[10, 11, 12, 0, 0, 0]])]
+    # samples: image 0 gets its exact ref (good) and junk (bad)
+    gen = np.array([[4, 5, 6, 7, 0, 0], [20, 21, 22, 0, 0, 0],
+                    [10, 11, 12, 0, 0, 0], [23, 24, 0, 0, 0, 0]])
+    greedy = np.array([[4, 5, 0, 0, 0, 0], [10, 11, 0, 0, 0, 0]])
+
+    class O:
+        cider_reward_weight = 1
+        bleu_reward_weight = 0
+    r = sc.get_self_critical_reward(greedy, gts, gen, O())
+    assert r.shape == gen.shape
+    assert r[0, 0] > r[1, 0]              # exact match beats junk
+    assert r[2, 0] > r[3, 0]
+    # rows constant over time
+    assert (r == r[:, :1]).all()
+
+
+def test_get_scores_and_self_cider():
+    sc.init_scorer("corpus")
+    gts = [np.array([[4, 5, 6, 7, 0]])]
+    gen = np.array([[4, 5, 6, 7, 0], [4, 5, 6, 7, 0]])
+
+    class O:
+        cider_reward_weight = 1
+        bleu_reward_weight = 0
+    s = sc.get_scores(gts, gen, O())
+    assert s.shape == (2,)
+    assert s[0] == pytest.approx(s[1])
+    div = sc.get_self_cider_scores(gts, gen, O())
+    assert div.shape == (1,)
+    # identical samples -> zero diversity
+    assert div[0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_array_to_str_stops_at_zero():
+    assert sc.array_to_str(np.array([4, 5, 0, 7])) == "4 5 0"
