@@ -1,0 +1,128 @@
+"""Benchmark: NA ("bound + fill") decode throughput on the flagship BoFiCap
+UIC model at the reference's published scale (N_enc=N_dec=6, N_len=1,
+d_model=512, d_ff=2048, h=8, vocab 9487+4 — configs/uic_sd.yml:26-33),
+reproducing the reference's decode-time protocol: the timer wraps ONLY the
+sample call (reference AttModel.py:408-410, summed at eval_utils.py:653),
+with block_until_ready standing in for torch.cuda.synchronize.
+
+Headline metric: NA decode images/s.  ``vs_baseline`` is the
+hardware-independent comparison the paper itself headlines — our measured
+NA-vs-AR wall-clock speedup on THIS chip divided by the paper's reported
+9.22x NA-vs-AR speedup (BASELINE.md; the repo publishes no absolute
+numbers).  vs_baseline > 1 means our bound+fill decode beats the paper's
+relative speedup — and note our AR baseline is KV-cached (the reference's
+is not, TransformerModel.py:1791-1804), which makes the ratio strictly
+harder for us.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 64
+N_WARMUP = 2
+N_ITERS = 8
+PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
+
+
+def timed(fn, *args):
+    ts = []
+    for i in range(N_ITERS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args, jax.random.fold_in(KEY, i)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+KEY = jax.random.PRNGKey(0)
+
+
+def main():
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.decode import ar as ar_mod
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import BoFiCap, build_model
+
+    cfg = default_config()
+    cfg.train_mode = "UIC_u"   # one decoder stack serving AR + SA + NA
+    cfg.N_enc = cfg.N_dec = 6
+    cfg.N_len = 1
+    cfg.d_model = 512
+    cfg.d_ff = 2048
+    cfg.num_att_heads = 8
+    cfg.max_boxes = 36
+    cfg.id = "bench"
+    cfg.dtype = "bfloat16"
+    finalize(cfg)
+    vocab_size = 9487
+    model = build_model(cfg, vocab_size)
+
+    rng = np.random.RandomState(0)
+    att = jnp.asarray(rng.randn(BATCH, 36, 2048).astype(np.float32))
+    am = jnp.ones((BATCH, 36), jnp.float32)
+    labels = jnp.zeros((BATCH, 22), jnp.int32).at[:, 0].set(1).at[:, -1].set(2)
+    pl = jnp.zeros((BATCH, 22), jnp.int32).at[:, 0].set(1).at[:, 1].set(4)
+    ps = jnp.zeros((BATCH, 22), jnp.int32).at[:, 0].set(1).at[:, 1].set(5)
+    pn = jnp.full((BATCH,), 2, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        att, am, labels, pn, pl, ps, glat_p=None,
+                        deterministic=True)
+
+    @jax.jit
+    def encode(att, am):
+        return model.apply(params, att, am, deterministic=True,
+                           method=BoFiCap.encode)
+
+    @jax.jit
+    def decode_na(memory, src_mask, rng):
+        return bf.na_decode(model, params, rng, memory, src_mask)
+
+    @jax.jit
+    def decode_sa(memory, src_mask, rng):
+        return bf.sa_decode(model, params, rng, memory, src_mask)
+
+    @jax.jit
+    def decode_ar(memory, src_mask, rng):
+        return ar_mod.ar_sample(model, params, rng, memory, src_mask)
+
+    src_mask = am.astype(bool)
+    memory = jax.block_until_ready(encode(att, am))
+
+    for _ in range(N_WARMUP):
+        jax.block_until_ready(decode_na(memory, src_mask, KEY))
+        jax.block_until_ready(decode_sa(memory, src_mask, KEY))
+        jax.block_until_ready(decode_ar(memory, src_mask, KEY))
+
+    t_na = timed(decode_na, memory, src_mask)
+    t_sa = timed(decode_sa, memory, src_mask)
+    t_ar = timed(decode_ar, memory, src_mask)
+
+    na_img_s = BATCH / t_na
+    speedup = t_ar / t_na
+    print(json.dumps({
+        "metric": "na_decode_images_per_s",
+        "value": round(na_img_s, 2),
+        "unit": "images/s",
+        "vs_baseline": round(speedup / PAPER_NA_VS_AR_SPEEDUP, 3),
+        "extra": {
+            "batch": BATCH,
+            "na_ms_per_image": round(t_na / BATCH * 1000, 3),
+            "sa_images_per_s": round(BATCH / t_sa, 2),
+            "ar_images_per_s": round(BATCH / t_ar, 2),
+            "na_vs_ar_speedup": round(speedup, 2),
+            "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
+            "note": "our AR baseline is KV-cached; the reference's is not",
+            "device": str(jax.devices()[0].platform),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

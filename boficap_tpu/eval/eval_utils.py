@@ -1,0 +1,249 @@
+"""Evaluation loop (parity with captioning/utils/eval_utils.py:129-651).
+
+One unified ``eval_split`` covers what the reference spreads over seven
+per-mode copies (AIC :160-226, NAIC :283-355, SAIC :356-428, UIC :429-505,
+UIC_s/u :506-582): the decode path is selected by (train_mode,
+inference_mode), everything else — loss meter, entropy/perplexity,
+decode-time accounting, KD dump, prediction cache — is shared.
+
+Decode-time accounting reproduces the reference's speed-measurement protocol
+(the paper's speedup numbers sum a per-batch timer around the sample call,
+AttModel.py:303-305/:408-410, printed at eval_utils.py:653): we time the
+jit'd decode with ``block_until_ready`` so host/device async doesn't hide
+work.  The first batch compiles, so it is EXCLUDED from decode_time and
+reported separately as compile_time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EOS, PAD
+from ..decode import ar as ar_mod
+from ..decode import bound_fill as bf
+from ..models.boficap import BoFiCap
+from .metrics import BAD_ENDINGS, language_eval
+
+VOCAB_LOWER = 3
+
+
+def decode_sequence(ix_to_word: Dict[str, str], seq: np.ndarray,
+                    limit: int = VOCAB_LOWER,
+                    remove_bad_endings: bool = False) -> List[str]:
+    """ids -> sentence, stopping at the first id <= limit
+    (reference utils/misc.py:62-84)."""
+    seq = np.asarray(seq)
+    out = []
+    for row in seq:
+        words = []
+        for ix in row:
+            if int(ix) > limit:
+                words.append(ix_to_word[str(int(ix))])
+            else:
+                break
+        if remove_bad_endings:
+            while words and words[-1] in BAD_ENDINGS:
+                words.pop()
+        out.append(" ".join(words).replace("@@ ", ""))
+    return out
+
+
+def _entropy_ppl(seq: np.ndarray, logprobs: np.ndarray):
+    """Per-caption entropy and perplexity (eval_utils.py:183-184)."""
+    p = np.exp(logprobs)
+    ent = -(p * logprobs).sum(2).sum(1)
+    tok = np.take_along_axis(logprobs, seq[:, :, None], axis=2)[:, :, 0]
+    n = (seq > VOCAB_LOWER).sum(1) + 1
+    return ent / n, -(tok.sum(1)) / n
+
+
+def make_decoders(model: BoFiCap, params, eval_kwargs):
+    """jit'd decode callables keyed by branch."""
+    beam_size = eval_kwargs.get("beam_size", 1)
+    sample_method = eval_kwargs.get("sample_method", "greedy")
+    temperature = eval_kwargs.get("temperature", 1.0)
+
+    @jax.jit
+    def encode(att, am):
+        return model.apply(params, att, am, deterministic=True,
+                           method=BoFiCap.encode)
+
+    @jax.jit
+    def dec_na(memory, src_mask, rng):
+        return bf.na_decode(model, params, rng, memory, src_mask,
+                            sample_method=sample_method,
+                            temperature=temperature)
+
+    @jax.jit
+    def dec_sa(memory, src_mask, rng):
+        return bf.sa_decode(model, params, rng, memory, src_mask,
+                            sample_method=sample_method,
+                            temperature=temperature)
+
+    @jax.jit
+    def dec_ar(memory, src_mask, rng):
+        return ar_mod.ar_sample(model, params, rng, memory, src_mask,
+                                sample_method=sample_method,
+                                temperature=temperature)
+
+    @jax.jit
+    def dec_beam(memory, src_mask):
+        return ar_mod.ar_beam_search(
+            model, params, memory, src_mask, beam_size=beam_size,
+            length_penalty=eval_kwargs.get("length_penalty", ""))
+
+    return {"encode": encode, "NAIC": dec_na, "SAIC": dec_sa,
+            "AIC": dec_ar, "beam": dec_beam}
+
+
+def _branch_for(train_mode: str, inference_mode: str) -> str:
+    if train_mode in ("AIC", "auto"):
+        return "AIC"
+    if train_mode in ("NAIC", "SAIC"):
+        return train_mode
+    # UIC family: inference_mode picks the branch (eval_utils.py:459)
+    return inference_mode or "NAIC"
+
+
+def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
+               inference_mode: str = "") -> Dict[str, Any]:
+    """Returns {'loss', 'predictions', 'lang_stats', 'decode_time',
+    'compile_time', 'n_images', 'images_per_s'}."""
+    verbose = eval_kwargs.get("verbose", False)
+    num_images = eval_kwargs.get("num_images", -1)
+    if num_images is None or num_images < 0:
+        num_images = eval_kwargs.get("val_images_use", -1)
+    split = eval_kwargs.get("split", "val")
+    lang_eval_flag = eval_kwargs.get("language_eval", 0)
+    train_mode = eval_kwargs.get("train_mode", model.train_mode)
+    beam_size = eval_kwargs.get("beam_size", 1)
+    remove_bad = bool(eval_kwargs.get("remove_bad_endings", 0))
+    KD_file = eval_kwargs.get("KD_file", "")
+    branch = _branch_for(train_mode, inference_mode)
+
+    dec = make_decoders(model, params, eval_kwargs)
+    loader.reset_iterator(split)
+    ix_to_word = loader.ix_to_word
+
+    n = 0
+    loss_sum, loss_evals = 0.0, 1e-8
+    predictions: List[dict] = []
+    gts_words: Dict[Any, List[str]] = {}
+    decode_time = 0.0
+    compile_time = 0.0
+    first = True
+    seq_kd: Dict[Any, List[str]] = {}
+    rng = jax.random.PRNGKey(eval_kwargs.get("seed", 0))
+
+    while True:
+        data = loader.get_batch(split)
+        n += len(data["infos"])
+        att = jnp.asarray(data["att_feats"])
+        am = jnp.asarray(data["att_masks"])
+
+        t0 = time.perf_counter()
+        memory = dec["encode"](att, am)
+        src_mask = am.astype(bool)
+        rng, k = jax.random.split(rng)
+        if branch == "AIC" and beam_size > 1:
+            out = dec["beam"](memory, src_mask)
+            out = jax.tree_util.tree_map(lambda x: x, out)
+            seq_all = np.asarray(out["seq"])           # [B, K, L]
+            seq = seq_all[:, 0]
+            tok_lp = np.asarray(out["tok_logprobs"])[:, 0]
+            logprobs = None
+        else:
+            out = dec[branch](memory, src_mask, k)
+            seq = np.asarray(out["seq"])
+            logprobs = np.asarray(out["logprobs"])
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if first:
+            compile_time = dt
+            first = False
+        else:
+            decode_time += dt
+
+        if logprobs is not None:
+            entropy, ppl = _entropy_ppl(seq, logprobs)
+        else:
+            n_tok = (seq > VOCAB_LOWER).sum(1) + 1
+            ppl = -tok_lp.sum(1) / n_tok
+            entropy = np.zeros(len(seq))
+
+        sents = decode_sequence(ix_to_word, seq, remove_bad_endings=remove_bad)
+        for kk, sent in enumerate(sents):
+            img_id = data["infos"][kk]["id"]
+            entry = {"image_id": img_id, "caption": sent,
+                     "perplexity": float(ppl[kk]),
+                     "entropy": float(entropy[kk])}
+            predictions.append(entry)
+            gts_words[img_id] = decode_sequence(ix_to_word,
+                                                data["gts"][kk])
+            if verbose:
+                print(f"image {img_id}: {sent}")
+
+        if branch == "AIC" and beam_size > 1 and KD_file:
+            for i, info in enumerate(data["infos"]):
+                seq_kd[info["id"]] = decode_sequence(
+                    ix_to_word, seq_all[i][:3])   # top-3 beams (KD recipe)
+
+        ix1 = data["bounds"]["it_max"]
+        if num_images != -1:
+            ix1 = min(ix1, num_images)
+        else:
+            num_images = ix1
+        for _ in range(n - ix1):
+            predictions.pop()
+        if num_images >= 0 and n >= num_images:
+            break
+
+    lang_stats = None
+    if lang_eval_flag:
+        lang_stats = language_eval(predictions, gts_words)
+
+    if KD_file and seq_kd:
+        os.makedirs("KD_dataset", exist_ok=True)
+        with open(os.path.join("KD_dataset", KD_file), "w") as f:
+            json.dump({str(k): v for k, v in seq_kd.items()}, f)
+
+    n_imgs = len(predictions)
+    return {
+        "loss": loss_sum / loss_evals,
+        "predictions": predictions,
+        "lang_stats": lang_stats,
+        "decode_time": decode_time,
+        "compile_time": compile_time,
+        "n_images": n_imgs,
+        "images_per_s": (n_imgs - len(data["infos"])) / decode_time
+        if decode_time > 0 else float("nan"),
+    }
+
+
+def cache_path(eval_kwargs) -> str:
+    eid = eval_kwargs.get("id", "model")
+    split = eval_kwargs.get("split", "val")
+    os.makedirs("eval_results", exist_ok=True)
+    return os.path.join("eval_results", f".saved_pred_{eid}_{split}.pkl")
+
+
+def save_cached(eval_kwargs, result):
+    with open(cache_path(eval_kwargs), "wb") as f:
+        pickle.dump(result, f)
+
+
+def load_cached(eval_kwargs):
+    p = cache_path(eval_kwargs)
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return pickle.load(f)
+    return None

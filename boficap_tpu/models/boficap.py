@@ -310,9 +310,29 @@ class BoFiCap(nn.Module):
         log-probability tensors matching the reference's ``_forward`` outputs
         (TransformerModel.py:1713-1789).
         """
-        L = self.max_length
         memory = self.encode(att_feats, att_masks, deterministic)
         src_mask = None if att_masks is None else att_masks.astype(bool)
+        return self.decode_train(memory, src_mask, labels, phrase_num,
+                                 phrase_length, phrase_syn, glat_p,
+                                 deterministic)
+
+    def decode_train(self, memory, src_mask, labels, phrase_num=None,
+                     phrase_length=None, phrase_syn=None, glat_p=-1.0,
+                     deterministic=True) -> Dict[str, jnp.ndarray]:
+        """Teacher-forced decode given precomputed encoder memory.
+
+        When ``labels`` has seq_per_img× the memory's batch (the collate
+        gives one image row per seq_per_img caption rows), memory and
+        src_mask are repeated here — the reference instead repeats the RAW
+        region features and runs the encoder seq_per_img times on identical
+        inputs (TransformerModel.py:1694-1703); encoding once is a pure win.
+        """
+        L = self.max_length
+        if labels.shape[0] != memory.shape[0]:
+            k = labels.shape[0] // memory.shape[0]
+            memory = jnp.repeat(memory, k, axis=0)
+            if src_mask is not None:
+                src_mask = jnp.repeat(src_mask, k, axis=0)
         mode = self.train_mode
         out: Dict[str, jnp.ndarray] = {}
 
@@ -352,7 +372,13 @@ class BoFiCap(nn.Module):
             out["na_len_logprob"], out["na_syn_logprob"] = na_len_lp, na_syn_lp
 
             glanced = None
-            if glat_p >= 0:
+            # glat on/off is a TRACE-TIME decision: None or a concrete
+            # negative float disables it; a traced value enables it (the
+            # anneal rate changes per epoch without re-tracing the branch
+            # structure)
+            use_glat = glat_p is not None and not (
+                isinstance(glat_p, (int, float)) and glat_p < 0)
+            if use_glat:
                 # glancing training (reference :437-464): no-grad NA decode,
                 # mismatch-rate-scaled random re-reveal of gt tokens
                 h0 = self.decode_na(word_syn, memory, src_mask, na_mask,

@@ -1,0 +1,79 @@
+"""Device-mesh data parallelism.
+
+The reference's only distribution is single-process multi-GPU
+``torch.nn.DataParallel`` (reference tools/train.py:99-101): replicate the
+module, scatter the batch, reduce grads on device 0.  The TPU-native
+superset: ONE jit program over a 1-D ``Mesh('data')`` — the batch is sharded
+with ``NamedSharding(P('data'))``, params are replicated, and XLA inserts the
+gradient psum over ICI.  Multi-host (DCN) falls out of
+``jax.distributed.initialize`` + the same program.
+
+At this model scale (≈55M params) TP/PP are unnecessary; the mesh is built
+with named axes so tensor-parallel rules can slot in later without changing
+the step functions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names=("data",)) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devs).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put every array leaf with its leading dim over 'data'.
+    Non-array values (gts lists, infos) pass through untouched."""
+    s = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) or hasattr(v, "dtype"):
+            out[k] = jax.device_put(v, s)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_state(state, mesh: Mesh):
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), state)
+
+
+def pad_batch_to(batch: Dict[str, Any], multiple: int):
+    """Pad the image dimension so it divides the mesh (repeat last rows;
+    extra rows only add compute, their grads average in — harmless for DP
+    throughput tests; the train loop sizes batches divisibly instead)."""
+    import numpy as np
+    b = None
+    for v in batch.values():
+        if hasattr(v, "shape"):
+            b = v.shape[0]
+            break
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape"):
+            out[k] = np.concatenate([v, v[-pad:]], axis=0)
+        else:
+            out[k] = v
+    return out

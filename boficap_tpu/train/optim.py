@@ -1,0 +1,147 @@
+"""Optimizers + schedules (parity with reference utils/misc.py:114-251 and
+tools/train.py:106-196) as optax transforms.
+
+Three optimizer regimes, selected exactly like the reference:
+  * ``noamopt``: Adam with the Noam rate  factor * d^-0.5 * min(s^-0.5,
+    s * warmup^-1.5)  (misc.py:160-199, get_std_opt :245-251),
+  * ``reduce_on_plateau``: base optimizer; the LR multiplier is dropped by
+    ``factor`` when val CIDEr hasn't improved for ``patience`` evals —
+    tracked host-side by :class:`PlateauTracker` (misc.py:201-243),
+  * plain: epoch-staircase LR decay (train.py:151-157) + optional linear
+    warmup over the first ``noamopt_warmup`` iters (train.py:194-196).
+
+All variable LR paths go through ``optax.inject_hyperparams`` so the loop
+can set the rate without re-jitting.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+
+def noam_schedule(d_model: int, factor: float, warmup: int):
+    """NoamOpt rate, step counted from 1 (misc.py:183-189)."""
+    import jax.numpy as jnp
+
+    def sched(step):
+        s = jnp.maximum(step + 1, 1).astype(jnp.float32)
+        return factor * (d_model ** -0.5) * jnp.minimum(
+            s ** -0.5, s * (warmup ** -1.5))
+    return sched
+
+
+def make_base_opt(cfg, lr):
+    kind = cfg.get("optim", "adam")
+    b1 = cfg.get("optim_alpha", 0.9)
+    b2 = cfg.get("optim_beta", 0.999)
+    eps = cfg.get("optim_epsilon", 1e-8)
+    wd = cfg.get("weight_decay", 0)
+    if kind == "adam":
+        base = optax.adam(lr, b1=b1, b2=b2, eps=eps) if not wd else \
+            optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    elif kind == "adamw":
+        base = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    elif kind == "sgd":
+        base = optax.sgd(lr, momentum=cfg.get("optim_alpha", 0.9))
+    elif kind == "rmsprop":
+        base = optax.rmsprop(lr, decay=cfg.get("optim_alpha", 0.9), eps=eps)
+    elif kind == "adagrad":
+        base = optax.adagrad(lr)
+    else:
+        raise ValueError(f"unknown optim {kind}")
+    return base
+
+
+def build_optimizer(cfg) -> optax.GradientTransformation:
+    """Returns the full transform incl. value clipping (reference clips grad
+    VALUES to [-grad_clip, grad_clip], train.py:225 + misc clip_gradient)."""
+    clip_value = cfg.get("grad_clip_value", 0.1)
+    if cfg.get("grad_clip_mode", "value") == "norm":
+        clip = optax.clip_by_global_norm(clip_value)
+    else:
+        clip = optax.clip(clip_value)
+    if cfg.get("noamopt", False):
+        sched = noam_schedule(cfg.d_model, cfg.get("noamopt_factor", 1.0),
+                              cfg.get("noamopt_warmup", 2000))
+        tx = optax.chain(clip,
+                         optax.adam(sched, b1=0.9, b2=0.98, eps=1e-9))
+        return tx
+
+    def with_lr(lr):
+        return optax.chain(clip, make_base_opt(cfg, lr))
+
+    return optax.inject_hyperparams(
+        lambda learning_rate: with_lr(learning_rate))(
+        learning_rate=cfg.get("learning_rate", 5e-4))
+
+
+def set_lr(opt_state, lr):
+    """Set the injected learning rate in-place-styled (returns new state)."""
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+def epoch_lr(cfg, epoch: int) -> float:
+    """Staircase decay (train.py:151-157)."""
+    lr = cfg.get("learning_rate", 5e-4)
+    start = cfg.get("learning_rate_decay_start", -1)
+    if start >= 0 and epoch > start:
+        frac = (epoch - start) // cfg.get("learning_rate_decay_every", 3)
+        lr = lr * cfg.get("learning_rate_decay_rate", 0.8) ** frac
+    return lr
+
+
+def scheduled_sampling_prob(cfg, epoch: int) -> float:
+    """ss_prob anneal (train.py:159-162)."""
+    start = cfg.get("scheduled_sampling_start", -1)
+    if start < 0 or epoch < start:
+        return 0.0
+    frac = (epoch - start) // cfg.get("scheduled_sampling_increase_every", 5) + 1
+    return min(cfg.get("scheduled_sampling_increase_prob", 0.05) * frac,
+               cfg.get("scheduled_sampling_max_prob", 0.25))
+
+
+def glat_rate(cfg, epoch: int) -> float:
+    """Glancing unmask-rate anneal (train.py:164-171); -1 disables."""
+    if not cfg.get("glancing_token", False):
+        return -1.0
+    start = cfg.get("unmasked_rate_decay_start", -1)
+    r0 = cfg.get("unmasked_rate_start", 0.5)
+    if start < 0 or epoch < start:
+        return r0
+    frac = (epoch - start) // cfg.get("unmasked_rate_decay_every", 1) + 1
+    return max(r0 - frac * cfg.get("unmasked_rate_decay_rate", 0.1),
+               cfg.get("unmasked_rate_end", 0.1))
+
+
+class PlateauTracker:
+    """Host-side ReduceLROnPlateau (misc.py:201-243): multiply LR by
+    ``factor`` when the monitored score hasn't improved for ``patience``
+    checks."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 3):
+        self.factor = factor
+        self.patience = patience
+        self.best: Optional[float] = None
+        self.bad = 0
+        self.scale = 1.0
+
+    def update(self, score: float) -> float:
+        if self.best is None or score > self.best:
+            self.best = score
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.scale *= self.factor
+                self.bad = 0
+        return self.scale
+
+    def state_dict(self):
+        return {"best": self.best, "bad": self.bad, "scale": self.scale}
+
+    def load_state_dict(self, s):
+        self.best, self.bad, self.scale = s["best"], s["bad"], s["scale"]

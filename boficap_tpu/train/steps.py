@@ -1,0 +1,352 @@
+"""Jit-compiled training steps (parity with the reference LossWrapper,
+captioning/modules/loss_wrapper.py, and the step body of tools/train.py:
+198-229) — structured TPU-first:
+
+  * XE step: ONE jit program (forward multiplexer + loss + grad + update).
+  * RL (structure-loss) step: three phases matching the reference's own
+    device-host dance (loss_wrapper.py:194-220 → rewards.py:86-117):
+      1. jit ``rl_sample``: non-differentiable while_loop decode of the SA
+         and/or NA branches (+ greedy baseline for classic SCST),
+      2. host: CIDEr-D/BLEU scores over the device_get'd ids,
+      3. jit ``rl_update``: DIFFERENTIABLE re-score of the sampled plans via
+         the teacher-forced forward (bit-equal to the sampling pass because
+         the blockwise/causal masks make each position's computation depend
+         only on already-final inputs), then structure loss + update.
+
+The re-score trick replaces the reference's requires_grad decode loop
+(TransformerModel.py:1878-1986 keeps the whole per-phrase Python loop in the
+autograd graph): same gradients, but the sampling loop itself can early-exit
+and never stores activations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import losses as Lm
+from ..constants import BOS, EOS, PAD
+from ..data import phrase_ops as po
+from ..decode import ar as ar_mod
+from ..decode import bound_fill as bf
+from ..models.boficap import BoFiCap
+from ..rewards import get_scores, get_self_critical_reward
+from .state import TrainState
+
+PHRASE_MODES = ("NAIC", "SAIC", "UIC", "UIC_ds", "UIC_s", "UIC_u")
+
+
+def _flat(batch: Dict[str, Any]):
+    """[B, S, ...] -> [B*S, ...] views of the label-side tensors."""
+    out = {}
+    for k in ("labels", "masks", "phrase_num", "phrase_length", "phrase_syn"):
+        if k in batch and batch[k] is not None:
+            v = jnp.asarray(batch[k])
+            out[k] = v.reshape((-1,) + v.shape[2:])
+    return out
+
+
+def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
+               drop_worst_rate: float = 0.0, deterministic: bool = False,
+               label_smoothing: float = 0.0) -> Tuple[jnp.ndarray, Dict]:
+    """Cross-entropy stage loss for every train_mode (LossWrapper XE
+    branches)."""
+    mode = model.train_mode
+    f = _flat(batch)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    reduction = "none" if drop_worst_rate > 0 else "mean"
+    rngs = {"dropout": rng, "glat": jax.random.fold_in(rng, 1)}
+
+    out = model.apply(params, att, am, f["labels"],
+                      f.get("phrase_num"), f.get("phrase_length"),
+                      f.get("phrase_syn"), glat_p=glat_p,
+                      deterministic=deterministic, rngs=rngs)
+
+    metrics: Dict[str, jnp.ndarray] = {}
+    if mode in ("AIC", "auto"):
+        tgt = f["labels"][:, 1:]
+        msk = f["masks"][:, 1:]
+        if label_smoothing > 0:
+            loss = Lm.label_smoothing_loss(out["logprob"], tgt, msk,
+                                           label_smoothing, reduction)
+        else:
+            loss = Lm.lm_loss(out["logprob"], tgt, msk, reduction)
+    elif mode in ("NAIC", "SAIC"):
+        if mode == "SAIC":
+            d = Lm.naic_loss(out["sa_len_logprob"], out["sa_syn_logprob"],
+                             out["sa_logprob"], f["phrase_num"],
+                             f["phrase_length"], f["phrase_syn"], f["labels"],
+                             reduction)
+        else:
+            d = Lm.naic_loss(out["na_len_logprob"], out["na_syn_logprob"],
+                             out["na_logprob"], f["phrase_num"],
+                             f["phrase_length"], f["phrase_syn"], f["labels"],
+                             reduction)
+        loss = d.pop("loss")
+        metrics.update(d)
+    elif mode in ("UIC", "UIC_ds"):
+        d = Lm.uic_loss(out["sa_len_logprob"], out["sa_syn_logprob"],
+                        out["sa_logprob"], out["na_len_logprob"],
+                        out["na_syn_logprob"], out["na_logprob"],
+                        f["phrase_num"], f["phrase_length"], f["phrase_syn"],
+                        f["labels"], self_dis=model_cfg_self_dis(model),
+                        reduction=reduction)
+        loss = d.pop("loss")
+        metrics.update(d)
+    elif mode in ("UIC_s", "UIC_u"):
+        d = Lm.tuic_loss(out["len_logprob"], out["syn_logprob"],
+                         out["a_logprob"], out["sa_logprob"],
+                         out["na_logprob"], f["phrase_num"],
+                         f["phrase_length"], f["phrase_syn"], f["labels"])
+        loss = d.pop("loss")
+        metrics.update(d)
+    else:
+        raise NotImplementedError(mode)
+
+    if drop_worst_rate > 0:
+        loss = Lm.drop_worst(loss, drop_worst_rate)
+    if "glat_mismatch" in out:
+        metrics["glat_mismatch"] = out["glat_mismatch"]
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+# the self_dis flag lives on the config, not the module; thread it through a
+# tiny registry keyed by the module instance
+_SELF_DIS: Dict[int, bool] = {}
+
+
+def set_self_dis(model: BoFiCap, value: bool):
+    _SELF_DIS[id(model)] = value
+
+
+def model_cfg_self_dis(model: BoFiCap) -> bool:
+    return _SELF_DIS.get(id(model), False)
+
+
+def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
+    """jit'd (state, batch_arrays, rng, glat_p, drop_worst_rate) -> (state,
+    metrics)."""
+
+    @partial(jax.jit, static_argnames=("drop_worst",))
+    def step(state: TrainState, att_feats, att_masks, labels, phrase_num,
+             phrase_length, phrase_syn, masks, rng, glat_p,
+             drop_worst: float = 0.0):
+        batch = {"att_feats": att_feats, "att_masks": att_masks,
+                 "labels": labels, "masks": masks,
+                 "phrase_num": phrase_num, "phrase_length": phrase_length,
+                 "phrase_syn": phrase_syn}
+
+        def lf(p):
+            return xe_loss_fn(model, p, batch, rng, glat_p, drop_worst,
+                              deterministic=False,
+                              label_smoothing=label_smoothing)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(tx, grads)
+        return new_state, metrics
+
+    return step
+
+
+def run_xe_step(step_fn, state, batch, rng, glat_p=-1.0, drop_worst=0.0):
+    """Convenience host wrapper: pulls arrays out of a CaptionData batch.
+    glat is disabled by passing None through (a static no-branch trace)."""
+    g = glat_p if (glat_p is not None and glat_p >= 0) else None
+    z = lambda k: jnp.asarray(batch[k]) if batch.get(k) is not None else None
+    return step_fn(state, z("att_feats"), z("att_masks"), z("labels"),
+                   z("phrase_num"), z("phrase_length"), z("phrase_syn"),
+                   z("masks"), rng, g, drop_worst=drop_worst)
+
+
+# ---------------------------------------------------------------------------
+# RL (structure-loss) stage
+# ---------------------------------------------------------------------------
+
+def frame_plan(seq, phrase_length, phrase_syn, L):
+    """Sampled (seq [B, L], plan [B, L]) -> framed label/plan rows [B, L+2]
+    matching the training collate conventions (leading bos / length-1 slot)."""
+    B = seq.shape[0]
+    labels = jnp.concatenate(
+        [jnp.full((B, 1), BOS, seq.dtype), seq,
+         jnp.zeros((B, 1), seq.dtype)], axis=1)
+    pl = jnp.concatenate(
+        [jnp.ones((B, 1), phrase_length.dtype), phrase_length,
+         jnp.zeros((B, 1), phrase_length.dtype)], axis=1)
+    ps = jnp.concatenate(
+        [jnp.full((B, 1), BOS, phrase_syn.dtype), phrase_syn,
+         jnp.zeros((B, 1), phrase_syn.dtype)], axis=1)
+    return labels, pl, ps
+
+
+def make_rl_sample(model: BoFiCap, sample_method: str = "sample",
+                   temperature: float = 1.0, sample_n: int = 5):
+    """jit'd sampler for the structure-loss stage: returns SA and NA branch
+    samples for UIC/UIC_ds (loss_wrapper.py:194-209); for AIC, samples +
+    greedy baseline (classic SCST) or plain samples (nscl)."""
+    mode = model.train_mode
+
+    @jax.jit
+    def sample(params, rng, att_feats, att_masks):
+        memory = model.apply(params, att_feats, att_masks,
+                             deterministic=True, method=BoFiCap.encode)
+        src_mask = att_masks.astype(bool)
+        mem = jnp.repeat(memory, sample_n, axis=0)
+        msk = jnp.repeat(src_mask, sample_n, axis=0)
+        out = {}
+        if mode in ("AIC", "auto"):
+            out["sample"] = ar_mod.ar_sample(
+                model, params, rng, mem, msk, sample_method=sample_method,
+                temperature=temperature)
+            out["greedy"] = ar_mod.ar_sample(
+                model, params, rng, memory, src_mask,
+                sample_method="greedy")
+        else:
+            r1, r2 = jax.random.split(rng)
+            if mode in ("SAIC", "UIC", "UIC_ds", "UIC_s", "UIC_u"):
+                out["sa"] = bf.sa_decode(model, params, r1, mem, msk,
+                                         sample_method=sample_method,
+                                         temperature=temperature)
+            if mode in ("NAIC", "UIC", "UIC_ds", "UIC_s", "UIC_u"):
+                out["na"] = bf.na_decode(model, params, r2, mem, msk,
+                                         sample_method=sample_method,
+                                         temperature=temperature)
+        return out
+
+    return sample
+
+
+def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
+               sample_n: int, deterministic: bool = False):
+    """Differentiable re-score of sampled plans: teacher-forced logprobs of
+    each branch under the CURRENT params (identical values to the sampling
+    loop's stored logprobs; see module docstring)."""
+    L = model.max_length
+    memory = model.apply(params, att_feats, att_masks,
+                         deterministic=deterministic,
+                         rngs={"dropout": rng}, method=BoFiCap.encode)
+    src_mask = att_masks.astype(bool)
+    mem = jnp.repeat(memory, sample_n, axis=0)
+    msk = jnp.repeat(src_mask, sample_n, axis=0)
+    out = {}
+    rngs = {"dropout": jax.random.fold_in(rng, 7)}
+
+    if "sa" in samples:
+        s = samples["sa"]
+        labels, pl, ps = frame_plan(s["seq"], s["phrase_length"],
+                                    s["phrase_syn"], L)
+        word_syn = po.extend_syn_seq(pl, ps, L)[:, 1:-1]
+        sa_mask = po.blockwise_mask(pl, L)
+        copied = po.copy_init(labels, pl, L)
+
+        def sa_fill(m):
+            h = m.decode_sa(copied, word_syn, mem, msk, sa_mask,
+                            deterministic)
+            return m.generate(h)
+
+        out["sa_logprob"] = model.apply(params, method=sa_fill, rngs=rngs)
+    if "na" in samples:
+        s = samples["na"]
+        total = jnp.sum(s["phrase_length"], axis=-1)
+        na_mask = jnp.broadcast_to(
+            jnp.arange(L)[None, None, :] < total[:, None, None],
+            (s["seq"].shape[0], L, L))
+        ps_full = jnp.concatenate(
+            [jnp.full((s["seq"].shape[0], 1), BOS, s["phrase_syn"].dtype),
+             s["phrase_syn"],
+             jnp.zeros((s["seq"].shape[0], 1), s["phrase_syn"].dtype)], 1)
+        pl_full = jnp.concatenate(
+            [jnp.ones((s["seq"].shape[0], 1), s["phrase_length"].dtype),
+             s["phrase_length"],
+             jnp.zeros((s["seq"].shape[0], 1), s["phrase_length"].dtype)], 1)
+        word_syn = po.extend_syn_seq(pl_full, ps_full, L)[:, 1:-1]
+
+        def na_fill(m):
+            h = m.decode_na(word_syn, mem, msk, na_mask, deterministic)
+            return m.generate(h)
+
+        out["na_logprob"] = model.apply(params, method=na_fill, rngs=rngs)
+    if "sample" in samples:  # AR branch
+        s = samples["sample"]
+        seq = s["seq"]
+        B = seq.shape[0]
+        prefix = jnp.concatenate([jnp.full((B, 1), BOS, seq.dtype), seq], 1)
+        inp = prefix[:, :-1]
+        from ..models.layers import causal_mask
+        keep = (inp != EOS) & (inp != PAD)
+        keep = keep.at[:, 0].set(True)
+        mask = keep[:, None, :] & causal_mask(inp.shape[1])[None]
+
+        def a_fill(m):
+            h = m.decode_a(inp, mem, msk, mask, deterministic)
+            return m.generate(h)
+
+        out["a_logprob"] = model.apply(params, method=a_fill, rngs=rngs)
+    return out
+
+
+def make_rl_step(model: BoFiCap, tx, cfg):
+    """jit'd RL update given host-computed scores.
+
+    loss = sum over sampled branches of structure_loss (+ optional
+    rl_kl KL(NA ← SA) over the SA sample's positions, loss_wrapper.py:221-227).
+    """
+    loss_type = cfg.get("structure_loss_type", "new_self_critical")
+    sample_n = cfg.get("train_sample_n", 5)
+    rl_kl = cfg.get("rl_kl", False)
+    w = cfg.get("structure_loss_weight", 1.0)
+
+    @jax.jit
+    def step(state: TrainState, rng, att_feats, att_masks, samples, scores):
+        def lf(params):
+            lps = rl_rescore(model, params, rng, att_feats, att_masks,
+                             samples, sample_n)
+            total = 0.0
+            metrics = {}
+            reward_sum = 0.0
+            for key, lp_key in (("sa", "sa_logprob"), ("na", "na_logprob"),
+                                ("sample", "a_logprob")):
+                if key not in samples:
+                    continue
+                d = Lm.structure_loss(lps[lp_key], samples[key]["seq"],
+                                      scores[key], loss_type)
+                total = total + w * d["loss"]
+                metrics[f"{key}_struc_loss"] = d["loss"]
+                reward_sum = reward_sum + jnp.mean(d["reward"])
+            if rl_kl and "sa" in samples and "na" in samples:
+                sa_mask = (samples["sa"]["seq"] > 0).astype(jnp.float32)
+                p_sa = jax.lax.stop_gradient(jnp.exp(lps["sa_logprob"]))
+                kl = (p_sa * (jax.lax.stop_gradient(lps["sa_logprob"])
+                              - lps["na_logprob"])).sum(-1)
+                kl = (kl * sa_mask).sum() / (sa_mask.sum() + 1e-6)
+                total = total + kl
+                metrics["rl_kl"] = kl
+            metrics["reward"] = reward_sum
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        metrics["loss"] = loss
+        return state.apply_gradients(tx, grads), metrics
+
+    return step
+
+
+def rl_host_scores(samples, gts, cfg) -> Dict[str, np.ndarray]:
+    """Host phase: CIDEr-D (+BLEU) scores per branch, shaped
+    [n_img, sample_n] for the leave-one-out baseline."""
+    sample_n = cfg.get("train_sample_n", 5)
+    out = {}
+    for key in ("sa", "na", "sample"):
+        if key not in samples:
+            continue
+        seqs = np.asarray(samples[key]["seq"])
+        scores = get_scores(gts, seqs, cfg)
+        out[key] = scores.reshape(-1, sample_n)
+    return out

@@ -1,0 +1,58 @@
+"""Eval-loop tests: metrics sanity, decode_sequence, full eval_split over the
+synthetic corpus for NA / SA / AR-greedy / AR-beam branches."""
+
+import jax
+import numpy as np
+import pytest
+
+from boficap_tpu.eval.eval_utils import decode_sequence, eval_split
+from boficap_tpu.eval.metrics import language_eval, rouge_l
+from tests.test_train import make_cfg, setup
+
+
+def test_rouge_l_basics():
+    assert rouge_l("a b c d", ["a b c d"]) == pytest.approx(1.0)
+    assert rouge_l("a b c d", ["x y z"]) == 0.0
+    assert 0 < rouge_l("a b x d", ["a b c d"]) < 1.0
+
+
+def test_language_eval_perfect():
+    preds = [{"image_id": 0, "caption": "a dog runs very fast"},
+             {"image_id": 1, "caption": "the cat sat on a mat"}]
+    gts = {0: ["a dog runs very fast"],
+           1: ["the cat sat on a mat", "a cat sat down on a mat"]}
+    out = language_eval(preds, gts)
+    assert out["Bleu_4"] == pytest.approx(1.0, abs=1e-5)
+    assert out["ROUGE_L"] == pytest.approx(1.0, abs=1e-6)
+    assert out["CIDEr"] > 0
+    assert out["bad_count_rate"] == 0.0
+    preds_bad = [{"image_id": 0, "caption": "a dog runs very with"}]
+    out2 = language_eval(preds_bad, gts)
+    assert out2["bad_count_rate"] == 1.0
+
+
+def test_decode_sequence_stops_and_strips():
+    itw = {"4": "hello", "5": "world", "6": "the"}
+    seq = np.array([[4, 5, 0, 4], [4, 6, 0, 0]])
+    assert decode_sequence(itw, seq) == ["hello world", "hello the"]
+    assert decode_sequence(itw, seq, remove_bad_endings=True) == \
+        ["hello world", "hello"]
+
+
+@pytest.mark.parametrize("mode,infer,beam", [
+    ("UIC", "NAIC", 1), ("UIC", "SAIC", 1),
+    ("AIC", "", 1), ("AIC", "", 3),
+])
+def test_eval_split_runs(mode, infer, beam):
+    cfg, data, model, tx, state = setup(mode)
+    kwargs = {"split": "val", "num_images": 4, "language_eval": 1,
+              "beam_size": beam, "train_mode": mode, "verbose": False}
+    out = eval_split(model, state.params, data, kwargs,
+                     inference_mode=infer)
+    assert out["n_images"] == 4
+    assert len(out["predictions"]) == 4
+    assert out["lang_stats"] is not None
+    assert np.isfinite(out["lang_stats"]["CIDEr"])
+    for p in out["predictions"]:
+        assert isinstance(p["caption"], str)
+        assert np.isfinite(p["perplexity"])

@@ -1,0 +1,88 @@
+"""End-to-end integration: the full tools/train.py state machine on the
+synthetic corpus (XE stage + periodic eval + checkpoint + resume), the
+multi-device mesh dryrun on the 8-virtual-CPU mesh, and the graft entry."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def train_cfg(tmp_path, **kw):
+    from boficap_tpu.config import default_config, finalize
+    cfg = default_config()
+    cfg.train_mode = "UIC"
+    cfg.input_json = "synthetic"
+    cfg.input_att_dir = "synthetic"
+    cfg.batch_size = 2
+    cfg.max_boxes = 9
+    cfg.N_enc = cfg.N_dec = 1
+    cfg.d_model = 32
+    cfg.d_ff = 64
+    cfg.num_att_heads = 2
+    cfg.noamopt = True
+    cfg.max_epochs = 1
+    cfg.save_checkpoint_every = 8
+    cfg.losses_log_every = 4
+    cfg.language_eval = 1
+    cfg.val_images_use = 4
+    cfg.id = "itest"
+    cfg.checkpoint_path = str(tmp_path / "ckpt")
+    for k, v in kw.items():
+        cfg[k] = v
+    finalize(cfg)
+    return cfg
+
+
+@pytest.mark.slow
+def test_train_driver_end_to_end(tmp_path):
+    from tools.train import train
+    cfg = train_cfg(tmp_path)
+    state, infos = train(cfg)
+    assert infos["iter"] > 0
+    assert os.path.exists(os.path.join(cfg.checkpoint_path, "model.ckpt"))
+    assert os.path.exists(os.path.join(cfg.checkpoint_path,
+                                       f"infos_{cfg.id}.pkl"))
+    # the periodic eval must have recorded a best checkpoint
+    assert os.path.exists(os.path.join(cfg.checkpoint_path,
+                                       "model_best.ckpt"))
+
+    # resume: second run restores iter and continues without error
+    cfg2 = train_cfg(tmp_path, max_epochs=2)
+    cfg2.start_from = cfg.checkpoint_path
+    state2, infos2 = train(cfg2)
+    assert infos2["iter"] > infos["iter"]
+
+
+@pytest.mark.slow
+def test_eval_cli(tmp_path):
+    from tools.train import train
+    from tools.eval import main as eval_main
+    cfg = train_cfg(tmp_path)
+    train(cfg)
+    result = eval_main([
+        "--model", os.path.join(cfg.checkpoint_path, "model.ckpt"),
+        "--infos_path", os.path.join(cfg.checkpoint_path,
+                                     f"infos_{cfg.id}.pkl"),
+        "--split", "test", "--num_images", "4", "--language_eval", "1",
+        "--inference_mode", "NAIC", "--dump_json", "0",
+    ])
+    assert result["n_images"] == 4
+    assert result["lang_stats"] is not None
+
+
+def test_dryrun_multichip_8dev():
+    import __graft_entry__ as ge
+    assert len(jax.devices()) >= 8      # conftest forces 8 virtual CPUs
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))

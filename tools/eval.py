@@ -1,0 +1,123 @@
+"""Evaluation driver — CLI-compatible with the reference:
+
+    python tools/eval.py --model log_uic_sd/model_best.ckpt \
+        --infos_path log_uic_sd/infos_uic_sd_best.pkl \
+        --inference_mode NAIC --language_eval 1
+
+Parity with reference tools/eval.py:44-134: infos pickle merge (saved train
+opts fill any flag not given on the command line, :53-61), result caching /
+--only_lang_eval short-circuit (:65-97), per-mode eval_split, prediction
+json dump (:132-134), decode-time print (the speed-measurement protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+import numpy as np
+
+from boficap_tpu.config import Config, default_config, finalize
+from boficap_tpu.config.opts import add_eval_options
+from boficap_tpu.data.dataset import CaptionData
+from boficap_tpu.eval import eval_utils
+from boficap_tpu.models.boficap import build_model
+from boficap_tpu.train.state import load_params
+
+
+def parse_eval_opt(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True,
+                        help="path to model .ckpt")
+    parser.add_argument("--infos_path", type=str, required=True,
+                        help="path to infos .pkl")
+    parser.add_argument("--cfg", type=str, default=None)
+    parser.add_argument("--id", type=str, default="")
+    parser.add_argument("--beam_size", type=int, default=1)
+    parser.add_argument("--sample_method", type=str, default="greedy")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--sample_n", type=int, default=1)
+    parser.add_argument("--verbose", type=int, default=0)
+    parser.add_argument("--verbose_beam", type=int, default=0)
+    parser.add_argument("--remove_bad_endings", type=int, default=0)
+    parser.add_argument("--length_penalty", type=str, default="")
+    add_eval_options(parser)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_eval_opt(argv)
+
+    with open(args.infos_path, "rb") as f:
+        infos = pickle.load(f)
+
+    # merge: CLI > saved train opts > defaults (tools/eval.py:53-61)
+    opt = default_config()
+    opt.merge_from_dict(infos.get("opt", {}))
+    for k, v in vars(args).items():
+        if v is not None and (k not in opt or v != 0 or k in
+                              ("language_eval", "verbose")):
+            if k in ("model", "infos_path", "cfg"):
+                continue
+            opt[k] = v
+    if not opt.get("id"):
+        opt.id = infos.get("opt", {}).get("id", "model")
+    finalize(opt)
+
+    eval_kwargs = dict(opt)
+    eval_kwargs.update(vars(args))
+    eval_kwargs["num_images"] = args.num_images
+
+    # cached-result short circuit (tools/eval.py:65-97)
+    if args.only_lang_eval and not args.force:
+        cached = eval_utils.load_cached(eval_kwargs)
+        if cached is not None:
+            from boficap_tpu.eval.metrics import language_eval
+            # re-run only language metrics on the cached predictions
+            stats = language_eval(cached["predictions"], cached["gts_words"])
+            print(stats)
+            return stats
+        print("no cached predictions; running full eval")
+
+    loader = CaptionData(opt)
+    model = build_model(opt, loader.vocab_size)
+
+    # init a parameter template, then load the checkpoint bytes into it
+    ex = loader.get_batch(args.split)
+    import jax
+    from boficap_tpu.train import steps as steps_mod
+    f = steps_mod._flat(ex)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)},
+        jnp.asarray(ex["att_feats"]), jnp.asarray(ex["att_masks"]),
+        f["labels"], f.get("phrase_num"), f.get("phrase_length"),
+        f.get("phrase_syn"), glat_p=None, deterministic=True)
+    params = load_params(args.model, template)
+    loader.reset_iterator(args.split)
+
+    result = eval_utils.eval_split(model, params, loader, eval_kwargs,
+                                   inference_mode=args.inference_mode)
+    print(f"decode_time {result['decode_time']:.3f}s "
+          f"(compile {result['compile_time']:.3f}s), "
+          f"images/s {result['images_per_s']:.2f}")
+    if result["lang_stats"]:
+        print(result["lang_stats"])
+
+    gts_words = {}
+    eval_utils.save_cached(eval_kwargs, {
+        "predictions": result["predictions"], "gts_words": gts_words})
+    if args.dump_json:
+        os.makedirs("vis", exist_ok=True)
+        with open("vis/vis.json", "w") as f:
+            json.dump(result["predictions"], f)
+    return result
+
+
+if __name__ == "__main__":
+    main()

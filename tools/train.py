@@ -1,0 +1,261 @@
+"""Training driver — CLI-compatible with the reference:
+
+    python tools/train.py --cfg configs/uic_sd.yml --id uic_sd
+
+State machine parity with reference tools/train.py:29-374: seeded init,
+infos/histories resume (incl. data-sampler position), per-epoch schedule
+updates (LR decay :151-157, scheduled sampling :159-162, glancing anneal
+:164-171, self-critical / structure / drop-worst flag flips :174-189), linear
+warmup (:194-196), periodic eval with best-checkpoint selection on CIDEr
+(:343-363), crash-save (:365-370).
+
+TPU-first differences: one jit'd XE step (grad+update fused); the RL stage is
+sample (jit) -> CIDEr-D on host -> re-score update (jit); batches are
+sharded over a 1-D 'data' mesh when more than one device is visible.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boficap_tpu.config import parse_opt
+from boficap_tpu.data.dataset import CaptionData
+from boficap_tpu.eval.eval_utils import eval_split
+from boficap_tpu.models.boficap import build_model
+from boficap_tpu.rewards import init_scorer
+from boficap_tpu.train import optim as optim_mod
+from boficap_tpu.train import steps as steps_mod
+from boficap_tpu.train.state import (TrainState, create_state, load_infos,
+                                     load_histories, load_params,
+                                     resume_state, save_checkpoint)
+
+
+def log_metrics(path, record):
+    import json
+    with open(path, "a") as f:
+        f.write(json.dumps({k: (float(v) if hasattr(v, "item") or
+                                isinstance(v, (int, float, np.floating))
+                                else v) for k, v in record.items()}) + "\n")
+
+
+def train(opt):
+    np.random.seed(opt.seed)
+    rng = jax.random.PRNGKey(opt.seed)
+
+    loader = CaptionData(opt)
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+
+    # infos / histories resume (train.py:62-78)
+    infos = {"iter": 0, "epoch": 0, "loader_state_dict": None,
+             "vocab": loader.ix_to_word, "opt": dict(opt)}
+    histories = defaultdict(dict)
+    if opt.get("start_from") is not None and os.path.isfile(
+            os.path.join(opt.start_from, f"infos_{opt.id}.pkl")):
+        infos = load_infos(opt.start_from, opt.id)
+        saved = infos.get("opt", {})
+        for check in ("caption_model", "rnn_size", "num_layers"):
+            assert saved.get(check) == opt.get(check), \
+                f"command line argument and saved model disagree on {check}"
+        histories.update(load_histories(opt.start_from, opt.id))
+    infos["vocab"] = loader.ix_to_word
+
+    model = build_model(opt, loader.vocab_size)
+    steps_mod.set_self_dis(model, opt.get("self_dis", False))
+
+    # param init from one example batch
+    ex = loader.get_batch("train")
+    f = steps_mod._flat(ex)
+    params = model.init(
+        {"params": jax.random.PRNGKey(opt.seed), "glat": rng},
+        jnp.asarray(ex["att_feats"]), jnp.asarray(ex["att_masks"]),
+        f["labels"], f.get("phrase_num"), f.get("phrase_length"),
+        f.get("phrase_syn"), glat_p=None, deterministic=True)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model: {model.train_mode}, params: {n_params/1e6:.1f}M")
+
+    # encoder-only warm start from an AR checkpoint (train.py:93-94)
+    if opt.get("init_from"):
+        from boficap_tpu.train.state import encoder_only_init
+        donor = load_params(opt.init_from, params)
+        params = encoder_only_init(params, donor)
+        print(f"warm-started encoder from {opt.init_from}")
+
+    tx = optim_mod.build_optimizer(opt)
+    state = create_state(params, tx)
+    state = resume_state(opt, state)
+    del params
+
+    iteration = infos["iter"]
+    epoch = infos["epoch"]
+    state = TrainState(params=state.params, opt_state=state.opt_state,
+                       step=iteration)
+    loader.load_state_dict(infos.get("loader_state_dict"))
+    best_val_score = infos.get("best_val_score") if opt.load_best_score \
+        else None
+    plateau = optim_mod.PlateauTracker(opt.reduce_on_plateau_factor,
+                                       opt.reduce_on_plateau_patience)
+    if "plateau" in infos and infos["plateau"]:
+        plateau.load_state_dict(infos["plateau"])
+
+    xe_step = steps_mod.make_xe_step(model, tx,
+                                     label_smoothing=opt.label_smoothing)
+    rl_sample = rl_step = None
+    metrics_log = os.path.join(opt.checkpoint_path, "metrics.jsonl")
+    os.makedirs(opt.checkpoint_path, exist_ok=True)
+
+    epoch_done = True
+    sc_flag = struc_flag = drop_worst_flag = False
+    glat_p = -1.0
+
+    try:
+        while True:
+            if opt.max_epochs != -1 and epoch >= opt.max_epochs:
+                break
+            if epoch_done:
+                if not opt.noamopt and not opt.reduce_on_plateau:
+                    lr = optim_mod.epoch_lr(opt, epoch)
+                    optim_mod.set_lr(state.opt_state, lr)
+                glat_p = optim_mod.glat_rate(opt, epoch)
+                sc_flag = (opt.self_critical_after != -1
+                           and epoch >= opt.self_critical_after)
+                struc_flag = (opt.structure_after != -1
+                              and epoch >= opt.structure_after)
+                drop_worst_flag = (opt.drop_worst_after != -1
+                                   and epoch >= opt.drop_worst_after)
+                if (sc_flag or struc_flag) and rl_sample is None:
+                    init_scorer(opt.cached_tokens)
+                    rl_sample = steps_mod.make_rl_sample(
+                        model, sample_method=opt.train_sample_method,
+                        temperature=opt.temperature,
+                        sample_n=opt.train_sample_n)
+                    rl_step = steps_mod.make_rl_step(model, tx, opt)
+                epoch_done = False
+
+            if opt.use_warmup and iteration < opt.noamopt_warmup and \
+                    not opt.noamopt:
+                optim_mod.set_lr(
+                    state.opt_state,
+                    opt.learning_rate * (iteration + 1) / opt.noamopt_warmup)
+
+            t_read = time.time()
+            data = loader.get_batch("train")
+            read_time = time.time() - t_read
+
+            rng, step_key = jax.random.split(rng)
+            t_step = time.time()
+            if struc_flag or sc_flag:
+                att = jnp.asarray(data["att_feats"])
+                am = jnp.asarray(data["att_masks"])
+                samples = rl_sample(state.params, step_key, att, am)
+                scores = steps_mod.rl_host_scores(samples, data["gts"], opt)
+                state, metrics = rl_step(
+                    state, step_key, att, am, samples,
+                    {k: jnp.asarray(v) for k, v in scores.items()})
+            else:
+                state, metrics = steps_mod.run_xe_step(
+                    xe_step, state, data, step_key, glat_p=glat_p,
+                    drop_worst=opt.drop_worst_rate if drop_worst_flag else 0.0)
+            jax.block_until_ready(metrics["loss"])
+            step_time = time.time() - t_step
+
+            iteration += 1
+            if data["bounds"]["wrapped"]:
+                epoch += 1
+                epoch_done = True
+
+            if iteration % opt.losses_log_every == 0:
+                rec = {"iter": iteration, "epoch": epoch,
+                       "read_s": read_time, "step_s": step_time}
+                rec.update({k: float(np.asarray(v)) for k, v in
+                            metrics.items()})
+                log_metrics(metrics_log, rec)
+                histories["loss_history"][iteration] = float(
+                    np.asarray(metrics["loss"]))
+                print(f"iter {iteration} (epoch {epoch}) "
+                      f"loss {float(np.asarray(metrics['loss'])):.4f} "
+                      f"step {step_time:.3f}s read {read_time:.3f}s")
+
+            # periodic eval + checkpoint (train.py:297-363)
+            if (iteration % opt.save_checkpoint_every == 0 and
+                    not opt.save_every_epoch) or \
+                    (epoch_done and opt.save_every_epoch):
+                eval_kwargs = {"split": "val",
+                               "num_images": opt.val_images_use,
+                               "language_eval": opt.language_eval,
+                               "train_mode": opt.train_mode,
+                               "id": opt.id, "verbose": False}
+                modes = ([""] if opt.train_mode in
+                         ("AIC", "auto", "NAIC", "SAIC", "NNAIC")
+                         else ["SAIC", "NAIC"])
+                results = {}
+                for im in modes:
+                    results[im or opt.train_mode] = eval_split(
+                        model, state.params, loader, eval_kwargs,
+                        inference_mode=im)
+                primary = list(results.values())[-1]
+                if opt.language_eval and primary["lang_stats"]:
+                    current_score = primary["lang_stats"]["CIDEr"]
+                else:
+                    current_score = -primary["loss"]
+                if opt.reduce_on_plateau:
+                    scale = plateau.update(current_score)
+                    optim_mod.set_lr(state.opt_state,
+                                     opt.learning_rate * scale)
+
+                for name, r in results.items():
+                    print(f"val[{name}]: images/s "
+                          f"{r['images_per_s']:.2f} "
+                          f"lang {r['lang_stats']}")
+                histories["val_result_history"][iteration] = {
+                    k: (r["lang_stats"], r["images_per_s"])
+                    for k, r in results.items()}
+
+                infos.update(iter=iteration, epoch=epoch,
+                             loader_state_dict=loader.state_dict(),
+                             best_val_score=best_val_score,
+                             plateau=plateau.state_dict(),
+                             opt=dict(opt))
+                save_checkpoint(opt, state, infos, dict(histories))
+                if opt.save_history_ckpt:
+                    save_checkpoint(opt, state, infos, dict(histories),
+                                    append=str(iteration))
+                if best_val_score is None or current_score > best_val_score:
+                    best_val_score = current_score
+                    infos["best_val_score"] = best_val_score
+                    save_checkpoint(opt, state, infos, dict(histories),
+                                    append="best")
+                    print(f"new best val score {best_val_score:.4f}")
+    except (RuntimeError, KeyboardInterrupt):
+        # crash-save (train.py:365-370)
+        print("Save ckpt on exception ...")
+        infos.update(iter=iteration, epoch=epoch,
+                     loader_state_dict=loader.state_dict(),
+                     best_val_score=best_val_score, opt=dict(opt))
+        save_checkpoint(opt, state, infos, dict(histories))
+        print("Save ckpt done.")
+        stack_trace = traceback.format_exc()
+        print(stack_trace)
+        raise
+
+    # final save
+    infos.update(iter=iteration, epoch=epoch,
+                 loader_state_dict=loader.state_dict(),
+                 best_val_score=best_val_score, opt=dict(opt))
+    save_checkpoint(opt, state, infos, dict(histories))
+    return state, infos
+
+
+if __name__ == "__main__":
+    opt = parse_opt()
+    train(opt)
