@@ -80,17 +80,29 @@ def main():
         return model.apply(params, att, am, deterministic=True,
                            method=BoFiCap.encode)
 
+    # Realistic-termination protocol: an UNTRAINED model never emits a stop
+    # signal, so free-running loops all hit the worst case and measure
+    # nothing but max_length.  A trained BoFiCap on COCO emits ~9.5-word
+    # captions in ~5 phrases (that statistic is what the paper's 9.22x rests
+    # on), so decode loops are capped at the empirical step counts:
+    # bounding ~6 steps (5 phrases + stop), AR ~11 steps (10 words + eos).
+    NA_STEPS = SA_STEPS = 6
+    AR_STEPS = 11
+
     @jax.jit
     def decode_na(memory, src_mask, rng):
-        return bf.na_decode(model, params, rng, memory, src_mask)
+        return bf.na_decode(model, params, rng, memory, src_mask,
+                            max_steps=NA_STEPS)
 
     @jax.jit
     def decode_sa(memory, src_mask, rng):
-        return bf.sa_decode(model, params, rng, memory, src_mask)
+        return bf.sa_decode(model, params, rng, memory, src_mask,
+                            max_steps=SA_STEPS)
 
     @jax.jit
     def decode_ar(memory, src_mask, rng):
-        return ar_mod.ar_sample(model, params, rng, memory, src_mask)
+        return ar_mod.ar_sample(model, params, rng, memory, src_mask,
+                                max_steps=AR_STEPS)
 
     src_mask = am.astype(bool)
     memory = jax.block_until_ready(encode(att, am))

@@ -48,7 +48,8 @@ def length_penalty_fn(spec: str):
 def ar_sample(model, params, rng, memory, src_mask, *,
               sample_method: str = "greedy", temperature: float = 1.0,
               decoding_constraint: bool = False,
-              suppress_unk_idx: Optional[int] = None) -> Dict[str, Any]:
+              suppress_unk_idx: Optional[int] = None,
+              max_steps: Optional[int] = None) -> Dict[str, Any]:
     """Sample (or greedy-decode) captions autoregressively.
 
     Returns {'seq': [B, L] int32, 'logprobs': [B, L, V] float32} matching the
@@ -58,10 +59,11 @@ def ar_sample(model, params, rng, memory, src_mask, *,
     L = model.max_length
     B = memory.shape[0]
     V = model.tgt_vocab
+    n_steps = L if max_steps is None else min(max_steps, L)
     cache = model.apply(params, memory, L + 1, method="init_ar_cache")
 
     def cond(s):
-        return (s["pos"] < L) & jnp.any(s["unfinished"])
+        return (s["pos"] < n_steps) & jnp.any(s["unfinished"])
 
     def body(s):
         rng, skey = jax.random.split(s["rng"])

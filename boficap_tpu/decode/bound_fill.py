@@ -66,16 +66,14 @@ def _bound_update(s, len_N, syn_N, L, slot, last_key):
     }
 
 
-def na_decode(model, params, rng, memory, src_mask, *,
-              sample_method: str = "greedy", temperature: float = 1.0
-              ) -> Dict[str, Any]:
-    """Bound (length/syn while_loop) then fill (one parallel decode).
+def bound_plan(model, params, memory, src_mask, n_steps: int, L: int
+               ) -> Dict[str, Any]:
+    """The BOUNDING while_loop alone (reference core_NAIC's first phase,
+    TransformerModel.py:1828-1870; also the first phase of core_UIC_s_AIC
+    :2313-2358): grow the syn plan from [LEN] with the syn-input predictor.
 
-    Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
-    'phrase_length': [B, L], 'phrase_syn': [B, L]} matching the reference's
-    NAIC sample contract (AttModel.py:419-429).
-    """
-    L = model.max_length
+    Returns the final loop state: extend_syn [B, L+2], last [B],
+    phrase_length/phrase_syn [B, L+2], phrase_num [B]."""
     L2 = L + 2
     B = memory.shape[0]
 
@@ -84,7 +82,7 @@ def na_decode(model, params, rng, memory, src_mask, *,
                            method="bound_step")
 
     def cond(s):
-        return (s["i"] < L) & jnp.any(~s["finished"])
+        return (s["i"] < n_steps) & jnp.any(~s["finished"])
 
     def body(s):
         len_lp, syn_lp = bound_step(s["extend_syn"], s["last"])
@@ -107,7 +105,22 @@ def na_decode(model, params, rng, memory, src_mask, *,
         "phrase_syn": jnp.full((B, L2), PAD, jnp.int32),
         "phrase_num": jnp.zeros((B,), jnp.int32),
     }
-    s = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def na_decode(model, params, rng, memory, src_mask, *,
+              sample_method: str = "greedy", temperature: float = 1.0,
+              max_steps: Optional[int] = None) -> Dict[str, Any]:
+    """Bound (length/syn while_loop) then fill (one parallel decode).
+
+    Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
+    'phrase_length': [B, L], 'phrase_syn': [B, L]} matching the reference's
+    NAIC sample contract (AttModel.py:419-429).
+    """
+    L = model.max_length
+    B = memory.shape[0]
+    n_steps = L if max_steps is None else min(max_steps, L)
+    s = bound_plan(model, params, memory, src_mask, n_steps, L)
 
     # FILL: one parallel decode over the planned words
     total = s["last"] - 1                                         # [B]
@@ -153,10 +166,15 @@ def _copy_phrase(seq, seq_last, prev, cur, phrase_last, L2):
 
 
 def sa_decode(model, params, rng, memory, src_mask, *,
-              sample_method: str = "greedy", temperature: float = 1.0
-              ) -> Dict[str, Any]:
+              sample_method: str = "greedy", temperature: float = 1.0,
+              max_steps: Optional[int] = None,
+              predictor_use_syn: bool = False) -> Dict[str, Any]:
     """Semi-autoregressive decode: one predictor + one decoder pass per
     PHRASE (reference core_SAIC, TransformerModel.py:1878-1986).
+
+    ``predictor_use_syn``: the UIC_s/UIC_u variant (core_UIC_s_SAIC
+    :2203-2311) feeds the length predictor the SYN plan instead of the
+    sampled words.
 
     Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
     'phrase_length': [B, L], 'phrase_syn': [B, L]}.
@@ -165,16 +183,18 @@ def sa_decode(model, params, rng, memory, src_mask, *,
     L2 = L + 2
     B = memory.shape[0]
     V = model.tgt_vocab
+    n_steps = L if max_steps is None else min(max_steps, L)
     pos_dec = jnp.arange(L)[None, :]
 
     def cond(s):
-        return (s["i"] <= L) & jnp.any(~s["finished"])
+        return (s["i"] <= n_steps) & jnp.any(~s["finished"])
 
     def body(s):
         rng, skey = jax.random.split(s["rng"])
+        pred_ids = s["extend_syn"] if predictor_use_syn else s["extend_len"]
         len_lp, syn_lp = model.apply(
-            params, s["extend_len"], s["phrase_last"], memory, src_mask,
-            False, method="bound_step")
+            params, pred_ids, s["phrase_last"], memory, src_mask,
+            predictor_use_syn, method="bound_step")
         len_N = jnp.argmax(len_lp, -1).astype(jnp.int32)
         syn_N = jnp.argmax(syn_lp, -1).astype(jnp.int32)
         len_eff, _, upd = _bound_update(s, len_N, syn_N, L, s["i"],
@@ -223,7 +243,7 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         "seq": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(BOS),
         "extend_len": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(LEN),
         "extend_word": jnp.full((B, L2), PAD, jnp.int32),
-        "extend_syn": jnp.full((B, L2), PAD, jnp.int32),
+        "extend_syn": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(LEN),
         "vis_dec": jnp.zeros((B, L), jnp.int32),
         "phrase_last": jnp.ones((B,), jnp.int32),
         "seq_last": jnp.zeros((B,), jnp.int32),
@@ -240,3 +260,88 @@ def sa_decode(model, params, rng, memory, src_mask, *,
             "phrase_num": s["phrase_num"],
             "phrase_length": s["phrase_length"][:, 1:-1],
             "phrase_syn": s["phrase_syn"][:, 1:-1]}
+
+
+def uic_s_ar_decode(model, params, rng, memory, src_mask, *,
+                    sample_method: str = "greedy", temperature: float = 1.0,
+                    max_steps: Optional[int] = None,
+                    ar_max_steps: Optional[int] = None) -> Dict[str, Any]:
+    """UIC_s / UIC_u autoregressive branch (reference core_UIC_s_AIC,
+    TransformerModel.py:2313-2391): first bound the syn plan with the shared
+    predictor, then decode autoregressively with word+syn embeddings, writing
+    words only inside the planned length.
+
+    The reference re-runs the full decoder on the growing prefix per AR step;
+    here the AR phase is the KV-cached ``ar_step`` with the per-position syn
+    id from the plan.
+    """
+    L = model.max_length
+    B = memory.shape[0]
+    V = model.tgt_vocab
+    n_bound = L if max_steps is None else min(max_steps, L)
+    plan = bound_plan(model, params, memory, src_mask, n_bound, L)
+    extend_syn = plan["extend_syn"]
+    last = plan["last"]                                  # 1 + total words
+
+    n_ar = L if ar_max_steps is None else min(ar_max_steps, L)
+    cache = model.apply(params, memory, L + 1, method="init_ar_cache")
+
+    def cond(s):
+        # word for label position pos+1 only exists while pos+1 < last
+        return (s["pos"] < n_ar) & jnp.any(s["pos"] + 1 < last)
+
+    def body(s):
+        rng, skey = jax.random.split(s["rng"])
+        # syn embedding of the CURRENT input token (label position pos),
+        # reference decode_A input extend_phrase_syn[:, 1:i+2] pairs token t
+        # with syn slot t+1 (:2374)
+        syn_t = jax.lax.dynamic_slice_in_dim(
+            extend_syn, s["pos"] + 1, 1, axis=1)[:, 0]
+        logprob, cache = model.apply(
+            params, s["it"], s["pos"], s["cache"], src_mask,
+            syn_t=syn_t, method="ar_step")
+        ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
+        write = (s["pos"] + 1) < last                       # reference :2385
+        ids = jnp.where(write, ids, PAD).astype(jnp.int32)
+        seq = s["seq"].at[:, s["pos"]].set(ids)
+        store = jnp.where(write[:, None], logprob, 0.0)
+        seqlp = jax.lax.dynamic_update_slice_in_dim(
+            s["seqlp"], store[:, None, :], s["pos"], axis=1)
+        return {"pos": s["pos"] + 1, "it": ids, "cache": cache, "seq": seq,
+                "seqlp": seqlp, "rng": rng}
+
+    init = {
+        "pos": jnp.array(0, jnp.int32),
+        "it": jnp.full((B,), BOS, jnp.int32),
+        "cache": cache,
+        "seq": jnp.full((B, L), PAD, jnp.int32),
+        "seqlp": jnp.zeros((B, L, V), jnp.float32),
+        "rng": rng,
+    }
+    s = jax.lax.while_loop(cond, body, init)
+    return {"seq": s["seq"], "logprobs": s["seqlp"],
+            "phrase_num": plan["phrase_num"],
+            "phrase_length": plan["phrase_length"][:, :L],
+            "phrase_syn": plan["phrase_syn"][:, :L]}
+
+
+def nnaic_decode(model, params, rng, memory, src_mask, *,
+                 sample_method: str = "greedy", temperature: float = 1.0
+                 ) -> Dict[str, Any]:
+    """Naive NA decode (reference core_NNAIC, TransformerModel.py:1806-1822):
+    predict one whole-caption length, then one parallel decode over bos
+    inputs with the length as a key-padding mask."""
+    L = model.max_length
+    B = memory.shape[0]
+    length_N = model.apply(params, memory, method="nnaic_length")
+    tgt = jnp.full((B, L), BOS, jnp.int32)
+    keep = jnp.arange(L)[None, :] < length_N[:, None]
+
+    def fill(m):
+        h = m.decode_a(tgt, memory, src_mask, keep[:, None, :])
+        return m.generate(h)
+
+    logprob = model.apply(params, method=fill)
+    ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
+    seq = jnp.where(keep, ids.astype(jnp.int32), PAD)
+    return {"seq": seq, "logprobs": logprob, "length": length_N}

@@ -101,16 +101,41 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
             model, params, memory, src_mask, beam_size=beam_size,
             length_penalty=eval_kwargs.get("length_penalty", ""))
 
+    @jax.jit
+    def dec_nnaic(memory, src_mask, rng):
+        return bf.nnaic_decode(model, params, rng, memory, src_mask,
+                               sample_method=sample_method,
+                               temperature=temperature)
+
+    @jax.jit
+    def dec_sa_syn(memory, src_mask, rng):
+        return bf.sa_decode(model, params, rng, memory, src_mask,
+                            sample_method=sample_method,
+                            temperature=temperature, predictor_use_syn=True)
+
+    @jax.jit
+    def dec_uic_s_ar(memory, src_mask, rng):
+        return bf.uic_s_ar_decode(model, params, rng, memory, src_mask,
+                                  sample_method=sample_method,
+                                  temperature=temperature)
+
     return {"encode": encode, "NAIC": dec_na, "SAIC": dec_sa,
-            "AIC": dec_ar, "beam": dec_beam}
+            "AIC": dec_ar, "beam": dec_beam, "NNAIC": dec_nnaic,
+            "UIC_s_SAIC": dec_sa_syn, "UIC_s_AIC": dec_uic_s_ar}
 
 
 def _branch_for(train_mode: str, inference_mode: str) -> str:
     if train_mode in ("AIC", "auto"):
         return "AIC"
-    if train_mode in ("NAIC", "SAIC"):
+    if train_mode in ("NAIC", "SAIC", "NNAIC"):
         return train_mode
-    # UIC family: inference_mode picks the branch (eval_utils.py:459)
+    if train_mode in ("UIC_s", "UIC_u"):
+        # predictor input is the syn plan for all three branches
+        # (reference eval_utils.py:506-582, cores :2148-2391)
+        m = inference_mode or "NAIC"
+        return {"NAIC": "NAIC", "SAIC": "UIC_s_SAIC",
+                "AIC": "UIC_s_AIC"}.get(m, "NAIC")
+    # UIC / UIC_ds: inference_mode picks the branch (eval_utils.py:459)
     return inference_mode or "NAIC"
 
 

@@ -55,7 +55,7 @@ from .layers import (
 DECODER_ROLES = {
     "AIC": {"A": 0},
     "auto": {"A": 0},
-    "NNAIC": {"NA": 0},
+    "NNAIC": {"A": 0, "NA": 0},   # one stack serving train + fill decode
     "NAIC": {"NA": 0},
     "SAIC": {"SA": 0},
     "UIC": {"SA": 0, "NA": 0},
@@ -77,6 +77,7 @@ class BoFiCap(nn.Module):
     dropout: float = 0.1
     drop_prob_lm: float = 0.5
     att_feat_size: int = 2048
+    max_boxes: int = 100              # NNAIC length-head flatten width
     max_length: int = 20              # L; sequences are L+2 with bos/eos frame
     train_mode: str = "UIC"
     decoder_input_mode: str = "add"   # add | single | gate
@@ -115,6 +116,14 @@ class BoFiCap(nn.Module):
         self.syn_head1 = nn.Dense(100, kernel_init=dense_init, dtype=self.dtype)
         self.syn_head2 = nn.Dense(SYN_DIM, kernel_init=dense_init, dtype=self.dtype)
         self.lp_drop = nn.Dropout(self.dropout)
+
+        if self.train_mode == "NNAIC":
+            # whole-caption length head (reference LengthPredictor_NNAIC,
+            # TransformerModel.py:1221-1250): per-box MLP -> flatten -> MLP
+            self.nn_len_l1 = nn.Dense(self.max_length, kernel_init=dense_init,
+                                      dtype=self.dtype)
+            self.nn_len_l2 = nn.Dense(self.max_length, kernel_init=dense_init,
+                                      dtype=self.dtype)
 
         if self.decoder_input_mode == "gate":
             self.sa_gate = nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype)
@@ -275,6 +284,22 @@ class BoFiCap(nn.Module):
             x = self.posenc(self.word_embed(word_seq), deterministic=deterministic)
         return self._decoder("A")(x, memory, src_mask, tgt_mask, deterministic)
 
+    def nnaic_length(self, memory, deterministic=True):
+        """Whole-caption length prediction from padded memory -> argmax class
+        (reference LengthPredictor_NNAIC.forward :1234-1250 — NOTE the
+        reference argmaxes with .data, so this head receives NO gradient;
+        replicated as-is)."""
+        B, R, d = memory.shape
+        if R < self.max_boxes:
+            memory = jnp.concatenate(
+                [memory, jnp.zeros((B, self.max_boxes - R, d), memory.dtype)],
+                axis=1)
+        x = self.lp_drop(nn.relu(self.nn_len_l1(memory)),
+                         deterministic=deterministic)
+        x = x.reshape(B, -1)
+        probs = jax.nn.softmax(self.nn_len_l2(x).astype(jnp.float32), -1)
+        return jnp.argmax(probs, -1).astype(jnp.int32)
+
     def init_ar_cache(self, memory, max_len: int):
         """KV cache for the AR decoder (cross-attn K/V projected once)."""
         return self._decoder("A").init_cache(memory, max_len)
@@ -343,6 +368,19 @@ class BoFiCap(nn.Module):
             tgt_mask = tgt[:, None, :] & causal_mask(seq.shape[1])[None]
             h = self.decode_a(seq, memory, src_mask, tgt_mask, deterministic)
             out["logprob"] = self.generate(h)
+            return out
+
+        if mode == "NNAIC":
+            # naive NA: every input token is bos, key mask = non-eos/pad
+            # (reference _forward NNAIC branch, TransformerModel.py:1737-1748)
+            seq = labels[:, :-1]
+            keep = (seq != EOS) & (seq != PAD)
+            keep = keep.at[:, 0].set(True)
+            new_seq = jnp.where(keep, BOS, PAD).astype(seq.dtype)
+            h = self.decode_a(new_seq, memory, src_mask, keep[:, None, :],
+                              deterministic)
+            out["logprob"] = self.generate(h)
+            out["length_pred"] = self.nnaic_length(memory, deterministic)
             return out
 
         extend_syn = po.extend_syn_seq(phrase_length, phrase_syn, L)      # [B, L2]
@@ -443,6 +481,7 @@ def build_model(cfg, vocab_size: int) -> BoFiCap:
         dropout=cfg.get("dropout", 0.1),
         drop_prob_lm=cfg.get("drop_prob_lm", 0.5),
         att_feat_size=cfg.att_feat_size,
+        max_boxes=cfg.get("max_boxes", 100) or 100,
         max_length=cfg.get("max_length", 20) or 20,
         train_mode=cfg.get("train_mode", "AIC"),
         decoder_input_mode=cfg.get("decoder_input_mode", "add"),

@@ -76,6 +76,12 @@ def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
                                            label_smoothing, reduction)
         else:
             loss = Lm.lm_loss(out["logprob"], tgt, msk, reduction)
+    elif mode == "NNAIC":
+        tgt = f["labels"][:, 1:]
+        msk = f["masks"][:, 1:]
+        loss = Lm.nnaic_loss(
+            jax.lax.stop_gradient(out["length_pred"]).astype(jnp.float32),
+            out["logprob"], tgt, msk, reduction)
     elif mode in ("NAIC", "SAIC"):
         if mode == "SAIC":
             d = Lm.naic_loss(out["sa_len_logprob"], out["sa_syn_logprob"],

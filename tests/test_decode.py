@@ -316,3 +316,36 @@ def test_sampling_methods(rng):
     # top-k masks everything outside k
     ids_k, _ = sample_next_word(jax.random.PRNGKey(2), lp2, "top1", 1.0)
     assert int(ids_k[0]) == 1
+
+
+def test_nnaic_decode_and_forward():
+    model, params, memory, src_mask = _setup("NNAIC", seed=29)
+    out = jax.jit(lambda m, sm, r: bf.nnaic_decode(
+        model, params, r, m, sm))(memory, src_mask, jax.random.PRNGKey(0))
+    B = memory.shape[0]
+    assert out["seq"].shape == (B, L)
+    assert out["length"].shape == (B,)
+    seq = np.asarray(out["seq"])
+    ln = np.asarray(out["length"])
+    for b in range(B):
+        assert (seq[b, ln[b]:] == PAD).all()
+        assert np.isfinite(np.asarray(out["logprobs"][b])).all()
+
+
+def test_uic_s_decode_branches():
+    """UIC_s inference cores: syn-predictor SA decode and plan-gated AR."""
+    model, params, memory, src_mask = _setup("UIC_s", seed=31)
+    sa = jax.jit(lambda m, sm, r: bf.sa_decode(
+        model, params, r, m, sm, predictor_use_syn=True))(
+        memory, src_mask, jax.random.PRNGKey(0))
+    ar = jax.jit(lambda m, sm, r: bf.uic_s_ar_decode(
+        model, params, r, m, sm))(memory, src_mask, jax.random.PRNGKey(1))
+    B = memory.shape[0]
+    for out in (sa, ar):
+        assert out["seq"].shape == (B, L)
+        assert np.isfinite(np.asarray(out["logprobs"])).all()
+    # AR words only inside the planned length (label positions 1..total)
+    total = np.asarray(ar["phrase_length"]).sum(-1)
+    seq = np.asarray(ar["seq"])
+    for b in range(B):
+        assert (seq[b, int(total[b]):] == PAD).all()

@@ -1,0 +1,117 @@
+"""Preprocessing tests: vocab/encode round trip, cutters, phrase-pair
+merging, KD splice, and the full prepro pipeline feeding CaptionData."""
+
+import json
+
+import numpy as np
+import pytest
+
+from boficap_tpu.constants import SYN_CP, SYN_NP, SYN_VP
+from boficap_tpu.prepro.labels import (assemble_phrases, build_vocab,
+                                       cut_captions, encode_captions,
+                                       heuristic_chunks, run_prepro)
+from boficap_tpu.prepro.phrase_pairs import (learn_phrase_pairs,
+                                             splice_kd_captions)
+
+
+def tiny_dataset(n=6):
+    sents = [
+        "a brown dog is running in the park",
+        "a man riding a wave on a surfboard",
+        "two cats sitting on a red couch",
+        "a brown dog is running in the park",
+        "a man riding a wave on a surfboard",
+    ]
+    imgs = []
+    for i in range(n):
+        ss = [{"raw": s, "tokens": s.split()} for s in sents]
+        if i == 0:  # one rare word so UNK folding has something to fold
+            ss[2] = {"raw": "two cats near a xylophone",
+                     "tokens": "two cats near a xylophone".split()}
+        imgs.append({
+            "cocoid": i,
+            "split": "train" if i < n - 2 else ("val" if i == n - 2 else "test"),
+            "filepath": "val2014", "filename": f"img{i}.jpg",
+            "sentences": ss,
+        })
+    return {"images": imgs}
+
+
+def test_build_vocab_threshold():
+    data = tiny_dataset()
+    vocab = build_vocab(data["images"], count_thr=5)
+    assert "a" in vocab                    # frequent
+    assert "UNK" in vocab                  # rare words got folded
+    caps = data["images"][0]["final_captions"]
+    assert all(isinstance(w, str) for c in caps for w in c)
+
+
+def test_encode_captions_pointers():
+    data = tiny_dataset()
+    build_vocab(data["images"], count_thr=0)
+    wtoi_words = sorted({w for img in data["images"]
+                         for c in img["final_captions"] for w in c})
+    wtoi = {w: i + 4 for i, w in enumerate(wtoi_words)}
+    labels, start, end, length = encode_captions(data["images"], 20, wtoi)
+    assert labels.shape[0] == 6 * 5
+    assert start[0] == 1 and end[0] == 5 and start[1] == 6
+    assert (length > 0).all()
+    assert labels.max() >= 4               # 4-indexed ids
+
+
+def test_heuristic_chunks_cover_all_tokens():
+    toks = "a brown dog is running in the park".split()
+    spans = heuristic_chunks(toks)
+    pl, lab, cnt = assemble_phrases(len(toks), spans, 20)
+    assert pl[:cnt].sum() == len(toks)
+    assert set(lab[:cnt]) <= {SYN_VP, SYN_NP, SYN_CP}
+
+
+def test_full_prepro_feeds_caption_data(tmp_path):
+    data = tiny_dataset()
+    dj = tmp_path / "dataset.json"
+    json.dump(data, open(dj, "w"))
+    oj = str(tmp_path / "cocotalk.json")
+    oh = str(tmp_path / "cocotalk_label.h5")
+    run_prepro(str(dj), oj, oh, max_length=20, word_count_threshold=0,
+               cutter="heuristic")
+
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.data.dataset import CaptionData
+    cfg = default_config()
+    cfg.train_mode = "UIC"
+    cfg.input_json = oj
+    cfg.input_label_h5 = oh
+    cfg.input_att_dir = "synthetic"
+    cfg.batch_size = 2
+    cfg.max_boxes = 9
+    cfg.id = "t"
+    finalize(cfg)
+    d = CaptionData(cfg)
+    b = d.get_batch("train")
+    assert (b["phrase_length"].sum(-1) <= 21).all()
+    assert (b["labels"][:, :, 1] >= 4).all()   # first word is a real word
+    # every caption's phrase plan covers exactly its words
+    pl = b["phrase_length"].reshape(-1, 22)
+    lab = b["labels"].reshape(-1, 22)
+    nwords = (lab[:, 1:-1] != 0).sum(-1)
+    np.testing.assert_array_equal(pl.sum(-1) - 1, nwords)
+
+
+def test_phrase_pair_merging():
+    data = tiny_dataset()
+    rec = learn_phrase_pairs(data["images"], threshold=5)
+    assert len(rec) > 0                    # repeated sentences force merges
+    assert all(isinstance(v, int) for v in rec.values())
+
+
+def test_kd_splice():
+    data = tiny_dataset()
+    kd = {str(i): [f"kd caption {i} v{j}" for j in range(5)]
+          for i in range(6)}
+    out = splice_kd_captions(data, kd)
+    img0 = out["images"][0]
+    assert img0["sentences"][1]["tokens"] == ["kd", "caption", "0", "v0"]
+    # val/test untouched
+    img_val = out["images"][4]
+    assert img_val["sentences"][1]["tokens"][0] == "a"

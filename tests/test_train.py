@@ -51,7 +51,7 @@ def setup(train_mode="UIC"):
     return cfg, data, model, tx, state
 
 
-@pytest.mark.parametrize("mode", ["AIC", "SAIC", "NAIC", "UIC", "UIC_s"])
+@pytest.mark.parametrize("mode", ["AIC", "NNAIC", "SAIC", "NAIC", "UIC", "UIC_s"])
 def test_xe_step_learns(mode):
     cfg, data, model, tx, state = setup(mode)
     step_fn = steps_mod.make_xe_step(model, tx)
