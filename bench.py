@@ -104,6 +104,35 @@ def main():
         return ar_mod.ar_sample(model, params, rng, memory, src_mask,
                                 max_steps=AR_STEPS)
 
+    @jax.jit
+    def decode_ar_nocache(memory, src_mask, rng):
+        """The REFERENCE's AR algorithm (TransformerModel.py:1791-1804):
+        re-run the full decoder on the whole (fixed-width) prefix every step,
+        no KV cache — the denominator the paper's 9.22x NA-vs-AR speedup is
+        measured against."""
+        from boficap_tpu.constants import BOS as _BOS
+        from boficap_tpu.models.layers import causal_mask
+        B = memory.shape[0]
+        L = model.max_length
+        cmask = causal_mask(L + 1)[None]
+
+        def step(carry, t):
+            prefix = carry
+            def f(m):
+                h = m.decode_a(prefix, memory, src_mask,
+                               jnp.broadcast_to(cmask, (B, L + 1, L + 1)))
+                return m.generate(h)
+            lp = model.apply(params, method=f)
+            tok = jax.lax.dynamic_slice_in_dim(lp, t, 1, axis=1)[:, 0]
+            ids = jnp.argmax(tok, -1).astype(jnp.int32)
+            prefix = jax.lax.dynamic_update_slice_in_dim(
+                prefix, ids[:, None], t + 1, axis=1)
+            return prefix, ids
+
+        init = jnp.full((B, L + 1), _BOS, jnp.int32)
+        prefix, ids = jax.lax.scan(step, init, jnp.arange(AR_STEPS))
+        return prefix
+
     src_mask = am.astype(bool)
     memory = jax.block_until_ready(encode(att, am))
 
@@ -111,26 +140,30 @@ def main():
         jax.block_until_ready(decode_na(memory, src_mask, KEY))
         jax.block_until_ready(decode_sa(memory, src_mask, KEY))
         jax.block_until_ready(decode_ar(memory, src_mask, KEY))
+        jax.block_until_ready(decode_ar_nocache(memory, src_mask, KEY))
 
     t_na = timed(decode_na, memory, src_mask)
     t_sa = timed(decode_sa, memory, src_mask)
     t_ar = timed(decode_ar, memory, src_mask)
+    t_ar0 = timed(decode_ar_nocache, memory, src_mask)
 
     na_img_s = BATCH / t_na
-    speedup = t_ar / t_na
+    # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
+    speedup_ref = t_ar0 / t_na
     print(json.dumps({
         "metric": "na_decode_images_per_s",
         "value": round(na_img_s, 2),
         "unit": "images/s",
-        "vs_baseline": round(speedup / PAPER_NA_VS_AR_SPEEDUP, 3),
+        "vs_baseline": round(speedup_ref / PAPER_NA_VS_AR_SPEEDUP, 3),
         "extra": {
             "batch": BATCH,
-            "na_ms_per_image": round(t_na / BATCH * 1000, 3),
+            "na_ms_per_image": round(t_na / BATCH * 1000, 4),
             "sa_images_per_s": round(BATCH / t_sa, 2),
-            "ar_images_per_s": round(BATCH / t_ar, 2),
-            "na_vs_ar_speedup": round(speedup, 2),
+            "ar_kvcache_images_per_s": round(BATCH / t_ar, 2),
+            "ar_nocache_images_per_s": round(BATCH / t_ar0, 2),
+            "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
+            "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
-            "note": "our AR baseline is KV-cached; the reference's is not",
             "device": str(jax.devices()[0].platform),
         },
     }))

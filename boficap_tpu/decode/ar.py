@@ -49,12 +49,21 @@ def ar_sample(model, params, rng, memory, src_mask, *,
               sample_method: str = "greedy", temperature: float = 1.0,
               decoding_constraint: bool = False,
               suppress_unk_idx: Optional[int] = None,
-              max_steps: Optional[int] = None) -> Dict[str, Any]:
+              max_steps: Optional[int] = None,
+              block_trigrams: bool = False,
+              penalty_seqs=None, diversity_lambda: float = 0.5
+              ) -> Dict[str, Any]:
     """Sample (or greedy-decode) captions autoregressively.
 
     Returns {'seq': [B, L] int32, 'logprobs': [B, L, V] float32} matching the
     reference's (seq, seqLogprobs) contract (AttModel.py:341-410): finished
     rows get PAD tokens and zeroed log-prob rows.
+
+    ``block_trigrams``: soft-penalize words that would repeat an already
+    generated trigram (AttModel.py:355-383, ln(1/2)*alpha with alpha=2).
+    ``penalty_seqs`` [B, P, L]: group-diversity penalty — subtract
+    diversity_lambda for each previous-group token chosen at this step
+    (CaptionModel.add_diversity :51-68).
     """
     L = model.max_length
     B = memory.shape[0]
@@ -78,6 +87,33 @@ def ar_sample(model, params, rng, memory, src_mask, *,
             pen = jnp.where(s["pos"] > 0,
                             jax.nn.one_hot(s["it"], V) * NEG_INF, 0.0)
             logprob = logprob + pen
+        if penalty_seqs is not None:
+            # diversity: count previous groups' tokens at this step
+            tok = jnp.take_along_axis(
+                penalty_seqs,
+                jnp.broadcast_to(s["pos"], penalty_seqs.shape[:2])[..., None],
+                axis=2)[..., 0]                              # [B, P]
+            counts = jax.nn.one_hot(tok, V).sum(1)
+            logprob = logprob - diversity_lambda * counts
+        if block_trigrams:
+            # penalize words completing a trigram already in seq
+            # (AttModel.py:355-383): for every past p >= 2 with
+            # (seq[p-2], seq[p-1]) == (seq[t-2], seq[t-1]), count seq[p]
+            t = s["pos"]
+            seqb = s["seq"]
+            prev2 = jnp.stack([jnp.roll(seqb, 2, 1), jnp.roll(seqb, 1, 1)], -1)
+            cur2 = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(seqb, ((0, 0), (2, 0))), t, 1, 1)[:, 0],
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(seqb, ((0, 0), (1, 0))), t, 1, 1)[:, 0]], -1)
+            pos_idx = jnp.arange(seqb.shape[1])[None, :]
+            match = (prev2 == cur2[:, None, :]).all(-1) & (pos_idx >= 2)                 & (pos_idx < t)                                # [B, L]
+            counts = (jax.nn.one_hot(seqb, V)
+                      * match[..., None].astype(jnp.float32)).sum(1)
+            alpha = 2.0
+            logprob = jnp.where(t >= 3,
+                                logprob + counts * (-0.693) * alpha, logprob)
         ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
         ids = jnp.where(s["unfinished"], ids, PAD).astype(jnp.int32)
         store = jnp.where(s["unfinished"][:, None], logprob, 0.0)
@@ -104,6 +140,7 @@ def ar_sample(model, params, rng, memory, src_mask, *,
 def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
                    length_penalty: str = "",
                    suppress_unk_idx: Optional[int] = None,
+                   penalty_seqs=None, diversity_lambda: float = 0.5,
                    return_all_beams: bool = False) -> Dict[str, Any]:
     """Batched beam search (reference CaptionModel.beam_search, group_size=1).
 
@@ -131,6 +168,13 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
         if suppress_unk_idx is not None:
             logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
         lp = logprob.reshape(B, K, V)
+        if penalty_seqs is not None:
+            tok = jnp.take_along_axis(
+                penalty_seqs,
+                jnp.broadcast_to(pos, penalty_seqs.shape[:2])[..., None],
+                axis=2)[..., 0]
+            counts = jax.nn.one_hot(tok, V).sum(1)           # [B, V]
+            lp = lp - diversity_lambda * counts[:, None, :]
         cand = state["sum_lp"][:, :, None] + lp                  # [B, K, V]
         flat = cand.reshape(B, K * V)
         scores, idx = jax.lax.top_k(flat, K)                     # [B, K]
@@ -183,3 +227,63 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
     final, _ = jax.lax.scan(step, init, jnp.arange(L))
     return {"seq": final["done_seq"], "tok_logprobs": final["done_tok"],
             "scores": final["done_p"]}
+
+
+def ar_diverse_beam_search(model, params, memory, src_mask, *,
+                           beam_size: int, group_size: int,
+                           diversity_lambda: float = 0.5,
+                           length_penalty: str = "",
+                           suppress_unk_idx: Optional[int] = None
+                           ) -> Dict[str, Any]:
+    """Diverse beam search (reference CaptionModel.beam_search with
+    group_size > 1, :48-222): beam_size is split into group_size groups of
+    bdash beams; group g's step-t logits are penalized by
+    diversity_lambda x (count of each word chosen by groups < g at step t).
+
+    The reference staggers groups along one time axis; since group g only
+    ever reads EARLIER groups' decisions at the same local time, running the
+    groups sequentially to completion is semantically identical.
+
+    Returns {'seq': [B, K, L], 'tok_logprobs', 'scores'} with the groups'
+    beams concatenated (bdash per group, group-major — the reference's
+    done_beams ordering after per-group sort)."""
+    bdash = beam_size // group_size
+    assert bdash * group_size == beam_size, "group_size must divide beam_size"
+    groups = []
+    penalty = None
+    for g in range(group_size):
+        out = ar_beam_search(
+            model, params, memory, src_mask, beam_size=bdash,
+            length_penalty=length_penalty, suppress_unk_idx=suppress_unk_idx,
+            penalty_seqs=penalty, diversity_lambda=diversity_lambda)
+        groups.append(out)
+        prev = jnp.concatenate([o["seq"] for o in groups], axis=1)
+        penalty = prev
+    return {
+        "seq": jnp.concatenate([o["seq"] for o in groups], axis=1),
+        "tok_logprobs": jnp.concatenate([o["tok_logprobs"] for o in groups],
+                                        axis=1),
+        "scores": jnp.concatenate([o["scores"] for o in groups], axis=1),
+    }
+
+
+def ar_diverse_sample(model, params, rng, memory, src_mask, *,
+                      group_size: int, diversity_lambda: float = 0.5,
+                      sample_method: str = "greedy", temperature: float = 1.0
+                      ) -> Dict[str, Any]:
+    """Group-diverse sampling (reference AttModel._diverse_sample
+    :519-614): group_size sequences per image, each group's logits penalized
+    by previous groups' same-step choices.  Returns {'seq': [B, G, L],
+    'logprobs': [B, G, L, V]}."""
+    seqs, lps = [], []
+    penalty = None
+    for g in range(group_size):
+        rng, k = jax.random.split(rng)
+        out = ar_sample(model, params, k, memory, src_mask,
+                        sample_method=sample_method, temperature=temperature,
+                        penalty_seqs=penalty,
+                        diversity_lambda=diversity_lambda)
+        seqs.append(out["seq"])
+        lps.append(out["logprobs"])
+        penalty = jnp.stack(seqs, axis=1)
+    return {"seq": jnp.stack(seqs, 1), "logprobs": jnp.stack(lps, 1)}

@@ -75,7 +75,7 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     @jax.jit
     def encode(att, am):
         return model.apply(params, att, am, deterministic=True,
-                           method=BoFiCap.encode)
+                           method="encode")
 
     @jax.jit
     def dec_na(memory, src_mask, rng):
@@ -124,6 +124,33 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
             "UIC_s_SAIC": dec_sa_syn, "UIC_s_AIC": dec_uic_s_ar}
 
 
+def sample_n_captions(model, params, memory, src_mask, rng,
+                      eval_kwargs) -> np.ndarray:
+    """sample_n captions per image (reference eval_split_n,
+    eval_utils.py:671-722): 'bs' = all beams of an n-wide beam search,
+    'dbs' = diverse beam search with n groups, otherwise repeated sampling
+    ('sample'/'gumbel'/'topK').  Returns ids [B, n, L]."""
+    from ..decode.ar import ar_beam_search, ar_diverse_beam_search
+    n = int(eval_kwargs.get("sample_n", 1))
+    method = eval_kwargs.get("sample_n_method", "sample")
+    temperature = eval_kwargs.get("temperature", 1.0)
+    if method == "bs":
+        out = ar_beam_search(model, params, memory, src_mask, beam_size=n)
+        return np.asarray(out["seq"])
+    if method == "dbs":
+        out = ar_diverse_beam_search(
+            model, params, memory, src_mask, beam_size=n, group_size=n,
+            diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5))
+        return np.asarray(out["seq"])
+    mem = jnp.repeat(memory, n, axis=0)
+    msk = None if src_mask is None else jnp.repeat(src_mask, n, axis=0)
+    sm = "sample" if method == "sample" else method
+    out = ar_mod.ar_sample(model, params, rng, mem, msk, sample_method=sm,
+                           temperature=temperature)
+    B = memory.shape[0]
+    return np.asarray(out["seq"]).reshape(B, n, -1)
+
+
 def _branch_for(train_mode: str, inference_mode: str) -> str:
     if train_mode in ("AIC", "auto"):
         return "AIC"
@@ -159,9 +186,11 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     loader.reset_iterator(split)
     ix_to_word = loader.ix_to_word
 
+    sample_n = int(eval_kwargs.get("sample_n", 1))
     n = 0
     loss_sum, loss_evals = 0.0, 1e-8
     predictions: List[dict] = []
+    n_predictions: List[dict] = []
     gts_words: Dict[Any, List[str]] = {}
     decode_time = 0.0
     compile_time = 0.0
@@ -217,6 +246,14 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             if verbose:
                 print(f"image {img_id}: {sent}")
 
+        if sample_n > 1 and branch == "AIC":
+            ids = sample_n_captions(model, params, memory, src_mask, k,
+                                    eval_kwargs)
+            for i, info in enumerate(data["infos"]):
+                for cap in decode_sequence(ix_to_word, ids[i]):
+                    n_predictions.append({"image_id": info["id"],
+                                          "caption": cap})
+
         if branch == "AIC" and beam_size > 1 and KD_file:
             for i, info in enumerate(data["infos"]):
                 seq_kd[info["id"]] = decode_sequence(
@@ -245,6 +282,7 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     return {
         "loss": loss_sum / loss_evals,
         "predictions": predictions,
+        "n_predictions": n_predictions,
         "lang_stats": lang_stats,
         "decode_time": decode_time,
         "compile_time": compile_time,

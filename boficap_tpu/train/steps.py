@@ -201,7 +201,7 @@ def make_rl_sample(model: BoFiCap, sample_method: str = "sample",
     @jax.jit
     def sample(params, rng, att_feats, att_masks):
         memory = model.apply(params, att_feats, att_masks,
-                             deterministic=True, method=BoFiCap.encode)
+                             deterministic=True, method="encode")
         src_mask = att_masks.astype(bool)
         mem = jnp.repeat(memory, sample_n, axis=0)
         msk = jnp.repeat(src_mask, sample_n, axis=0)
@@ -236,7 +236,7 @@ def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
     L = model.max_length
     memory = model.apply(params, att_feats, att_masks,
                          deterministic=deterministic,
-                         rngs={"dropout": rng}, method=BoFiCap.encode)
+                         rngs={"dropout": rng}, method="encode")
     src_mask = att_masks.astype(bool)
     mem = jnp.repeat(memory, sample_n, axis=0)
     msk = jnp.repeat(src_mask, sample_n, axis=0)
@@ -278,22 +278,16 @@ def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
             return m.generate(h)
 
         out["na_logprob"] = model.apply(params, method=na_fill, rngs=rngs)
-    if "sample" in samples:  # AR branch
+    if "sample" in samples:  # AR branch (transformer or LSTM captioners)
         s = samples["sample"]
         seq = s["seq"]
         B = seq.shape[0]
-        prefix = jnp.concatenate([jnp.full((B, 1), BOS, seq.dtype), seq], 1)
-        inp = prefix[:, :-1]
-        from ..models.layers import causal_mask
-        keep = (inp != EOS) & (inp != PAD)
-        keep = keep.at[:, 0].set(True)
-        mask = keep[:, None, :] & causal_mask(inp.shape[1])[None]
-
-        def a_fill(m):
-            h = m.decode_a(inp, mem, msk, mask, deterministic)
-            return m.generate(h)
-
-        out["a_logprob"] = model.apply(params, method=a_fill, rngs=rngs)
+        labels = jnp.concatenate(
+            [jnp.full((B, 1), BOS, seq.dtype), seq,
+             jnp.zeros((B, 1), seq.dtype)], axis=1)
+        o = model.apply(params, att_feats, att_masks, labels,
+                        deterministic=deterministic, rngs=rngs)
+        out["a_logprob"] = o["logprob"][:, :L]
     return out
 
 
@@ -344,11 +338,19 @@ def make_rl_step(model: BoFiCap, tx, cfg):
     return step
 
 
-def rl_host_scores(samples, gts, cfg) -> Dict[str, np.ndarray]:
-    """Host phase: CIDEr-D (+BLEU) scores per branch, shaped
-    [n_img, sample_n] for the leave-one-out baseline."""
+def rl_host_scores(samples, gts, cfg, classic_scst: bool = False
+                   ) -> Dict[str, np.ndarray]:
+    """Host phase.  Structure-loss mode: CIDEr-D (+BLEU) scores per branch,
+    shaped [n_img, sample_n] for the leave-one-out baseline.  Classic SCST
+    mode (sc_flag): per-token rewards = score(sample) - score(greedy)
+    (rewards.py:41-84)."""
     sample_n = cfg.get("train_sample_n", 5)
     out = {}
+    if classic_scst and "greedy" in samples:
+        out["scst_reward"] = get_self_critical_reward(
+            np.asarray(samples["greedy"]["seq"]), gts,
+            np.asarray(samples["sample"]["seq"]), cfg)
+        return out
     for key in ("sa", "na", "sample"):
         if key not in samples:
             continue
@@ -356,3 +358,25 @@ def rl_host_scores(samples, gts, cfg) -> Dict[str, np.ndarray]:
         scores = get_scores(gts, seqs, cfg)
         out[key] = scores.reshape(-1, sample_n)
     return out
+
+
+def make_scst_step(model: BoFiCap, tx, cfg):
+    """Classic SCST update (sc_flag): -logp(sample) * (r_sample - r_greedy)
+    via RewardCriterion (loss_wrapper.py:66-82)."""
+    sample_n = cfg.get("train_sample_n", 5)
+
+    @jax.jit
+    def step(state: TrainState, rng, att_feats, att_masks, samples, rewards):
+        def lf(params):
+            lps = rl_rescore(model, params, rng, att_feats, att_masks,
+                             {"sample": samples["sample"]}, sample_n)
+            loss = Lm.reward_criterion(lps["a_logprob"],
+                                       samples["sample"]["seq"], rewards)
+            return loss, {"reward": jnp.mean(rewards[:, 0])}
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        metrics["loss"] = loss
+        return state.apply_gradients(tx, grads), metrics
+
+    return step

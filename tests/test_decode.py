@@ -349,3 +349,39 @@ def test_uic_s_decode_branches():
     seq = np.asarray(ar["seq"])
     for b in range(B):
         assert (seq[b, int(total[b]):] == PAD).all()
+
+
+def test_diverse_sampling_and_beam():
+    model, params, memory, src_mask = _setup("AIC", seed=37)
+    out = ar_mod.ar_diverse_sample(
+        model, params, jax.random.PRNGKey(0), memory, src_mask,
+        group_size=3, sample_method="greedy")
+    B = memory.shape[0]
+    assert out["seq"].shape == (B, 3, L)
+    # diversity penalty must change later groups vs group 0 (greedy would
+    # otherwise repeat the identical caption)
+    s = np.asarray(out["seq"])
+    assert not np.array_equal(s[:, 0], s[:, 1])
+    dbs = ar_mod.ar_diverse_beam_search(model, params, memory, src_mask,
+                                        beam_size=4, group_size=2)
+    assert dbs["seq"].shape == (B, 4, L)
+    assert np.isfinite(np.asarray(dbs["scores"])).all()
+
+
+def test_block_trigrams_runs():
+    model, params, memory, src_mask = _setup("AIC", seed=41)
+    out = ar_mod.ar_sample(model, params, jax.random.PRNGKey(0), memory,
+                           src_mask, block_trigrams=True)
+    assert np.isfinite(np.asarray(out["logprobs"])).all()
+
+
+def test_decoding_constraint_blocks_repeats():
+    model, params, memory, src_mask = _setup("AIC", seed=43)
+    out = ar_mod.ar_sample(model, params, jax.random.PRNGKey(0), memory,
+                           src_mask, decoding_constraint=True)
+    s = np.asarray(out["seq"])
+    for b in range(s.shape[0]):
+        for t in range(1, L):
+            if s[b, t] == PAD:
+                break
+            assert s[b, t] != s[b, t - 1]

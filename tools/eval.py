@@ -27,7 +27,7 @@ from boficap_tpu.config import Config, default_config, finalize
 from boficap_tpu.config.opts import add_eval_options
 from boficap_tpu.data.dataset import CaptionData
 from boficap_tpu.eval import eval_utils
-from boficap_tpu.models.boficap import build_model
+from boficap_tpu.models import setup as models_setup
 from boficap_tpu.train.state import load_params
 
 
@@ -86,7 +86,7 @@ def main(argv=None):
         print("no cached predictions; running full eval")
 
     loader = CaptionData(opt)
-    model = build_model(opt, loader.vocab_size)
+    model = models_setup(opt, loader.vocab_size)
 
     # init a parameter template, then load the checkpoint bytes into it
     ex = loader.get_batch(args.split)

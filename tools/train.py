@@ -31,7 +31,7 @@ import numpy as np
 from boficap_tpu.config import parse_opt
 from boficap_tpu.data.dataset import CaptionData
 from boficap_tpu.eval.eval_utils import eval_split
-from boficap_tpu.models.boficap import build_model
+from boficap_tpu.models import setup as models_setup
 from boficap_tpu.rewards import init_scorer
 from boficap_tpu.train import optim as optim_mod
 from boficap_tpu.train import steps as steps_mod
@@ -52,6 +52,23 @@ def train(opt):
     np.random.seed(opt.seed)
     rng = jax.random.PRNGKey(opt.seed)
 
+    # data-parallel mesh over all visible devices (superset of the
+    # reference's DataParallel, tools/train.py:99-101); multi-host paths
+    # call jax.distributed.initialize before entering here
+    from boficap_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicate_state)
+    n_dev = len(jax.devices())
+    mesh = make_mesh() if n_dev > 1 else None
+    if mesh is not None:
+        assert opt.batch_size % n_dev == 0, (
+            f"batch_size {opt.batch_size} must divide {n_dev} devices")
+        print(f"data-parallel mesh over {n_dev} devices")
+
+    def put_batch(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh)) if mesh is not None \
+            else x
+
     loader = CaptionData(opt)
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
@@ -70,7 +87,7 @@ def train(opt):
         histories.update(load_histories(opt.start_from, opt.id))
     infos["vocab"] = loader.ix_to_word
 
-    model = build_model(opt, loader.vocab_size)
+    model = models_setup(opt, loader.vocab_size)
     steps_mod.set_self_dis(model, opt.get("self_dis", False))
 
     # param init from one example batch
@@ -94,6 +111,8 @@ def train(opt):
     tx = optim_mod.build_optimizer(opt)
     state = create_state(params, tx)
     state = resume_state(opt, state)
+    if mesh is not None:
+        state = replicate_state(state, mesh)
     del params
 
     iteration = infos["iter"]
@@ -139,7 +158,10 @@ def train(opt):
                         model, sample_method=opt.train_sample_method,
                         temperature=opt.temperature,
                         sample_n=opt.train_sample_n)
-                    rl_step = steps_mod.make_rl_step(model, tx, opt)
+                    if struc_flag:
+                        rl_step = steps_mod.make_rl_step(model, tx, opt)
+                    else:  # classic SCST (sc_flag, loss_wrapper.py:66-82)
+                        rl_step = steps_mod.make_scst_step(model, tx, opt)
                 epoch_done = False
 
             if opt.use_warmup and iteration < opt.noamopt_warmup and \
@@ -155,14 +177,24 @@ def train(opt):
             rng, step_key = jax.random.split(rng)
             t_step = time.time()
             if struc_flag or sc_flag:
-                att = jnp.asarray(data["att_feats"])
-                am = jnp.asarray(data["att_masks"])
+                att = put_batch(data["att_feats"])
+                am = put_batch(data["att_masks"])
                 samples = rl_sample(state.params, step_key, att, am)
-                scores = steps_mod.rl_host_scores(samples, data["gts"], opt)
-                state, metrics = rl_step(
-                    state, step_key, att, am, samples,
-                    {k: jnp.asarray(v) for k, v in scores.items()})
+                scores = steps_mod.rl_host_scores(
+                    samples, data["gts"], opt,
+                    classic_scst=(sc_flag and not struc_flag))
+                if sc_flag and not struc_flag:
+                    state, metrics = rl_step(
+                        state, step_key, att, am, samples,
+                        jnp.asarray(scores["scst_reward"]))
+                else:
+                    state, metrics = rl_step(
+                        state, step_key, att, am, samples,
+                        {k: jnp.asarray(v) for k, v in scores.items()})
             else:
+                if mesh is not None:
+                    data = {k: (put_batch(v) if hasattr(v, "shape") else v)
+                            for k, v in data.items()}
                 state, metrics = steps_mod.run_xe_step(
                     xe_step, state, data, step_key, glat_p=glat_p,
                     drop_worst=opt.drop_worst_rate if drop_worst_flag else 0.0)
