@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 64
-N_WARMUP = 2
-N_ITERS = 8
+N_WARMUP = 1
+N_ITERS = 6
 PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
 
 

@@ -284,8 +284,10 @@ class CaptionData:
         """Sample seq_per_img caption rows (reference get_captions_and_phrase,
         dataloader.py:203-229)."""
         st = self.labels
-        i1 = st.label_start_ix[ix] - 1
-        i2 = st.label_end_ix[ix] - 1
+        # h5 pointers are uint32 (reference file format): cast before
+        # arithmetic or i2 - n underflows and wraps
+        i1 = int(st.label_start_ix[ix]) - 1
+        i2 = int(st.label_end_ix[ix]) - 1
         ncap = i2 - i1 + 1
         n = self.seq_per_img
         if ncap < n:

@@ -345,3 +345,128 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
     ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
     seq = jnp.where(keep, ids.astype(jnp.int32), PAD)
     return {"seq": seq, "logprobs": logprob, "length": length_N}
+
+
+def ss_sa_loop(model, params, rng, memory, src_mask, labels, phrase_length,
+               phrase_syn, ss_prob: float,
+               sample_method: str = "greedy", temperature: float = 1.0
+               ) -> Dict[str, Any]:
+    """Scheduled-sampling SA loop (reference ss_SAIC,
+    TransformerModel.py:1988-2121), non-differentiable sampling phase.
+
+    Per phrase step, per sample, a coin with prob ``ss_prob`` picks model
+    behavior over teacher forcing; a second fair coin picks between
+    copy-from-sampled-words and bos-only decoder input; the teacher-forced
+    branch copies from the GT labels with the GT plan.  Words are always
+    SAMPLED from the decoder.  Returns the assembled decoder inputs and the
+    predicted plan so the (differentiable) re-score pass can reproduce every
+    step's logprobs exactly (positions are finalized no later than their
+    phrase — same argument as sa_decode).
+
+    labels/phrase_length/phrase_syn: [B, L2] framed gt rows.
+    """
+    L2 = labels.shape[1]
+    L = L2 - 2
+    B = memory.shape[0]
+    pos_dec = jnp.arange(L)[None, :]
+
+    def cond(s):
+        return (s["i"] < L2 - 1) & jnp.any(~s["finished"])
+
+    def body(s):
+        rng, k_len, k_coin, k_sub, k_word = jax.random.split(s["rng"], 5)
+        i = s["i"]
+        len_lp, syn_lp = model.apply(
+            params, s["extend_len"], s["phrase_last"], memory, src_mask,
+            False, method="bound_step")
+        len_N = jnp.argmax(len_lp, -1).astype(jnp.int32)
+        syn_N = jnp.argmax(syn_lp, -1).astype(jnp.int32)
+
+        gt_len_i = jnp.take_along_axis(phrase_length, i[None, None].repeat(
+            B, 0), axis=1)[:, 0]
+        gt_syn_i = jnp.take_along_axis(phrase_syn, i[None, None].repeat(
+            B, 0), axis=1)[:, 0]
+        stop = ((len_N == 0) | (syn_N < SYN_LOWER) | (syn_N > SYN_UPPER)
+                | (gt_len_i == 0))                       # reference :2029
+        emit = (~s["finished"]) & (~stop)
+        cap = (L2 - 1) - s["phrase_last"]
+        pred_len = jnp.minimum(len_N, cap)
+        clamp = (len_N + s["phrase_last"]) >= (L2 - 1)
+
+        use_model = jax.random.uniform(k_coin, (B,)) < ss_prob
+        bos_input = jax.random.uniform(k_sub, (B,)) < 0.5
+        # gt branch clamps the gt length too (reference :2076)
+        len_eff = jnp.where(use_model, pred_len, jnp.minimum(gt_len_i, cap))
+        len_eff = jnp.where(emit, len_eff, 0).astype(jnp.int32)
+        syn_eff = jnp.where(use_model, syn_N, gt_syn_i)
+
+        plan_len = s["plan_len"].at[:, i].set(jnp.where(emit, len_eff, 0))
+        plan_syn = s["plan_syn"].at[:, i].set(jnp.where(emit, syn_eff, PAD))
+        finished = s["finished"] | stop | (emit & use_model & clamp)
+
+        # decoder inputs for the new slot
+        prev_model = s["prev_len"]
+        prev_gt = jnp.take_along_axis(
+            phrase_length, jnp.maximum(i - 1, 0)[None, None].repeat(B, 0),
+            axis=1)[:, 0]
+        vals_model, in_ph = _copy_phrase(s["seq"], s["seq_last"], prev_model,
+                                         len_eff, s["phrase_last"], L2)
+        vals_gt, _ = _copy_phrase(labels, s["label_last"], prev_gt, len_eff,
+                                  s["phrase_last"], L2)
+        vals = jnp.where(use_model[:, None],
+                         jnp.where(bos_input[:, None], BOS, vals_model),
+                         vals_gt)
+        extend_word = jnp.where(in_ph, vals, s["extend_word"])
+        extend_syn = jnp.where(in_ph, syn_eff[:, None], s["extend_syn"])
+
+        start_dec = s["phrase_last"] - 1
+        end_dec = start_dec + len_eff
+        vis_dec = jnp.where((len_eff > 0)[:, None]
+                            & (pos_dec >= start_dec[:, None]),
+                            end_dec[:, None], s["vis_dec"])
+        tgt_mask = pos_dec[:, None, :] < vis_dec[:, :, None]
+
+        def sa_fill(m):
+            h = m.decode_sa(extend_word[:, 1:-1], extend_syn[:, 1:-1],
+                            memory, src_mask, tgt_mask)
+            return m.generate(h)
+
+        logprob = model.apply(params, method=sa_fill)
+        ids, _ = sample_next_word(k_word, logprob, sample_method, temperature)
+        ids_lab = jnp.pad(ids.astype(jnp.int32), ((0, 0), (1, 1)))
+        seq = jnp.where(in_ph, ids_lab, s["seq"])
+        extend_len = jnp.where(in_ph, ids_lab, s["extend_len"])
+
+        return {**s, "seq": seq, "extend_len": extend_len,
+                "extend_word": extend_word, "extend_syn": extend_syn,
+                "vis_dec": vis_dec, "plan_len": plan_len,
+                "plan_syn": plan_syn, "finished": finished,
+                "seq_last": s["seq_last"] + jnp.where(len_eff > 0,
+                                                      s["prev_len"], 0),
+                "label_last": s["label_last"] + jnp.where(len_eff > 0,
+                                                          prev_gt, 0),
+                "phrase_last": s["phrase_last"] + len_eff,
+                "prev_len": jnp.where(len_eff > 0, len_eff, s["prev_len"]),
+                "rng": rng, "i": i + 1}
+
+    init = {
+        "i": jnp.array(1, jnp.int32),
+        "seq": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(BOS),
+        "extend_len": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(LEN),
+        "extend_word": jnp.full((B, L2), PAD, jnp.int32),
+        "extend_syn": jnp.full((B, L2), PAD, jnp.int32).at[:, 0].set(LEN),
+        "vis_dec": jnp.zeros((B, L), jnp.int32),
+        "plan_len": jnp.zeros((B, L2), jnp.int32).at[:, 0].set(1),
+        "plan_syn": jnp.full((B, L2), PAD, jnp.int32),
+        "phrase_last": jnp.ones((B,), jnp.int32),
+        "seq_last": jnp.zeros((B,), jnp.int32),
+        "label_last": jnp.zeros((B,), jnp.int32),
+        "prev_len": jnp.ones((B,), jnp.int32),
+        "finished": jnp.zeros((B,), bool),
+        "rng": rng,
+    }
+    s = jax.lax.while_loop(cond, body, init)
+    return {"extend_word": s["extend_word"], "extend_syn": s["extend_syn"],
+            "extend_len": s["extend_len"], "plan_len": s["plan_len"],
+            "plan_syn": s["plan_syn"], "vis_dec": s["vis_dec"],
+            "seq": s["seq"]}

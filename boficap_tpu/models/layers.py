@@ -15,7 +15,7 @@ reference's annotated-transformer pieces (captioning/models/TransformerModel.py:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -101,8 +101,34 @@ class PositionwiseFFN(nn.Module):
         return nn.Dense(self.d_model, kernel_init=dense_init, dtype=self.dtype)(h)
 
 
+class RefLayerNorm(nn.Module):
+    """LayerNorm matching the reference exactly (annotated-transformer
+    LayerNorm, TransformerModel.py:1338-1349):
+
+        y = scale * (x - mean) / (std + eps) + bias
+
+    with UNBIASED std (torch ``x.std(-1)`` divides by n-1) and eps added to
+    the std, not the variance.  flax's nn.LayerNorm (biased variance, eps
+    inside the sqrt) differs by ~sqrt(d/(d-1)) — an ~1% systematic error that
+    breaks checkpoint-level parity."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).sum(-1, keepdims=True) / max(d - 1, 1)
+        y = (xf - mean) / (jnp.sqrt(var) + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        return (y * scale + bias).astype(self.dtype)
+
+
 def layer_norm(dtype):
-    return nn.LayerNorm(epsilon=1e-6, dtype=dtype)
+    return RefLayerNorm(epsilon=1e-6, dtype=dtype)
 
 
 class PreNormResidual(nn.Module):

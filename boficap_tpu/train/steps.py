@@ -50,9 +50,47 @@ def _flat(batch: Dict[str, Any]):
     return out
 
 
+def ss_sa_forward(model, params, rng, att, am, labels, phrase_length,
+                  phrase_syn, ss_prob: float, deterministic: bool = False):
+    """Scheduled-sampling SA branch (reference _forward UIC ss path,
+    TransformerModel.py:1759-1767 -> ss_SAIC :1988-2121): run the mixed
+    gt/model per-phrase loop WITHOUT gradient, then re-score the assembled
+    inputs differentiably — one decode_sa pass for the word logprobs and one
+    stacked-prefix bound_teacher pass for the per-step (len, syn) logprobs.
+    Exact by the blockwise-finality argument (decode/bound_fill docstring)."""
+    L = model.max_length
+    memory = model.apply(params, att, am, deterministic=deterministic,
+                         rngs={"dropout": jax.random.fold_in(rng, 3)},
+                         method="encode")
+    src_mask = am.astype(bool)
+    if labels.shape[0] != memory.shape[0]:
+        k = labels.shape[0] // memory.shape[0]
+        memory = jnp.repeat(memory, k, axis=0)
+        src_mask = jnp.repeat(src_mask, k, axis=0)
+    loop = bf.ss_sa_loop(model, jax.lax.stop_gradient(params),
+                         jax.random.fold_in(rng, 5), memory, src_mask,
+                         labels, phrase_length, phrase_syn, ss_prob)
+    pos = jnp.arange(L)
+    tgt_mask = pos[None, None, :] < loop["vis_dec"][:, :, None]
+    rngs = {"dropout": jax.random.fold_in(rng, 7)}
+
+    def sa_fill(m):
+        h = m.decode_sa(loop["extend_word"][:, 1:-1],
+                        loop["extend_syn"][:, 1:-1], memory, src_mask,
+                        tgt_mask, deterministic)
+        return m.generate(h)
+
+    word_lp = model.apply(params, method=sa_fill, rngs=rngs)
+    len_lp, syn_lp = model.apply(
+        params, loop["extend_len"], loop["plan_len"], memory, src_mask,
+        False, deterministic, method="bound_teacher", rngs=rngs)
+    return len_lp, syn_lp, word_lp, memory, src_mask
+
+
 def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
                drop_worst_rate: float = 0.0, deterministic: bool = False,
-               label_smoothing: float = 0.0) -> Tuple[jnp.ndarray, Dict]:
+               label_smoothing: float = 0.0,
+               ss_prob: float = 0.0) -> Tuple[jnp.ndarray, Dict]:
     """Cross-entropy stage loss for every train_mode (LossWrapper XE
     branches)."""
     mode = model.train_mode
@@ -61,6 +99,37 @@ def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
     am = jnp.asarray(batch["att_masks"])
     reduction = "none" if drop_worst_rate > 0 else "mean"
     rngs = {"dropout": rng, "glat": jax.random.fold_in(rng, 1)}
+
+    if mode in ("UIC", "UIC_ds") and ss_prob > 0:
+        # scheduled sampling replaces the teacher-forced SA branch
+        sa_len, sa_syn, sa_word, memory, src_mask = ss_sa_forward(
+            model, params, rng, att, am, f["labels"], f["phrase_length"],
+            f["phrase_syn"], ss_prob, deterministic)
+        L = model.max_length
+        extend_syn = po.extend_syn_seq(f["phrase_length"], f["phrase_syn"], L)
+        na_len, na_syn = model.apply(
+            params, extend_syn, f["phrase_length"], memory, src_mask, True,
+            deterministic, method="bound_teacher", rngs=rngs)
+        total = po.total_words(f["phrase_length"])
+        na_mask = jnp.broadcast_to(
+            jnp.arange(L)[None, None, :] < total[:, None, None],
+            (f["labels"].shape[0], L, L))
+
+        def na_fill(m):
+            h = m.decode_na(extend_syn[:, 1:-1], memory, src_mask, na_mask,
+                            deterministic)
+            return m.generate(h)
+
+        na_word = model.apply(params, method=na_fill, rngs=rngs)
+        d = Lm.uic_loss(sa_len, sa_syn, sa_word, na_len, na_syn, na_word,
+                        f["phrase_num"], f["phrase_length"], f["phrase_syn"],
+                        f["labels"], self_dis=model_cfg_self_dis(model),
+                        reduction=reduction)
+        loss = d.pop("loss")
+        if drop_worst_rate > 0:
+            loss = Lm.drop_worst(loss, drop_worst_rate)
+        d["loss"] = loss
+        return loss, d
 
     out = model.apply(params, att, am, f["labels"],
                       f.get("phrase_num"), f.get("phrase_length"),
@@ -139,10 +208,10 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
     """jit'd (state, batch_arrays, rng, glat_p, drop_worst_rate) -> (state,
     metrics)."""
 
-    @partial(jax.jit, static_argnames=("drop_worst",))
+    @partial(jax.jit, static_argnames=("drop_worst", "ss_prob"))
     def step(state: TrainState, att_feats, att_masks, labels, phrase_num,
              phrase_length, phrase_syn, masks, rng, glat_p,
-             drop_worst: float = 0.0):
+             drop_worst: float = 0.0, ss_prob: float = 0.0):
         batch = {"att_feats": att_feats, "att_masks": att_masks,
                  "labels": labels, "masks": masks,
                  "phrase_num": phrase_num, "phrase_length": phrase_length,
@@ -151,7 +220,8 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
         def lf(p):
             return xe_loss_fn(model, p, batch, rng, glat_p, drop_worst,
                               deterministic=False,
-                              label_smoothing=label_smoothing)
+                              label_smoothing=label_smoothing,
+                              ss_prob=ss_prob)
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
             state.params)
@@ -161,14 +231,16 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
     return step
 
 
-def run_xe_step(step_fn, state, batch, rng, glat_p=-1.0, drop_worst=0.0):
+def run_xe_step(step_fn, state, batch, rng, glat_p=-1.0, drop_worst=0.0,
+                ss_prob=0.0):
     """Convenience host wrapper: pulls arrays out of a CaptionData batch.
     glat is disabled by passing None through (a static no-branch trace)."""
     g = glat_p if (glat_p is not None and glat_p >= 0) else None
     z = lambda k: jnp.asarray(batch[k]) if batch.get(k) is not None else None
     return step_fn(state, z("att_feats"), z("att_masks"), z("labels"),
                    z("phrase_num"), z("phrase_length"), z("phrase_syn"),
-                   z("masks"), rng, g, drop_worst=drop_worst)
+                   z("masks"), rng, g, drop_worst=drop_worst,
+                   ss_prob=ss_prob)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""PyTorch-checkpoint -> flax-params converter.
+
+Lets users of the reference bring their trained ``model.pth`` files: maps the
+reference ``TransformerModel`` state_dict (key schema verified by
+instantiating the reference under torch; see tests/test_torch_parity.py) onto
+this package's BoFiCap parameter tree.  Linear weights transpose
+(torch [out, in] -> flax [in, out]); embeddings and layer norms copy as-is.
+
+Key schema (reference captioning/models/TransformerModel.py):
+  att_embed.0.*                         -> att_embed
+  model.encoder.layers.{i}.self_attn.linears.{0..3} -> encoder/layer{i}/self_attn/{wq,wk,wv,wo}
+  model.encoder.layers.{i}.feed_forward.w_{1,2}     -> .../ffn/Dense_{0,1}
+  model.encoder.layers.{i}.sublayer.{j}.norm.{a_2,b_2} -> .../sub{j}/norm/{scale,bias}
+  model.encoder.norm.*                  -> encoder/LayerNorm_0
+  model.decoder[_A|_SA|_NA].*           -> decoder{stack}/* per train_mode
+  model.{tgt,word}_embed.lut.weight     -> word_embed/Embed_0/embedding
+  model.syn_embed.lut.weight            -> syn_embed/Embed_0/embedding
+  model.generator.proj.*                -> generator/proj
+  model.length_predictor.LengthPredictor.{i}.* -> lp{i}/*
+  model.length_predictor.norm.*         -> lp_norm
+  model.length_predictor.{Length,Syntactic}_classifier{1,2} -> {len,syn}_head{1,2}
+Ignored: pos_embed.pe (recomputed), length_predictor.{length_attn,ff}
+(constructed but unused template copies when N_len >= 1), NNAIC L1/L2 map to
+nn_len_l{1,2}.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+LINEAR_NAMES = {"0": "wq", "1": "wk", "2": "wv", "3": "wo"}
+
+
+def _decoder_map(train_mode: str) -> Dict[str, str]:
+    if train_mode == "UIC_ds":
+        return {"decoder_SA": "decoder0", "decoder_NA": "decoder1"}
+    if train_mode == "UIC_s":
+        return {"decoder_A": "decoder0", "decoder_SA": "decoder1",
+                "decoder_NA": "decoder2"}
+    return {"decoder": "decoder0"}
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _layer_subkeys(rest: str):
+    """Map one decoder/encoder-layer suffix to a flax sub-path."""
+    m = re.match(r"(self_attn|src_attn)\.linears\.(\d)\.(weight|bias)", rest)
+    if m:
+        attn, j, wb = m.groups()
+        return ((attn, LINEAR_NAMES[j], "kernel" if wb == "weight" else
+                 "bias"), wb == "weight")
+    m = re.match(r"feed_forward\.w_(\d)\.(weight|bias)", rest)
+    if m:
+        j, wb = m.groups()
+        return ((("ffn"), f"Dense_{int(j) - 1}",
+                 "kernel" if wb == "weight" else "bias"), wb == "weight")
+    m = re.match(r"ff\.w_(\d)\.(weight|bias)", rest)   # predictor layer FFN
+    if m:
+        j, wb = m.groups()
+        return ((("ffn"), f"Dense_{int(j) - 1}",
+                 "kernel" if wb == "weight" else "bias"), wb == "weight")
+    m = re.match(r"sublayer\.(\d)\.norm\.(a_2|b_2)", rest)
+    if m:
+        j, ab = m.groups()
+        return (((f"sub{j}"), "norm",
+                 "scale" if ab == "a_2" else "bias"), False)
+    raise KeyError(rest)
+
+
+def torch_to_flax(state_dict: Dict[str, Any], train_mode: str) -> Dict:
+    """Reference state_dict (tensors or numpy arrays) -> {'params': ...}."""
+    p: Dict[str, Any] = {}
+    dmap = _decoder_map(train_mode)
+
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else \
+            np.asarray(v)
+
+    for key, val in state_dict.items():
+        v = to_np(val)
+        if key.startswith("att_embed.0."):
+            wb = key.rsplit(".", 1)[1]
+            _set(p, ("att_embed", "kernel" if wb == "weight" else "bias"),
+                 v.T if wb == "weight" else v)
+            continue
+        if not key.startswith("model."):
+            continue
+        k = key[len("model."):]
+        if k.startswith("pos_embed."):
+            continue                                   # sinusoids, recomputed
+        m = re.match(r"(tgt_embed|word_embed)(?:\.0)?\.lut\.weight", k)
+        if m:
+            # AIC wraps Embeddings+PositionalEncoding in a Sequential
+            # (tgt_embed.0.lut / tgt_embed.1.pe); phrase modes keep them
+            # separate (tgt_embed.lut + pos_embed.pe)
+            _set(p, ("word_embed", "Embed_0", "embedding"), v)
+            continue
+        if re.match(r"tgt_embed\.1\.pe", k):
+            continue                                   # sinusoids, recomputed
+        if k == "syn_embed.lut.weight":
+            _set(p, ("syn_embed", "Embed_0", "embedding"), v)
+            continue
+        m = re.match(r"generator\.proj\.(weight|bias)", k)
+        if m:
+            wb = m.group(1)
+            _set(p, ("generator", "proj",
+                     "kernel" if wb == "weight" else "bias"),
+                 v.T if wb == "weight" else v)
+            continue
+        m = re.match(r"(encoder)\.layers\.(\d+)\.(.*)", k)
+        if m:
+            _, i, rest = m.groups()
+            path, tr = _layer_subkeys(rest)
+            _set(p, ("encoder", f"layer{i}") + tuple(path),
+                 v.T if tr else v)
+            continue
+        m = re.match(r"encoder\.norm\.(a_2|b_2)", k)
+        if m:
+            _set(p, ("encoder", "RefLayerNorm_0",
+                     "scale" if m.group(1) == "a_2" else "bias"), v)
+            continue
+        m = re.match(r"(decoder(?:_A|_SA|_NA)?)\.layers\.(\d+)\.(.*)", k)
+        if m:
+            dname, i, rest = m.groups()
+            path, tr = _layer_subkeys(rest)
+            _set(p, (dmap[dname], f"layer{i}") + tuple(path),
+                 v.T if tr else v)
+            continue
+        m = re.match(r"(decoder(?:_A|_SA|_NA)?)\.norm\.(a_2|b_2)", k)
+        if m:
+            dname, ab = m.groups()
+            _set(p, (dmap[dname], "norm",
+                     "scale" if ab == "a_2" else "bias"), v)
+            continue
+        m = re.match(r"length_predictor\.LengthPredictor\.(\d+)\.(.*)", k)
+        if m:
+            i, rest = m.groups()
+            path, tr = _layer_subkeys(rest)
+            _set(p, (f"lp{i}",) + tuple(path), v.T if tr else v)
+            continue
+        m = re.match(r"length_predictor\.norm\.(a_2|b_2)", k)
+        if m:
+            _set(p, ("lp_norm",
+                     "scale" if m.group(1) == "a_2" else "bias"), v)
+            continue
+        m = re.match(
+            r"length_predictor\.(Length|Syntactic)_classifier(\d)"
+            r"\.(weight|bias)", k)
+        if m:
+            head, j, wb = m.groups()
+            name = ("len_head" if head == "Length" else "syn_head") + j
+            _set(p, (name, "kernel" if wb == "weight" else "bias"),
+                 v.T if wb == "weight" else v)
+            continue
+        m = re.match(r"length_predictor\.L(\d)\.(weight|bias)", k)
+        if m:  # NNAIC whole-caption length head
+            j, wb = m.groups()
+            _set(p, (f"nn_len_l{j}",
+                     "kernel" if wb == "weight" else "bias"),
+                 v.T if wb == "weight" else v)
+            continue
+        if re.match(r"length_predictor\.(length_attn|ff)\.", k):
+            continue                       # unused template copies (N_len>=1)
+        raise KeyError(f"unmapped reference key: {key}")
+    return {"params": p}
+
+
+def load_reference_checkpoint(path: str, train_mode: str) -> Dict:
+    """Load a reference model.pth and convert."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    return torch_to_flax(sd, train_mode)

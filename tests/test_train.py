@@ -189,3 +189,17 @@ def test_epoch_schedules():
     assert optim_mod.glat_rate(cfg, 0) == 0.5
     assert optim_mod.glat_rate(cfg, 2) == pytest.approx(0.4)
     assert optim_mod.glat_rate(cfg, 10) == pytest.approx(0.2)
+
+
+def test_ss_sa_scheduled_sampling_step():
+    """UIC scheduled-sampling path: loop + differentiable re-score + loss."""
+    cfg, data, model, tx, state = setup("UIC")
+    step_fn = steps_mod.make_xe_step(model, tx)
+    batch = data.get_batch("train")
+    state2, m = steps_mod.run_xe_step(step_fn, state, batch,
+                                      jax.random.PRNGKey(0), ss_prob=0.25)
+    assert np.isfinite(float(m["loss"]))
+    p0 = jax.tree_util.tree_leaves(state.params)
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in
+               zip(p0, jax.tree_util.tree_leaves(state2.params)))
+    assert diff > 0

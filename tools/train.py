@@ -136,6 +136,7 @@ def train(opt):
     epoch_done = True
     sc_flag = struc_flag = drop_worst_flag = False
     glat_p = -1.0
+    ss_prob = 0.0
 
     try:
         while True:
@@ -146,6 +147,7 @@ def train(opt):
                     lr = optim_mod.epoch_lr(opt, epoch)
                     optim_mod.set_lr(state.opt_state, lr)
                 glat_p = optim_mod.glat_rate(opt, epoch)
+                ss_prob = optim_mod.scheduled_sampling_prob(opt, epoch)
                 sc_flag = (opt.self_critical_after != -1
                            and epoch >= opt.self_critical_after)
                 struc_flag = (opt.structure_after != -1
@@ -197,7 +199,8 @@ def train(opt):
                             for k, v in data.items()}
                 state, metrics = steps_mod.run_xe_step(
                     xe_step, state, data, step_key, glat_p=glat_p,
-                    drop_worst=opt.drop_worst_rate if drop_worst_flag else 0.0)
+                    drop_worst=opt.drop_worst_rate if drop_worst_flag else 0.0,
+                    ss_prob=ss_prob)
             jax.block_until_ready(metrics["loss"])
             step_time = time.time() - t_step
 
