@@ -119,9 +119,20 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                                   sample_method=sample_method,
                                   temperature=temperature)
 
+    def dec_pb(att, am, rng):
+        # host-driven legacy loop (decode/pb.py) — takes raw features
+        from ..decode.pb import pb_decode as _pb
+        out = _pb(model, params, rng, att, am,
+                  sample_method=sample_method, temperature=temperature)
+        V = model.tgt_vocab
+        out = dict(out)
+        out["logprobs"] = np.zeros(out["seq"].shape + (V,), np.float32)
+        return out
+
     return {"encode": encode, "NAIC": dec_na, "SAIC": dec_sa,
             "AIC": dec_ar, "beam": dec_beam, "NNAIC": dec_nnaic,
-            "UIC_s_SAIC": dec_sa_syn, "UIC_s_AIC": dec_uic_s_ar}
+            "UIC_s_SAIC": dec_sa_syn, "UIC_s_AIC": dec_uic_s_ar,
+            "PB_pad": dec_pb}
 
 
 def sample_n_captions(model, params, memory, src_mask, rng,
@@ -154,7 +165,7 @@ def sample_n_captions(model, params, memory, src_mask, rng,
 def _branch_for(train_mode: str, inference_mode: str) -> str:
     if train_mode in ("AIC", "auto"):
         return "AIC"
-    if train_mode in ("NAIC", "SAIC", "NNAIC"):
+    if train_mode in ("NAIC", "SAIC", "NNAIC", "PB_pad"):
         return train_mode
     if train_mode in ("UIC_s", "UIC_u"):
         # predictor input is the syn plan for all three branches
@@ -215,6 +226,10 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             seq = seq_all[:, 0]
             tok_lp = np.asarray(out["tok_logprobs"])[:, 0]
             logprobs = None
+        elif branch == "PB_pad":
+            out = dec[branch](att, am, k)
+            seq = np.asarray(out["seq"])
+            logprobs = np.asarray(out["logprobs"])
         else:
             out = dec[branch](memory, src_mask, k)
             seq = np.asarray(out["seq"])

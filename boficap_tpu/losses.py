@@ -340,3 +340,24 @@ def drop_worst(per_sample_loss, drop_rate: float):
     k = max(int(B * (1 - drop_rate)), 1)
     vals, _ = jax.lax.top_k(-per_sample_loss, k)
     return -vals.mean()
+
+
+def pb_pad_loss(packed_labels, word_logprob, packed_mask, phrase_num,
+                length_targets, len_logprob, reduction: str = "mean"):
+    """PB_pad two-term loss (reference PB_pad_LanguageModelCriterion,
+    losses.py:235-271): packed-phrase word NLL + per-slot next-length NLL,
+    both normalized by the packed word-mask sum."""
+    pm = packed_mask.astype(word_logprob.dtype)
+    word_nll = -_gather_logprob(word_logprob, packed_labels) * pm
+    S = min(len_logprob.shape[-2], length_targets.shape[-1])
+    smask = po.slot_loss_mask(phrase_num, S).astype(word_logprob.dtype)
+    len_nll = -_gather_logprob(len_logprob[..., :S, :],
+                               length_targets[..., :S]) * smask
+    if reduction == "none":
+        return {"loss": (word_nll.sum(-1) + len_nll.sum(-1))
+                / jnp.maximum(pm.sum(-1), 1e-8)}
+    denom = jnp.maximum(pm.sum(), 1e-8)
+    out = {"phrase_loss": word_nll.sum() / denom,
+           "length_loss": len_nll.sum() / denom}
+    out["loss"] = out["phrase_loss"] + out["length_loss"]
+    return out

@@ -300,6 +300,70 @@ class BoFiCap(nn.Module):
         probs = jax.nn.softmax(self.nn_len_l2(x).astype(jnp.float32), -1)
         return jnp.argmax(probs, -1).astype(jnp.int32)
 
+    # ---------------------------------------------------------------- PB_pad
+    def pb_compress(self, labels, phrase_length, deterministic=True):
+        """Per-slot compressed phrase embeddings: sum of the word embeddings
+        inside each phrase (reference CompressEmbedding,
+        TransformerModel.py:994-1013) — a one-hot segment-sum here instead of
+        the reference's per-sample Python loops.  Slot 0 is the bos phrase.
+        Returns [B, L2, d] (slots past phrase_num are zero)."""
+        L2 = labels.shape[1]
+        emb = self.word_embed(labels)                       # [B, L2, d]
+        ends = po.phrase_word_ends(phrase_length)           # [B, L2-1]
+        pos = jnp.arange(L2)[None, :]
+        # label position 0 -> slot 0; position p>=1 -> 1 + real slot of p-1
+        k = jnp.sum((pos[:, 1:, None] - 1) >= ends[:, None, :], axis=-1)
+        slot = jnp.concatenate(
+            [jnp.zeros((k.shape[0], 1), k.dtype), 1 + k], axis=1)  # [B, L2]
+        total = po.total_words(phrase_length)
+        valid = (pos == 0) | (pos <= total[:, None])
+        onehot = jax.nn.one_hot(jnp.where(valid, slot, L2 - 1), L2,
+                                dtype=emb.dtype) * valid[..., None]
+        return jnp.einsum("bld,blk->bkd", emb, onehot)
+
+    def pb_length_predict(self, labels, phrase_num, phrase_length, memory,
+                          src_mask, deterministic=True):
+        """Per-slot next-phrase length log-probs (reference
+        LengthPredictorPB_pad, TransformerModel.py:1032-1090): compressed
+        phrase embeddings + pos enc through the predictor layers with a
+        causal slot mask; slot j (having seen phrases 0..j) predicts phrase
+        j+1's length.  Returns [B, L2, 20]."""
+        L2 = labels.shape[1]
+        x = self.posenc(self.pb_compress(labels, phrase_length,
+                                         deterministic),
+                        deterministic=deterministic)
+        slot = jnp.arange(L2)
+        pad_ok = slot[None, :] < phrase_num[:, None]
+        mask = (pad_ok[:, None, :]
+                & (slot[None, None, :] <= slot[None, :, None]))
+        for layer in self.lp_layers:
+            x = layer(x, memory, src_mask, mask, deterministic)
+        h = self.lp_norm(x)
+        lh = self.lp_drop(nn.relu(self.len_head1(h)),
+                          deterministic=deterministic)
+        return jax.nn.log_softmax(
+            self.len_head2(lh).astype(jnp.float32), axis=-1)
+
+    def pb_decode(self, packed_ids, packed_slot, labels, phrase_length,
+                  memory, src_mask, packed_mask, deterministic=True,
+                  norm_mode: str = "copy"):
+        """Packed phrase-parallel decode (reference EncoderDecoderPB_pad
+        .decode, TransformerModel.py:1138-1213).  packed_ids: copy-init word
+        ids per packed position; packed_slot: phrase slot of each packed
+        position (for compress/complex modes); packed_mask: [B, Lp, Lp]
+        (padding & phrase-blockwise-causal).  Returns log-probs [B, Lp, V]."""
+        if norm_mode == "copy":
+            x = self.word_embed(packed_ids)
+        else:
+            comp = self.pb_compress(labels, phrase_length, deterministic)
+            gathered = jnp.take_along_axis(
+                comp, packed_slot[..., None].astype(jnp.int32), axis=1)
+            x = gathered if norm_mode == "compress" else                 gathered + self.word_embed(packed_ids)
+        x = self.posenc(x, deterministic=deterministic)
+        h = self._decoder("PB")(x, memory, src_mask, packed_mask,
+                                deterministic)
+        return self.generate(h)
+
     def init_ar_cache(self, memory, max_len: int):
         """KV cache for the AR decoder (cross-attn K/V projected once)."""
         return self._decoder("A").init_cache(memory, max_len)
@@ -436,6 +500,23 @@ class BoFiCap(nn.Module):
             h_na = self.decode_na(word_syn, memory, src_mask, na_mask,
                                   deterministic, glat_input=glanced)
             out["na_logprob"] = self.generate(h_na)
+            return out
+
+        if mode == "PB_pad":
+            # packed layouts are batch-dependent and built on host (see
+            # train/steps.py PB branch + data/pb_pack.py); this path exists
+            # to initialize/trace every PB submodule with a dummy layout
+            B = labels.shape[0]
+            len_lp = self.pb_length_predict(labels, phrase_num,
+                                            phrase_length, memory, src_mask,
+                                            deterministic)
+            dummy_ids = labels[:, 1:-1]
+            dummy_slot = jnp.zeros_like(dummy_ids)
+            dummy_mask = jnp.ones((B, L, L), bool)
+            out["pb_len_logprob"] = len_lp
+            out["pb_logprob"] = self.pb_decode(
+                dummy_ids, dummy_slot, labels, phrase_length, memory,
+                src_mask, dummy_mask, deterministic)
             return out
 
         if mode in ("UIC_s", "UIC_u"):

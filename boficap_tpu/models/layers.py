@@ -25,6 +25,25 @@ MASK_FILL = -1e9
 
 dense_init = nn.initializers.xavier_uniform()
 
+# global perf toggle (set from cfg.use_pallas at model build; read at trace
+# time): route eligible attention calls through the fused pallas core
+PALLAS_ATTENTION = {"enabled": False, "interpret": False}
+
+# attention-map capture (the reference's ``glo`` accumulator,
+# utils/glo.py + TransformerModel.py:1461-1462, fed when draw=True): when
+# enabled, every unfused attention call sows its probs into the
+# 'intermediates' collection (apply with mutable=["intermediates"])
+CAPTURE_ATTENTION = {"enabled": False}
+
+
+def set_pallas_attention(enabled: bool, interpret: bool = False):
+    PALLAS_ATTENTION["enabled"] = enabled
+    PALLAS_ATTENTION["interpret"] = interpret
+
+
+def set_capture_attention(enabled: bool):
+    CAPTURE_ATTENTION["enabled"] = enabled
+
 
 class MultiHeadAttention(nn.Module):
     """Scaled dot-product MHA (reference TransformerModel.py:1421-1467).
@@ -63,6 +82,18 @@ class MultiHeadAttention(nn.Module):
     def attend(self, qh, kh, vh, mask=None, deterministic: bool = True):
         """qh [B,H,Lq,Dh], kh/vh [B,H,Lk,Dh]; mask [B,Lk] | [B,Lq,Lk] | 4-D."""
         B, H, Lq, Dh = qh.shape
+        Lk = kh.shape[2]
+        if (PALLAS_ATTENTION["enabled"] and deterministic
+                and mask is not None and mask.ndim in (2, 3)):
+            # fused scores+mask+softmax+context kernel (ops/pallas_attention);
+            # inference-only: attention-prob dropout needs the unfused path
+            from ..ops.pallas_attention import attention_core
+            m3 = (jnp.broadcast_to(mask[:, None, :], (B, Lq, Lk))
+                  if mask.ndim == 2 else mask)
+            out = attention_core(qh, kh, vh, m3,
+                                 interpret=PALLAS_ATTENTION["interpret"])
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+            return self.wo(out)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
         ) / math.sqrt(Dh)
@@ -73,6 +104,8 @@ class MultiHeadAttention(nn.Module):
                 mask = mask[:, None, :, :]
             scores = jnp.where(mask, scores, MASK_FILL)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if CAPTURE_ATTENTION["enabled"]:
+            self.sow("intermediates", "attn", probs)
         probs = self.drop(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)

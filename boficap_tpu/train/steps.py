@@ -180,6 +180,31 @@ def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
                          f["phrase_length"], f["phrase_syn"], f["labels"])
         loss = d.pop("loss")
         metrics.update(d)
+    elif mode == "PB_pad":
+        # packed layout built on host (batch-dependent width) and threaded
+        # through the batch dict; forward = predictor + packed decode
+        memory = model.apply(params, att, am, deterministic=deterministic,
+                             rngs=rngs, method="encode")
+        src_mask = am.astype(bool)
+        if f["labels"].shape[0] != memory.shape[0]:
+            kk = f["labels"].shape[0] // memory.shape[0]
+            memory = jnp.repeat(memory, kk, axis=0)
+            src_mask = jnp.repeat(src_mask, kk, axis=0)
+        len_lp = model.apply(params, f["labels"], f["phrase_num"],
+                             f["phrase_length"], memory, src_mask,
+                             deterministic, rngs=rngs,
+                             method="pb_length_predict")
+        word_lp = model.apply(
+            params, jnp.asarray(batch["pb_ids"]),
+            jnp.asarray(batch["pb_slot"]), f["labels"], f["phrase_length"],
+            memory, src_mask, jnp.asarray(batch["pb_mask"]), deterministic,
+            batch.get("norm_mode", "copy"), rngs=rngs, method="pb_decode")
+        d = Lm.pb_pad_loss(jnp.asarray(batch["pb_labels"])[:, 1:], word_lp,
+                           jnp.asarray(batch["pb_word_mask"])[:, 1:],
+                           f["phrase_num"],
+                           f["phrase_length"][:, 1:], len_lp, reduction)
+        loss = d.pop("loss")
+        metrics.update(d)
     else:
         raise NotImplementedError(mode)
 
@@ -211,11 +236,13 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
     @partial(jax.jit, static_argnames=("drop_worst", "ss_prob"))
     def step(state: TrainState, att_feats, att_masks, labels, phrase_num,
              phrase_length, phrase_syn, masks, rng, glat_p,
-             drop_worst: float = 0.0, ss_prob: float = 0.0):
+             drop_worst: float = 0.0, ss_prob: float = 0.0, extra=None):
         batch = {"att_feats": att_feats, "att_masks": att_masks,
                  "labels": labels, "masks": masks,
                  "phrase_num": phrase_num, "phrase_length": phrase_length,
                  "phrase_syn": phrase_syn}
+        if extra:
+            batch.update(extra)
 
         def lf(p):
             return xe_loss_fn(model, p, batch, rng, glat_p, drop_worst,
@@ -237,10 +264,12 @@ def run_xe_step(step_fn, state, batch, rng, glat_p=-1.0, drop_worst=0.0,
     glat is disabled by passing None through (a static no-branch trace)."""
     g = glat_p if (glat_p is not None and glat_p >= 0) else None
     z = lambda k: jnp.asarray(batch[k]) if batch.get(k) is not None else None
+    extra = {k: jnp.asarray(v) for k, v in batch.items()
+             if k.startswith("pb_")} or None
     return step_fn(state, z("att_feats"), z("att_masks"), z("labels"),
                    z("phrase_num"), z("phrase_length"), z("phrase_syn"),
                    z("masks"), rng, g, drop_worst=drop_worst,
-                   ss_prob=ss_prob)
+                   ss_prob=ss_prob, extra=extra)
 
 
 # ---------------------------------------------------------------------------

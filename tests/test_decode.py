@@ -385,3 +385,17 @@ def test_decoding_constraint_blocks_repeats():
             if s[b, t] == PAD:
                 break
             assert s[b, t] != s[b, t - 1]
+
+
+def test_pb_decode_runs():
+    from boficap_tpu.decode.pb import pb_decode
+    from tests.test_model import make_batch
+    model, params, memory, src_mask = _setup("PB_pad", seed=59)
+    batch = make_batch(B=3, seed=59)
+    out = pb_decode(model, params, jax.random.PRNGKey(0),
+                    jnp.asarray(batch["att_feats"][:3]),
+                    jnp.asarray(batch["att_masks"][:3]))
+    assert out["seq"].shape == (3, L)
+    total = out["phrase_length"].sum(-1)
+    for b in range(3):
+        assert (out["seq"][b, total[b]:] == 0).all()

@@ -203,3 +203,21 @@ def test_ss_sa_scheduled_sampling_step():
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in
                zip(p0, jax.tree_util.tree_leaves(state2.params)))
     assert diff > 0
+
+
+def test_pb_pad_xe_step_learns():
+    """Legacy PB_pad family: packed-layout forward + two-term loss."""
+    cfg, data, model, tx, state = setup("PB_pad")
+    step_fn = steps_mod.make_xe_step(model, tx)
+    batch = data.get_batch("train")
+    assert "pb_labels" in batch and "pb_mask" in batch
+    # gt packing covers exactly the caption words (+bos col)
+    nwords = (batch["labels"].reshape(-1, 22)[:, 1:-1] != 0).sum()
+    assert (batch["pb_labels"] != 0).sum() == nwords + batch["pb_labels"].shape[0]
+    losses = []
+    for i in range(4):
+        state, metrics = steps_mod.run_xe_step(
+            step_fn, state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

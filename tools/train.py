@@ -57,11 +57,13 @@ def train(opt):
     # call jax.distributed.initialize before entering here
     from boficap_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                            replicate_state)
-    n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
+    import math
+    n_dev = math.gcd(len(jax.devices()), max(opt.batch_size, 1))
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
-        assert opt.batch_size % n_dev == 0, (
-            f"batch_size {opt.batch_size} must divide {n_dev} devices")
+        if n_dev < len(jax.devices()):
+            print(f"batch_size {opt.batch_size} not divisible by "
+                  f"{len(jax.devices())} devices; using {n_dev}")
         print(f"data-parallel mesh over {n_dev} devices")
 
     def put_batch(x):
