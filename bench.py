@@ -2,8 +2,11 @@
 UIC model at the reference's published scale (N_enc=N_dec=6, N_len=1,
 d_model=512, d_ff=2048, h=8, vocab 9487+4 — configs/uic_sd.yml:26-33),
 reproducing the reference's decode-time protocol: the timer wraps ONLY the
-sample call (reference AttModel.py:408-410, summed at eval_utils.py:653),
-with block_until_ready standing in for torch.cuda.synchronize.
+sample call (reference AttModel.py:408-410, summed at eval_utils.py:653).
+Synchronization: on the axon tunnel block_until_ready returns before the
+device finishes and any host VALUE fetch costs a fixed ~28.5 ms round trip,
+so timings use the pipelined protocol in ``timed()`` (N dispatches, one
+value-fetch sync, RTT subtracted) — see BENCH_NOTES.md.
 
 Headline metric: NA decode images/s.  ``vs_baseline`` is the
 hardware-independent comparison the paper itself headlines — our measured
@@ -28,19 +31,51 @@ import numpy as np
 
 BATCH = 64
 N_WARMUP = 1
-N_ITERS = 6
+N_ITERS = 16
 PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
 
 
+def _fetch(out):
+    """Force completion with a VALUE fetch: on the axon tunnel,
+    block_until_ready returns early and only a host read truly syncs
+    (measured: any fetch costs a fixed ~28.5 ms round trip)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timed(fn, *args):
-    ts = []
+    """Per-execution device time via the PIPELINED protocol: dispatch
+    N_ITERS executions back to back and fetch only the last result —
+    single-chip execution is in order, so the last fetch bounds them all.
+    This amortizes the tunnel's ~28.5 ms fetch round trip, which would
+    otherwise dominate (and is irrelevant to real serving, where requests
+    pipeline).  The reference's per-batch timer + cuda.synchronize
+    (AttModel.py:408-410) measures the same device quantity locally."""
+    _fetch(fn(*args, jax.random.fold_in(KEY, 999)))      # warm + sync
+    t0 = time.perf_counter()
+    outs = None
     for i in range(N_ITERS):
+        outs = fn(*args, jax.random.fold_in(KEY, i))
+    _fetch(outs)
+    total = time.perf_counter() - t0
+    return max((total - RTT_S) / N_ITERS, 1e-6)
+
+
+def _measure_rtt():
+    """Fetch round trip of a trivial program (measured per run; ~28.5 ms on
+    the axon tunnel, ~0 locally)."""
+    f = jax.jit(lambda v: (v + 1).sum())
+    x = jnp.ones((8, 128))
+    float(f(x))
+    ts = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, jax.random.fold_in(KEY, i)))
+        float(f(x))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
+RTT_S = 0.0
 KEY = jax.random.PRNGKey(0)
 
 
@@ -133,14 +168,17 @@ def main():
         prefix, ids = jax.lax.scan(step, init, jnp.arange(AR_STEPS))
         return prefix
 
+    global RTT_S
+    RTT_S = _measure_rtt()
     src_mask = am.astype(bool)
-    memory = jax.block_until_ready(encode(att, am))
+    memory = encode(att, am)
+    _fetch(memory)
 
     for _ in range(N_WARMUP):
-        jax.block_until_ready(decode_na(memory, src_mask, KEY))
-        jax.block_until_ready(decode_sa(memory, src_mask, KEY))
-        jax.block_until_ready(decode_ar(memory, src_mask, KEY))
-        jax.block_until_ready(decode_ar_nocache(memory, src_mask, KEY))
+        _fetch(decode_na(memory, src_mask, KEY))
+        _fetch(decode_sa(memory, src_mask, KEY))
+        _fetch(decode_ar(memory, src_mask, KEY))
+        _fetch(decode_ar_nocache(memory, src_mask, KEY))
 
     t_na = timed(decode_na, memory, src_mask)
     t_sa = timed(decode_sa, memory, src_mask)
@@ -164,6 +202,9 @@ def main():
             "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
+            "fetch_rtt_ms": round(RTT_S * 1000, 2),
+            "timing_protocol": "pipelined-N-dispatch, single value-fetch "
+                               "sync, RTT subtracted (see timed())",
             "device": str(jax.devices()[0].platform),
         },
     }))

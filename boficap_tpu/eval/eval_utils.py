@@ -194,6 +194,21 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     branch = _branch_for(train_mode, inference_mode)
 
     dec = make_decoders(model, params, eval_kwargs)
+    verbose_loss = eval_kwargs.get("verbose_loss", 1)
+    loss_fn = None
+    if verbose_loss:
+        from ..train.steps import xe_loss_fn
+
+        @jax.jit
+        def loss_fn(att, am, labels, pn, pl, ps, masks):
+            batch = {"att_feats": att, "att_masks": am, "labels": labels,
+                     "masks": masks, "phrase_num": pn, "phrase_length": pl,
+                     "phrase_syn": ps}
+            loss, _ = xe_loss_fn(model, params, batch,
+                                 jax.random.PRNGKey(0), glat_p=None,
+                                 deterministic=True)
+            return loss
+
     loader.reset_iterator(split)
     ix_to_word = loader.ix_to_word
 
@@ -214,6 +229,19 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         n += len(data["infos"])
         att = jnp.asarray(data["att_feats"])
         am = jnp.asarray(data["att_masks"])
+
+        if loss_fn is not None and data.get("labels") is not None                 and model.train_mode != "PB_pad":
+            z = lambda k: (jnp.asarray(data[k]).reshape(
+                (-1,) + data[k].shape[2:]) if data.get(k) is not None
+                else None)
+            try:
+                loss_sum += float(loss_fn(att, am, z("labels"),
+                                          z("phrase_num"),
+                                          z("phrase_length"),
+                                          z("phrase_syn"), z("masks")))
+                loss_evals += 1
+            except Exception:
+                loss_fn = None           # mode without a plain jit loss path
 
         t0 = time.perf_counter()
         memory = dec["encode"](att, am)

@@ -21,12 +21,19 @@ from .ngrams import load_doc_freq
 CiderD_scorer: Optional[CiderD] = None
 Cider_scorer: Optional[Cider] = None
 Bleu_scorer: Optional[Bleu] = None
+_native = None
 
 
-def init_scorer(cached_tokens: str = "corpus", base_dir: str = "data"):
+def init_scorer(cached_tokens: str = "corpus", base_dir: str = "data",
+                use_native: bool = True):
     """cached_tokens: 'corpus' or the stem of a '<stem>-idxs.p' pickle
-    produced by scripts/prepro_ngrams.py."""
-    global CiderD_scorer, Cider_scorer, Bleu_scorer
+    produced by scripts/prepro_ngrams.py.
+
+    The native C++ CIDEr-D (boficap_tpu/native) handles the per-step RL
+    scoring when it builds (the python scorer costs ~170 ms per RL batch,
+    longer than the device step); the python scorers stay authoritative for
+    tests/metrics and as the fallback."""
+    global CiderD_scorer, Cider_scorer, Bleu_scorer, _native
     df_dict, ref_len = None, None
     if cached_tokens and cached_tokens != "corpus":
         path = cached_tokens if cached_tokens.endswith(".p") else \
@@ -37,6 +44,29 @@ def init_scorer(cached_tokens: str = "corpus", base_dir: str = "data"):
     CiderD_scorer = CiderD(df=mode, df_dict=df_dict, ref_len=ref_len)
     Cider_scorer = Cider(df=mode, df_dict=df_dict, ref_len=ref_len)
     Bleu_scorer = Bleu(4)
+    _native = None
+    if use_native:
+        from ..native import get_ciderd
+        _native = get_ciderd()
+        if _native is not None:
+            if df_dict is not None:
+                keys = [" ".join(k) for k in df_dict.keys()]
+                _native.set_df(keys, [float(v) for v in df_dict.values()],
+                               float(ref_len))
+            else:
+                _native.clear_df()
+
+
+def _cider_scores(res_list, refs_list):
+    """res_list: [cand str]; refs_list: [[ref str]] aligned.  Native C++
+    scorer when available, python otherwise (identical results — tested)."""
+    if _native is not None:
+        return np.asarray(_native.score(res_list, list(refs_list)),
+                          np.float32)
+    gts = {i: r for i, r in enumerate(refs_list)}
+    res = [{"image_id": i, "caption": [c]} for i, c in enumerate(res_list)]
+    _, scores = CiderD_scorer.compute_score(gts, res)
+    return scores.astype(np.float32)
 
 
 def array_to_str(arr) -> str:
@@ -84,7 +114,9 @@ def get_self_critical_reward(greedy_res: np.ndarray, data_gts,
     bw = _opt_get(opt, "bleu_reward_weight", 0)
     scores = 0.0
     if cw > 0:
-        _, cider = CiderD_scorer.compute_score(gts, res)
+        ids = list(range(n_gen + batch_size))
+        cider = _cider_scores([res[i][0] for i in ids],
+                              [gts[i] for i in ids])
         scores = scores + cw * cider
     if bw > 0:
         _, bleu = Bleu_scorer.compute_score(gts, res)
@@ -108,7 +140,8 @@ def get_scores(data_gts, gen_result: np.ndarray, opt) -> np.ndarray:
     bw = _opt_get(opt, "bleu_reward_weight", 0)
     scores = 0.0
     if cw > 0:
-        _, cider = CiderD_scorer.compute_score(gts, res)
+        cider = _cider_scores([res[i][0] for i in range(B)],
+                              [gts[i] for i in range(B)])
         scores = scores + cw * cider
     if bw > 0:
         _, bleu = Bleu_scorer.compute_score(gts, res)

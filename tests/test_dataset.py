@@ -125,3 +125,21 @@ def test_pp_mode_phrase2():
     # [1,3] merge -> 4; [1,1] merge -> 2
     assert pn2[0] == 2
     np.testing.assert_array_equal(pl2[0, :2], [4, 2])
+
+
+def test_dataloader_raw(tmp_path):
+    """Raw-image folder eval path with the dependency-free extractor."""
+    from PIL import Image
+    import numpy as np
+    from boficap_tpu.data.raw import DataLoaderRaw, patch_extractor
+    for i in range(3):
+        arr = (np.random.RandomState(i).rand(64, 64, 3) * 255).astype("uint8")
+        Image.fromarray(arr).save(tmp_path / f"img{i}.jpg")
+    d = DataLoaderRaw(str(tmp_path), batch_size=2,
+                      extractor=patch_extractor(grid=7, dim=64))
+    b = d.get_batch()
+    assert b["att_feats"].shape == (2, 49, 64)
+    assert b["fc_feats"].shape == (2, 64)
+    assert len(b["infos"]) == 2
+    b2 = d.get_batch()
+    assert b2["bounds"]["wrapped"]

@@ -101,3 +101,61 @@ def test_get_scores_and_self_cider():
 
 def test_array_to_str_stops_at_zero():
     assert sc.array_to_str(np.array([4, 5, 0, 7])) == "4 5 0"
+
+
+def test_native_ciderd_matches_python():
+    """The C++ scorer reproduces the python CIDEr-D (corpus and cached df)."""
+    from boficap_tpu.native import get_ciderd
+    native = pytest.importorskip("boficap_tpu.native").get_ciderd()
+    if native is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(0)
+    refs, cands = [], []
+    for i in range(12):
+        rs = []
+        for _ in range(5):
+            n = rng.randint(4, 12)
+            rs.append(" ".join(str(x) for x in rng.randint(4, 200, n)) + " 0")
+        refs.append(rs)
+        n = rng.randint(3, 12)
+        cand = rs[0] if i % 3 == 0 else \
+            " ".join(str(x) for x in rng.randint(4, 200, n)) + " 0"
+        cands.append(cand)
+    # corpus mode
+    native.clear_df()
+    got = np.asarray(native.score(cands, refs))
+    py = CiderD(df="corpus")
+    gts = {i: r for i, r in enumerate(refs)}
+    res = [{"image_id": i, "caption": [c]} for i, c in enumerate(cands)]
+    _, want = py.compute_score(gts, res)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+    # cached df mode
+    df, nimg = build_doc_freq(refs)
+    native.set_df([" ".join(k) for k in df], [float(v) for v in df.values()],
+                  float(nimg))
+    got2 = np.asarray(native.score(cands, refs))
+    py2 = CiderD(df="cached", df_dict=df, ref_len=nimg)
+    _, want2 = py2.compute_score(gts, res)
+    native.clear_df()
+    np.testing.assert_allclose(got2, want2, rtol=1e-6, atol=1e-8)
+
+
+def test_native_ciderd_speed():
+    from boficap_tpu.native import get_ciderd
+    import time
+    native = get_ciderd()
+    if native is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(0)
+    refs = [[" ".join(str(x) for x in rng.randint(4, 9500, 10)) + " 0"
+             for _ in range(5)] for _ in range(50)]
+    cands = []
+    refs_aligned = []
+    for i in range(250):
+        cands.append(" ".join(str(x) for x in rng.randint(4, 9500, 9)) + " 0")
+        refs_aligned.append(refs[i // 5])
+    native.clear_df()
+    t0 = time.time()
+    native.score(cands, refs_aligned)
+    dt = time.time() - t0
+    assert dt < 0.05, f"native scorer too slow: {dt*1000:.1f} ms"
