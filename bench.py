@@ -31,7 +31,7 @@ import numpy as np
 
 BATCH = 64
 N_WARMUP = 1
-N_ITERS = 16
+N_ITERS = 48   # RTT varies 28-53 ms between fetches; spread it thin
 PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
 
 

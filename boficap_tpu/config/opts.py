@@ -148,6 +148,8 @@ DEFAULTS: Dict[str, Any] = dict(
     param_dtype="float32",
     mesh_shape=None,            # e.g. {"data": 8}; None = all devices on 'data'
     use_pallas=False,           # pallas attention kernels for the hot paths
+    profile_steps=0,            # jax.profiler trace of the first N steps
+    debug_checks=False,         # checkify nan/oob checks in the XE step
     REFORWARD=False,
 )
 

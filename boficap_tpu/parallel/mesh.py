@@ -77,3 +77,55 @@ def pad_batch_to(batch: Dict[str, Any], multiple: int):
         else:
             out[k] = v
     return out
+
+
+def param_partition_specs(params):
+    """Tensor-parallel partition rules (SURVEY.md §2.6: one sharding-rules
+    table so TP slots in without touching the step functions).
+
+    Megatron-style layout over the 'model' axis:
+      * attention wq/wk/wv and FFN up-projection: shard the OUTPUT features
+        (column parallel),
+      * attention wo and FFN down-projection: shard the INPUT features
+        (row parallel) — XLA inserts the psum,
+      * embeddings/generator: shard the vocab/feature dim,
+      * everything else (norms, biases of row-parallel layers, heads)
+        replicated.
+    """
+    from jax.tree_util import tree_map_with_path
+
+    def spec(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        name = "/".join(str(k) for k in keys)
+        if x.ndim == 2:
+            if any(f"/{k}/" in name or name.endswith(f"/{k}/kernel")
+                   for k in ("wq", "wk", "wv")):
+                return P(None, "model")
+            if "/wo/" in name:
+                return P("model", None)
+            if "/ffn/Dense_0/" in name:
+                return P(None, "model")
+            if "/ffn/Dense_1/" in name:
+                return P("model", None)
+            if "generator" in name and name.endswith("kernel"):
+                return P(None, "model")
+            if "embedding" in name:
+                return P(None, None)
+        return P()
+
+    return tree_map_with_path(spec, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put params per the TP rules (no 'model' axis in the mesh ->
+    everything replicates)."""
+    specs = param_partition_specs(params)
+    have_model = "model" in mesh.axis_names and \
+        mesh.shape.get("model", 1) > 1
+
+    def put(x, s):
+        if not have_model:
+            s = P()
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(put, params, specs)

@@ -229,9 +229,12 @@ def model_cfg_self_dis(model: BoFiCap) -> bool:
     return _SELF_DIS.get(id(model), False)
 
 
-def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
+def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0,
+                 debug_checks: bool = False):
     """jit'd (state, batch_arrays, rng, glat_p, drop_worst_rate) -> (state,
-    metrics)."""
+    metrics).  ``debug_checks``: add non-finite loss/grad counters to the
+    metrics (the TPU stand-in for the reference's NaN guards,
+    CaptionModel.py:422-424 / TransformerModel.py:1956-1958)."""
 
     @partial(jax.jit, static_argnames=("drop_worst", "ss_prob"))
     def step(state: TrainState, att_feats, att_masks, labels, phrase_num,
@@ -252,6 +255,12 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0):
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
             state.params)
+        if debug_checks:
+            bad = sum(jnp.sum(~jnp.isfinite(g.astype(jnp.float32)))
+                      for g in jax.tree_util.tree_leaves(grads))
+            metrics["nonfinite_grads"] = bad
+            metrics["nonfinite_loss"] = (~jnp.isfinite(loss)).astype(
+                jnp.int32)
         new_state = state.apply_gradients(tx, grads)
         return new_state, metrics
 

@@ -158,4 +158,14 @@ def test_native_ciderd_speed():
     t0 = time.time()
     native.score(cands, refs_aligned)
     dt = time.time() - t0
-    assert dt < 0.05, f"native scorer too slow: {dt*1000:.1f} ms"
+    # compare against the python scorer on the same inputs (wall-clock
+    # thresholds flake under parallel test load)
+    py = CiderD(df="corpus")
+    gts = {i: r for i, r in enumerate(refs_aligned)}
+    res = [{"image_id": i, "caption": [c]} for i, c in enumerate(cands)]
+    t0 = time.time()
+    py.compute_score(gts, res)
+    dt_py = time.time() - t0
+    assert dt < dt_py / 5, (
+        f"native {dt*1000:.1f} ms not >5x faster than python "
+        f"{dt_py*1000:.1f} ms")

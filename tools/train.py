@@ -129,11 +129,29 @@ def train(opt):
     if "plateau" in infos and infos["plateau"]:
         plateau.load_state_dict(infos["plateau"])
 
-    xe_step = steps_mod.make_xe_step(model, tx,
-                                     label_smoothing=opt.label_smoothing)
+    xe_step = steps_mod.make_xe_step(
+        model, tx, label_smoothing=opt.label_smoothing,
+        debug_checks=bool(opt.get("debug_checks", False)))
     rl_sample = rl_step = None
     metrics_log = os.path.join(opt.checkpoint_path, "metrics.jsonl")
     os.makedirs(opt.checkpoint_path, exist_ok=True)
+
+    # tensorboard scalars (reference train.py:81, :249-289); torch ships the
+    # writer — guarded so the trainer runs without it
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(opt.checkpoint_path)
+    except Exception:
+        pass
+
+    # jax.profiler trace (the TPU equivalent of the reference's ad-hoc
+    # cuda-synced timers, SURVEY.md §5): --profile_steps N captures the
+    # first N train steps to <checkpoint_path>/profile
+    profile_steps = int(opt.get("profile_steps", 0) or 0)
+    if profile_steps:
+        jax.profiler.start_trace(os.path.join(opt.checkpoint_path,
+                                              "profile"))
 
     epoch_done = True
     sc_flag = struc_flag = drop_worst_flag = False
@@ -207,6 +225,10 @@ def train(opt):
             step_time = time.time() - t_step
 
             iteration += 1
+            if profile_steps and iteration == profile_steps:
+                jax.profiler.stop_trace()
+                profile_steps = 0
+                print("profiler trace written")
             if data["bounds"]["wrapped"]:
                 epoch += 1
                 epoch_done = True
@@ -219,6 +241,13 @@ def train(opt):
                 log_metrics(metrics_log, rec)
                 histories["loss_history"][iteration] = float(
                     np.asarray(metrics["loss"]))
+                if tb is not None:
+                    for k, v in metrics.items():
+                        try:
+                            tb.add_scalar(f"train/{k}",
+                                          float(np.asarray(v)), iteration)
+                        except (TypeError, ValueError):
+                            pass
                 print(f"iter {iteration} (epoch {epoch}) "
                       f"loss {float(np.asarray(metrics['loss'])):.4f} "
                       f"step {step_time:.3f}s read {read_time:.3f}s")
@@ -257,6 +286,14 @@ def train(opt):
                 histories["val_result_history"][iteration] = {
                     k: (r["lang_stats"], r["images_per_s"])
                     for k, r in results.items()}
+                if tb is not None:
+                    for name, r in results.items():
+                        tb.add_scalar(f"val/{name}/images_per_s",
+                                      r["images_per_s"], iteration)
+                        for mk, mv in (r["lang_stats"] or {}).items():
+                            if isinstance(mv, (int, float)):
+                                tb.add_scalar(f"val/{name}/{mk}", mv,
+                                              iteration)
 
                 infos.update(iter=iteration, epoch=epoch,
                              loader_state_dict=loader.state_dict(),
