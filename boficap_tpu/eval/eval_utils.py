@@ -330,6 +330,7 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         "decode_time": decode_time,
         "compile_time": compile_time,
         "n_images": n_imgs,
+        "gts_words": gts_words,
         "images_per_s": (n_imgs - len(data["infos"])) / decode_time
         if decode_time > 0 else float("nan"),
     }

@@ -109,13 +109,24 @@ def main(argv=None):
     if result["lang_stats"]:
         print(result["lang_stats"])
 
-    gts_words = {}
     eval_utils.save_cached(eval_kwargs, {
-        "predictions": result["predictions"], "gts_words": gts_words})
+        "predictions": result["predictions"],
+        "gts_words": result["gts_words"]})
     if args.dump_json:
         os.makedirs("vis", exist_ok=True)
         with open("vis/vis.json", "w") as f:
             json.dump(result["predictions"], f)
+        if result.get("n_predictions"):
+            with open("vis/vis_n.json", "w") as f:
+                json.dump(result["n_predictions"], f)
+    # eval artifacts dir like the reference (eval_utils.py:660-664)
+    os.makedirs("eval_results", exist_ok=True)
+    with open(os.path.join("eval_results",
+                           f"{opt.id}_{args.split}.json"), "w") as f:
+        json.dump({"predictions": result["predictions"],
+                   "lang_stats": result["lang_stats"],
+                   "decode_time": result["decode_time"],
+                   "images_per_s": result["images_per_s"]}, f)
     return result
 
 

@@ -261,9 +261,15 @@ def train(opt):
                                "language_eval": opt.language_eval,
                                "train_mode": opt.train_mode,
                                "id": opt.id, "verbose": False}
-                modes = ([""] if opt.train_mode in
-                         ("AIC", "auto", "NAIC", "SAIC", "NNAIC")
-                         else ["SAIC", "NAIC"])
+                # dual/triple inference-mode eval for the unified models
+                # (reference train.py:297-339)
+                if opt.train_mode in ("AIC", "auto", "NAIC", "SAIC",
+                                      "NNAIC", "PB_pad"):
+                    modes = [""]
+                elif opt.train_mode in ("UIC_s", "UIC_u"):
+                    modes = ["AIC", "SAIC", "NAIC"]
+                else:
+                    modes = ["SAIC", "NAIC"]
                 results = {}
                 for im in modes:
                     results[im or opt.train_mode] = eval_split(
