@@ -324,15 +324,25 @@ def make_rl_sample(model: BoFiCap, sample_method: str = "sample",
                 model, params, rng, memory, src_mask,
                 sample_method="greedy")
         else:
-            r1, r2 = jax.random.split(rng)
+            r1, r2, r3 = jax.random.split(rng, 3)
+            use_syn_pred = mode in ("UIC_s", "UIC_u")
             if mode in ("SAIC", "UIC", "UIC_ds", "UIC_s", "UIC_u"):
+                # UIC_s/u's SA core feeds the predictor the SYN plan
+                # (core_UIC_s_SAIC, TransformerModel.py:2232-2234)
                 out["sa"] = bf.sa_decode(model, params, r1, mem, msk,
                                          sample_method=sample_method,
-                                         temperature=temperature)
+                                         temperature=temperature,
+                                         predictor_use_syn=use_syn_pred)
             if mode in ("NAIC", "UIC", "UIC_ds", "UIC_s", "UIC_u"):
                 out["na"] = bf.na_decode(model, params, r2, mem, msk,
                                          sample_method=sample_method,
                                          temperature=temperature)
+            if use_syn_pred:
+                # third branch: plan-gated AR sampling (loss_wrapper.py
+                # :296-330 samples AIC+SAIC+NAIC for UIC_s/u)
+                out["sample"] = bf.uic_s_ar_decode(
+                    model, params, r3, mem, msk,
+                    sample_method=sample_method, temperature=temperature)
         return out
 
     return sample
@@ -388,16 +398,41 @@ def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
             return m.generate(h)
 
         out["na_logprob"] = model.apply(params, method=na_fill, rngs=rngs)
-    if "sample" in samples:  # AR branch (transformer or LSTM captioners)
+    if "sample" in samples:  # AR branch
         s = samples["sample"]
         seq = s["seq"]
         B = seq.shape[0]
         labels = jnp.concatenate(
             [jnp.full((B, 1), BOS, seq.dtype), seq,
              jnp.zeros((B, 1), seq.dtype)], axis=1)
-        o = model.apply(params, att_feats, att_masks, labels,
-                        deterministic=deterministic, rngs=rngs)
-        out["a_logprob"] = o["logprob"][:, :L]
+        if model.train_mode in ("UIC_s", "UIC_u"):
+            # plan-gated AR decode with syn embeddings: re-score via the
+            # teacher-forced decode_a on the sampled plan's syn sequence
+            pl_f = jnp.concatenate(
+                [jnp.ones((B, 1), s["phrase_length"].dtype),
+                 s["phrase_length"],
+                 jnp.zeros((B, 1), s["phrase_length"].dtype)], 1)
+            ps_f = jnp.concatenate(
+                [jnp.full((B, 1), BOS, s["phrase_syn"].dtype),
+                 s["phrase_syn"],
+                 jnp.zeros((B, 1), s["phrase_syn"].dtype)], 1)
+            word_syn = po.extend_syn_seq(pl_f, ps_f, L)[:, 1:-1]
+            from ..models.layers import causal_mask
+            inp = labels[:, :-2]
+            keep = (inp != EOS) & (inp != PAD)
+            keep = keep.at[:, 0].set(True)
+            mask = keep[:, None, :] & causal_mask(inp.shape[1])[None]
+
+            def a_fill(m):
+                h = m.decode_a(inp, mem, msk, mask, deterministic,
+                               syn_seq=word_syn)
+                return m.generate(h)
+
+            out["a_logprob"] = model.apply(params, method=a_fill, rngs=rngs)
+        else:
+            o = model.apply(params, att_feats, att_masks, labels,
+                            deterministic=deterministic, rngs=rngs)
+            out["a_logprob"] = o["logprob"][:, :L]
     return out
 
 

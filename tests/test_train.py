@@ -221,3 +221,23 @@ def test_pb_pad_xe_step_learns():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_rl_sample_uic_s_three_branches():
+    """UIC_s RL sampling returns AR+SA+NA branches and the rl step updates."""
+    cfg, data, model, tx, state = setup("UIC_s")
+    cfg.structure_loss_type = "new_self_critical"
+    init_scorer("corpus")
+    sample_fn = steps_mod.make_rl_sample(model, sample_method="sample",
+                                         sample_n=cfg.train_sample_n)
+    rl_step = steps_mod.make_rl_step(model, tx, cfg)
+    batch = data.get_batch("train")
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    samples = sample_fn(state.params, jax.random.PRNGKey(0), att, am)
+    assert set(samples) == {"sa", "na", "sample"}
+    scores = steps_mod.rl_host_scores(samples, batch["gts"], cfg)
+    state2, metrics = rl_step(state, jax.random.PRNGKey(1), att, am,
+                              samples, {k: jnp.asarray(v)
+                                        for k, v in scores.items()})
+    assert np.isfinite(float(metrics["loss"]))
