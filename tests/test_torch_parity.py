@@ -195,3 +195,50 @@ def test_uic_greedy_decode_parity(parity_uic):
         if totals[b] == totals[-1]:
             np.testing.assert_allclose(np.asarray(got["logprobs"])[b],
                                        ref_lp[b], rtol=1e-3, atol=2e-4)
+
+
+def test_uic_ds_forward_parity():
+    """Separate-decoder variant: checks the converter's decoder_SA/decoder_NA
+    -> decoder0/decoder1 mapping end to end."""
+    from captioning.models.TransformerModel import TransformerModel
+    torch.manual_seed(3)
+    ref = TransformerModel(ref_opt("UIC_ds"))
+    ref.eval()
+    model = build_model(our_cfg("UIC_ds"), V)
+    params = torch_to_flax(ref.state_dict(), "UIC_ds")
+    att, am, labels, nums, pls, syns = make_inputs(seed=5)
+    ext_syn = np.asarray(po.extend_syn_seq(pls, syns, L))
+    ext_word = np.asarray(po.copy_init(labels, pls, L))
+    ext_mask = np.asarray(po.blockwise_mask(pls, L))
+    with torch.no_grad():
+        # NOTE: the reference's _forward UIC branch passes glat_p, but
+        # EncoderDecoder_UIC_ds.forward doesn't accept it — UIC_ds is
+        # unreachable through the reference's own _forward (latent bug).
+        # Drive the inner module directly, mirroring _forward minus glat.
+        t_att = ref.att_embed(torch.from_numpy(att))
+        t_mask = torch.from_numpy(am).unsqueeze(-2)
+        sa_len, sa_syn, sa_h, na_len, na_syn, na_h = ref.model(
+            t_att, t_mask, torch.from_numpy(labels),
+            torch.from_numpy(nums), torch.from_numpy(pls),
+            torch.from_numpy(ext_syn), torch.from_numpy(ext_word),
+            torch.from_numpy(ext_mask))
+        ref_out = [sa_len, sa_syn,
+                   torch.log_softmax(ref.logit(sa_h), -1),
+                   na_len, na_syn,
+                   torch.log_softmax(ref.logit(na_h), -1)]
+    names = ["sa_len_logprob", "sa_syn_logprob", "sa_logprob",
+             "na_len_logprob", "na_syn_logprob", "na_logprob"]
+    ref_map = {n: t.detach().numpy() for n, t in zip(names, ref_out)}
+    ours = model.apply(params, jnp.asarray(att), jnp.asarray(am),
+                       jnp.asarray(labels.astype(np.int32)),
+                       jnp.asarray(nums.astype(np.int32)),
+                       jnp.asarray(pls.astype(np.int32)),
+                       jnp.asarray(syns.astype(np.int32)),
+                       glat_p=None, deterministic=True)
+    n_slots = int(nums.max())
+    for n in names:
+        got, want = np.asarray(ours[n]), ref_map[n]
+        if "len_logprob" in n or "syn_logprob" in n:
+            got, want = got[:, :n_slots], want[:, :n_slots]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4,
+                                   err_msg=n)
