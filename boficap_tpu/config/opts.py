@@ -144,6 +144,7 @@ DEFAULTS: Dict[str, Any] = dict(
     inference_mode="",
     # misc knobs specific to this rebuild
     seed=42,
+    device="",                 # '' = default backend; 'cpu' forces host
     dtype="bfloat16",          # compute dtype on TPU
     param_dtype="float32",
     mesh_shape=None,            # e.g. {"data": 8}; None = all devices on 'data'

@@ -217,8 +217,16 @@ def nnaic_loss(length_pred, word_logprob, target, mask,
     length = mask.sum(-1)
     length_loss = (length - length_pred) ** 2
     if reduction == "none":
-        return (word.sum(-1) + 0.1 * length_loss) / jnp.maximum(mask.sum(-1), 1e-8)
-    return (word.sum() + length_loss.sum()) / jnp.maximum(mask.sum(), 1e-8)
+        return {"loss": (word.sum(-1) + 0.1 * length_loss)
+                / jnp.maximum(mask.sum(-1), 1e-8)}
+    denom = jnp.maximum(mask.sum(), 1e-8)
+    out = {"word_loss": word.sum() / denom,
+           "length_loss": length_loss.sum() / denom}
+    # NOTE: the reference's NNAIC length head receives no gradient (argmax
+    # with .data, TransformerModel.py:1248-1250), so length_loss moves in
+    # discrete jumps — replicated as-is
+    out["loss"] = out["word_loss"] + out["length_loss"]
+    return out
 
 
 # ---------------------------------------------------------------------------

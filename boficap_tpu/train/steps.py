@@ -148,9 +148,14 @@ def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
     elif mode == "NNAIC":
         tgt = f["labels"][:, 1:]
         msk = f["masks"][:, 1:]
-        loss = Lm.nnaic_loss(
+        d = Lm.nnaic_loss(
             jax.lax.stop_gradient(out["length_pred"]).astype(jnp.float32),
             out["logprob"], tgt, msk, reduction)
+        if reduction == "none":
+            loss = d["loss"]
+        else:
+            loss = d.pop("loss")
+            metrics.update(d)
     elif mode in ("NAIC", "SAIC"):
         if mode == "SAIC":
             d = Lm.naic_loss(out["sa_len_logprob"], out["sa_syn_logprob"],

@@ -56,3 +56,22 @@ def test_eval_split_runs(mode, infer, beam):
     for p in out["predictions"]:
         assert isinstance(p["caption"], str)
         assert np.isfinite(p["perplexity"])
+
+
+def test_sample_n_eval():
+    """eval_split_n machinery: n captions per image via repeated sampling
+    and via all-beams (reference eval_utils.py:671-722)."""
+    from boficap_tpu.eval.eval_utils import sample_n_captions
+    cfg, data, model, tx, state = setup("AIC")
+    batch = data.get_batch("val")
+    import jax.numpy as jnp
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    memory = model.apply(state.params, att, am, deterministic=True,
+                         method="encode")
+    src = am.astype(bool)
+    for method in ("sample", "bs"):
+        ids = sample_n_captions(model, state.params, memory, src,
+                                jax.random.PRNGKey(0),
+                                {"sample_n": 3, "sample_n_method": method})
+        assert ids.shape == (att.shape[0], 3, 20)

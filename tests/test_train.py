@@ -56,11 +56,14 @@ def test_xe_step_learns(mode):
     cfg, data, model, tx, state = setup(mode)
     step_fn = steps_mod.make_xe_step(model, tx)
     batch = data.get_batch("train")
+    # NNAIC: the length-MSE term rides a NO-gradient argmax head (reference
+    # quirk, replicated) and jumps discretely — assert on the word loss
+    key = "word_loss" if mode == "NNAIC" else "loss"
     losses = []
     for i in range(4):
         state, metrics = steps_mod.run_xe_step(
             step_fn, state, batch, jax.random.PRNGKey(i))
-        losses.append(float(metrics["loss"]))
+        losses.append(float(metrics[key]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]       # same batch: loss must drop
 

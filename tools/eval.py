@@ -53,6 +53,9 @@ def parse_eval_opt(argv=None):
 
 def main(argv=None):
     args = parse_eval_opt(argv)
+    if getattr(args, "device", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     with open(args.infos_path, "rb") as f:
         infos = pickle.load(f)

@@ -49,6 +49,9 @@ def log_metrics(path, record):
 
 
 def train(opt):
+    if opt.get("device") == "cpu":
+        # must happen before jax initializes a backend
+        jax.config.update("jax_platforms", "cpu")
     np.random.seed(opt.seed)
     rng = jax.random.PRNGKey(opt.seed)
 
