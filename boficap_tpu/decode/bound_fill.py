@@ -77,9 +77,20 @@ def bound_plan(model, params, memory, src_mask, n_steps: int, L: int
     L2 = L + 2
     B = memory.shape[0]
 
-    def bound_step(ids, prefix):
-        return model.apply(params, ids, prefix, memory, src_mask, True,
-                           method="bound_step")
+    if model.N_len == 1:
+        # fast path: cross K/V, the SYN_DIM x L2 self-attn K/V table, and the
+        # constant [LEN] query are loop-invariant — hoist them out of the
+        # while_loop (BoFiCap.bound_cache); the body becomes a gather plus
+        # one-row attention instead of re-embedding/projecting all of L2
+        cache = model.apply(params, memory, True, method="bound_cache")
+
+        def bound_step(ids, prefix):
+            return model.apply(params, cache, ids, prefix, src_mask,
+                               method="bound_step_cached")
+    else:
+        def bound_step(ids, prefix):
+            return model.apply(params, ids, prefix, memory, src_mask, True,
+                               method="bound_step")
 
     def cond(s):
         return (s["i"] < n_steps) & jnp.any(~s["finished"])
@@ -185,6 +196,11 @@ def sa_decode(model, params, rng, memory, src_mask, *,
     V = model.tgt_vocab
     n_steps = L if max_steps is None else min(max_steps, L)
     pos_dec = jnp.arange(L)[None, :]
+    # loop-invariant predictor tensors (see bound_plan): full K/V table for
+    # the syn-input variant, cached cross K/V + constant query otherwise
+    bcache = (model.apply(params, memory, predictor_use_syn,
+                          method="bound_cache")
+              if model.N_len == 1 else None)
 
     def cond(s):
         return (s["i"] <= n_steps) & jnp.any(~s["finished"])
@@ -192,9 +208,14 @@ def sa_decode(model, params, rng, memory, src_mask, *,
     def body(s):
         rng, skey = jax.random.split(s["rng"])
         pred_ids = s["extend_syn"] if predictor_use_syn else s["extend_len"]
-        len_lp, syn_lp = model.apply(
-            params, pred_ids, s["phrase_last"], memory, src_mask,
-            predictor_use_syn, method="bound_step")
+        if bcache is not None:
+            len_lp, syn_lp = model.apply(
+                params, bcache, pred_ids, s["phrase_last"], src_mask,
+                use_syn=predictor_use_syn, method="bound_step_cached")
+        else:
+            len_lp, syn_lp = model.apply(
+                params, pred_ids, s["phrase_last"], memory, src_mask,
+                predictor_use_syn, method="bound_step")
         len_N = jnp.argmax(len_lp, -1).astype(jnp.int32)
         syn_N = jnp.argmax(syn_lp, -1).astype(jnp.int32)
         len_eff, _, upd = _bound_update(s, len_N, syn_N, L, s["i"],
@@ -369,6 +390,8 @@ def ss_sa_loop(model, params, rng, memory, src_mask, labels, phrase_length,
     L = L2 - 2
     B = memory.shape[0]
     pos_dec = jnp.arange(L)[None, :]
+    bcache = (model.apply(params, memory, False, method="bound_cache")
+              if model.N_len == 1 else None)
 
     def cond(s):
         return (s["i"] < L2 - 1) & jnp.any(~s["finished"])
@@ -376,9 +399,14 @@ def ss_sa_loop(model, params, rng, memory, src_mask, labels, phrase_length,
     def body(s):
         rng, k_len, k_coin, k_sub, k_word = jax.random.split(s["rng"], 5)
         i = s["i"]
-        len_lp, syn_lp = model.apply(
-            params, s["extend_len"], s["phrase_last"], memory, src_mask,
-            False, method="bound_step")
+        if bcache is not None:
+            len_lp, syn_lp = model.apply(
+                params, bcache, s["extend_len"], s["phrase_last"], src_mask,
+                use_syn=False, method="bound_step_cached")
+        else:
+            len_lp, syn_lp = model.apply(
+                params, s["extend_len"], s["phrase_last"], memory, src_mask,
+                False, method="bound_step")
         len_N = jnp.argmax(len_lp, -1).astype(jnp.int32)
         syn_N = jnp.argmax(syn_lp, -1).astype(jnp.int32)
 

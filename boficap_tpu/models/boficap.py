@@ -49,6 +49,7 @@ from .layers import (
     dense_init,
     layer_norm,
     prefix_mask,
+    sinusoid_table,
 )
 
 # decoder-stack role table: train_mode -> {role: stack_index}
@@ -204,6 +205,74 @@ class BoFiCap(nn.Module):
             for layer in self.lp_layers:
                 x = layer(x, mem, sm, ms, deterministic)
             h = self.lp_norm(x)[:, 0, :].reshape(B, S, -1)
+        return self._lp_heads(h, deterministic)
+
+    def bound_cache(self, memory, use_syn: bool = True):
+        """Loop-invariant tensors for the fast inference bounding step
+        (N_len == 1, every shipped config).
+
+        Everything the per-step predictor recomputes in the reference's loop
+        (TransformerModel.py:1828-1870) except the [LEN]-row state itself is
+        invariant across bounding iterations:
+          * cross-attention K/V are projections of the encoder memory,
+          * with the SYN-vocab predictor input, self-attention key/value rows
+            depend only on (token id, position) — a SYN_DIM x L2 lookup table
+            (220 rows) replaces the per-step embed+norm+project of the whole
+            [B, L2] sequence,
+          * the [LEN] query row (id LEN at position 0) is one constant vector.
+        The cached step is the same math, just hoisted out of the while_loop.
+        """
+        layer = self.lp_layers[0]
+        kc, vc = layer.src_attn.project_kv(memory)
+        L2 = self.max_length + 2
+        pe = sinusoid_table(L2, self.d_model).astype(self.dtype)
+
+        cache = {"kc": kc, "vc": vc}
+        emb_mod = self.syn_embed if use_syn else self.word_embed
+        if use_syn:
+            y = emb_mod(jnp.arange(SYN_DIM))                  # [Vs, d] (x√d)
+            y_vp = y[:, None, :] + pe[None, :, :]             # [Vs, L2, d]
+            n = layer.sub0.norm_only(y_vp)
+            cache["kt"] = layer.self_attn.wk(n)               # [Vs, L2, d]
+            cache["vt"] = layer.self_attn.wv(n)
+        # constant [LEN]-row query + its residual input
+        x0 = emb_mod(jnp.full((1, 1), LEN))[0, 0] + pe[0]     # [d]
+        n0 = layer.sub0.norm_only(x0[None, None, :])
+        cache["qh"] = layer.self_attn.project_q(n0)           # [1, H, 1, Dh]
+        cache["x0"] = x0
+        return cache
+
+    def bound_step_cached(self, cache, ids, prefix, src_mask,
+                          deterministic=True, use_syn: bool = True):
+        """``bound_step`` with the loop-invariant work hoisted into ``cache``
+        (see ``bound_cache``).  Numerically identical at deterministic=True.
+        """
+        layer = self.lp_layers[0]
+        B, L2 = ids.shape
+        if "kt" in cache:
+            pos = jnp.arange(L2)[None, :]
+            kh = layer.self_attn._heads(cache["kt"][ids, pos])
+            vh = layer.self_attn._heads(cache["vt"][ids, pos])
+        else:
+            # word-vocab predictor input (SAIC): table infeasible, project
+            # the current sequence but still reuse qh/x0/cross K/V
+            y = self._lp_embed(ids, use_syn, deterministic)
+            n = layer.sub0.norm_only(y)
+            kh, vh = layer.self_attn.project_kv(n)
+        qh = jnp.broadcast_to(cache["qh"],
+                              (B,) + cache["qh"].shape[1:])
+        mask = prefix_mask(prefix, L2)[:, None, :]            # [B, 1, L2]
+        att = layer.self_attn.attend(qh, kh, vh, mask, deterministic)
+        x = cache["x0"][None, None, :] + layer.sub0.drop(
+            att, deterministic=deterministic)
+        n1 = layer.sub1.norm_only(x)
+        q1 = layer.src_attn.project_q(n1)
+        att1 = layer.src_attn.attend(q1, cache["kc"], cache["vc"], src_mask,
+                                     deterministic)
+        x = x + layer.sub1.drop(att1, deterministic=deterministic)
+        x = layer.sub2(x, lambda y_: layer.ffn(y_, deterministic),
+                       deterministic)
+        h = self.lp_norm(x)[:, 0, :]
         return self._lp_heads(h, deterministic)
 
     def bound_step(self, ids, prefix, memory, src_mask, use_syn: bool,

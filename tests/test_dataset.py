@@ -143,3 +143,32 @@ def test_dataloader_raw(tmp_path):
     assert len(b["infos"]) == 2
     b2 = d.get_batch()
     assert b2["bounds"]["wrapped"]
+
+
+def test_use_box_geometry(tmp_path):
+    """use_box appends 5 normalized geometry channels and sorts regions by
+    box area (reference dataloader.py:471-487; att_feat_size +5 via opts)."""
+    store = LabelStore.synthetic(n_images=6)
+    for img in store.images:
+        img["width"], img["height"] = 100, 50
+    att_dir, box_dir = tmp_path / "att", tmp_path / "box"
+    att_dir.mkdir(); box_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for img in store.images:
+        np.savez(att_dir / f"{img['id']}.npz",
+                 feat=rng.randn(8, 16).astype(np.float32))
+        x1 = rng.uniform(0, 50, (8, 1)); y1 = rng.uniform(0, 25, (8, 1))
+        box = np.hstack([x1, y1, x1 + rng.uniform(1, 50, (8, 1)),
+                         y1 + rng.uniform(1, 25, (8, 1))]).astype(np.float32)
+        np.save(box_dir / f"{img['id']}.npy", box)
+    cfg = data_cfg(use_box=1, att_feat_size=16,
+                   input_att_dir=str(att_dir), input_box_dir=str(box_dir),
+                   max_boxes=8)
+    assert cfg.att_feat_size == 21            # widened +5 by finalize
+    d = CaptionData(cfg, labels=store)
+    b = d.get_batch("train")
+    assert b["att_feats"].shape == (4, 8, 21)
+    areas = b["att_feats"][..., -1]
+    assert (areas <= 1.0 + 1e-6).all()        # area fraction of the image
+    for row in areas:                          # sorted descending
+        assert (np.diff(row[row > 0]) <= 1e-6).all()

@@ -399,3 +399,43 @@ def test_pb_decode_runs():
     total = out["phrase_length"].sum(-1)
     for b in range(3):
         assert (out["seq"][b, total[b]:] == 0).all()
+
+
+def test_bound_step_cached_matches_uncached():
+    """The hoisted bounding step (bound_cache + bound_step_cached: K/V
+    lookup table + cached cross K/V + constant [LEN] query) must compute the
+    same function as bound_step."""
+    model, params, memory, src_mask = _setup("UIC", seed=7)
+    L2 = model.max_length + 2
+    rng = np.random.RandomState(3)
+    ids = np.zeros((4, L2), np.int32)
+    ids[:, 0] = 3
+    for b in range(4):
+        k = rng.randint(1, 8)
+        ids[b, 1:1 + k] = rng.randint(4, 7, k)
+    ids = jnp.asarray(ids)
+    prefix = jnp.asarray(rng.randint(1, 10, 4).astype(np.int32))
+
+    ref_len, ref_syn = model.apply(params, ids, prefix, memory, src_mask,
+                                   True, method="bound_step")
+    cache = model.apply(params, memory, True, method="bound_cache")
+    fast_len, fast_syn = model.apply(params, cache, ids, prefix, src_mask,
+                                     method="bound_step_cached")
+    np.testing.assert_allclose(np.asarray(fast_len), np.asarray(ref_len),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast_syn), np.asarray(ref_syn),
+                               rtol=1e-4, atol=1e-5)
+
+    # word-vocab variant (no table; cached cross K/V + constant query only)
+    wids = jnp.asarray(
+        np.concatenate([np.full((4, 1), 3), rng.randint(4, V, (4, L2 - 1))],
+                       axis=1).astype(np.int32))
+    ref_len, ref_syn = model.apply(params, wids, prefix, memory, src_mask,
+                                   False, method="bound_step")
+    wcache = model.apply(params, memory, False, method="bound_cache")
+    fast_len, fast_syn = model.apply(params, wcache, wids, prefix, src_mask,
+                                     use_syn=False, method="bound_step_cached")
+    np.testing.assert_allclose(np.asarray(fast_len), np.asarray(ref_len),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast_syn), np.asarray(ref_syn),
+                               rtol=1e-4, atol=1e-5)

@@ -53,9 +53,15 @@ def parse_eval_opt(argv=None):
 
 def main(argv=None):
     args = parse_eval_opt(argv)
+    import jax
     if getattr(args, "device", "") == "cpu":
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     with open(args.infos_path, "rb") as f:
         infos = pickle.load(f)
@@ -103,6 +109,35 @@ def main(argv=None):
         f.get("phrase_syn"), glat_p=None, deterministic=True)
     params = load_params(args.model, template)
     loader.reset_iterator(args.split)
+
+    # attention-heatmap dump (reference's glo accumulator: fed from
+    # MultiHeadedAttention draw=True, TransformerModel.py:1461-1462, printed
+    # at tools/eval.py:126).  One teacher-forced batch with capture on; all
+    # sown maps are saved whole, plus the reference-style 10x10 mean print.
+    if getattr(args, "dump_attention", 0):
+        from boficap_tpu.models.layers import set_capture_attention
+        set_capture_attention(True)
+        try:
+            _, inter = model.apply(
+                template if params is None else params,
+                jnp.asarray(ex["att_feats"]), jnp.asarray(ex["att_masks"]),
+                f["labels"], f.get("phrase_num"), f.get("phrase_length"),
+                f.get("phrase_syn"), glat_p=None, deterministic=True,
+                mutable=["intermediates"])
+        finally:
+            set_capture_attention(False)
+        flat = {"/".join(str(p) for p in path): np.asarray(v)
+                for path, v in jax.tree_util.tree_flatten_with_path(
+                    inter["intermediates"])[0]}
+        os.makedirs("vis", exist_ok=True)
+        np.savez("vis/attn.npz", **flat)
+        acc = np.zeros((10, 10))
+        for v in flat.values():                     # [B, H, Q, K] maps
+            m = v.mean(axis=(0, 1))
+            q, k = min(10, m.shape[0]), min(10, m.shape[1])
+            acc[:q, :k] += m[:q, :k]
+        print("attention 10x10 accumulator (saved full maps to vis/attn.npz)")
+        print(np.array_str(acc, precision=3, suppress_small=True))
 
     result = eval_utils.eval_split(model, params, loader, eval_kwargs,
                                    inference_mode=args.inference_mode)

@@ -52,6 +52,14 @@ def train(opt):
     if opt.get("device") == "cpu":
         # must happen before jax initializes a backend
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache shared with the test suite: repeat CLI
+    # runs of the same program shapes skip XLA compilation entirely
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     np.random.seed(opt.seed)
     rng = jax.random.PRNGKey(opt.seed)
 
