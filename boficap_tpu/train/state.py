@@ -86,7 +86,17 @@ def resume_state(cfg, state: TrainState) -> TrainState:
     opt_state = state.opt_state
     if os.path.exists(opt_path):
         with open(opt_path, "rb") as f:
-            opt_state = serialization.from_bytes(opt_state, f.read())
+            try:
+                opt_state = serialization.from_bytes(opt_state, f.read())
+            except ValueError as e:
+                # optimizer TYPE changed between stages (e.g. XE under noam
+                # inject_hyperparams -> RL under a plain schedule): optax
+                # bakes the schedule into opt_state, so the structures don't
+                # match.  The reference's NoamOpt wraps OUTSIDE optimizer.pth
+                # (misc.py:160-199), making its stage-2 resume effectively a
+                # fresh-schedule start — do the same here.
+                print(f"optimizer.ckpt structure mismatch ({e}); "
+                      f"starting stage with a fresh optimizer state")
     return TrainState(params=params, opt_state=opt_state, step=state.step)
 
 
