@@ -244,3 +244,46 @@ def test_rl_sample_uic_s_three_branches():
                               samples, {k: jnp.asarray(v)
                                         for k, v in scores.items()})
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_resume_across_optimizer_change(tmp_path):
+    """Stage-2 resume with a different optimizer type (XE noam -> RL plain)
+    must load params and fall back to a fresh optimizer state instead of
+    crashing on the optax opt_state structure mismatch (the reference's
+    NoamOpt wraps outside optimizer.pth, so its stage-2 resume behaves the
+    same way)."""
+    from boficap_tpu.train.state import (create_state, resume_state,
+                                         save_checkpoint)
+
+    cfg1 = make_cfg("AIC")                               # noam stage
+    model = build_model(cfg1, 44)
+    labels = jnp.zeros((4, 22), jnp.int32).at[:, 0].set(1)
+    att = jnp.zeros((2, 9, 2048), jnp.float32)
+    am = jnp.ones((2, 9), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, att, am, labels,
+                        deterministic=True)
+    tx1 = optim_mod.build_optimizer(cfg1)
+    st1 = create_state(params, tx1)
+    cfg1.checkpoint_path = str(tmp_path)
+    save_checkpoint(cfg1, st1, infos={"iter": 1, "epoch": 1,
+                                      "opt": dict(cfg1)}, histories={})
+
+    cfg2 = make_cfg("AIC")
+    cfg2.noamopt = False                                  # plain stage
+    cfg2.start_from = str(tmp_path)
+    tx2 = optim_mod.build_optimizer(cfg2)
+    st2 = create_state(params, tx2)
+    fresh_opt = st2.opt_state
+    st2 = resume_state(cfg2, st2)                         # must not raise
+    a = jax.tree_util.tree_leaves(st2.params)
+    b = jax.tree_util.tree_leaves(params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    assert jax.tree_util.tree_structure(st2.opt_state) == \
+        jax.tree_util.tree_structure(fresh_opt)
+
+    # same-optimizer resume still restores the saved opt_state
+    cfg3 = make_cfg("AIC")
+    cfg3.start_from = str(tmp_path)
+    st3 = resume_state(cfg3, create_state(params, optim_mod.build_optimizer(cfg3)))
+    assert jax.tree_util.tree_structure(st3.opt_state) == \
+        jax.tree_util.tree_structure(st1.opt_state)
