@@ -198,6 +198,13 @@ def main():
     t_ar = timed(decode_ar, memory, src_mask)
     t_ar0 = timed(decode_ar_nocache, memory, src_mask)
 
+    # p50 single-caption latency (SURVEY §6 acceptance metric): device time
+    # of one encode+NA decode at B=1 (the tunnel RTT is excluded — it is a
+    # property of this dev link, not of the chip or framework)
+    mem1, sm1 = memory[:1], src_mask[:1]
+    _fetch(decode_na(mem1, sm1, KEY))
+    t_na1 = timed(decode_na, mem1, sm1)
+
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
     speedup_ref = t_ar0 / t_na
@@ -214,6 +221,7 @@ def main():
             "ar_nocache_images_per_s": round(BATCH / t_ar0, 2),
             "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
+            "na_p50_latency_ms_b1": round(t_na1 * 1000, 3),
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),
             "note_batch_scaling": "NA ~32k img/s and ~10.2x ratio also at "
