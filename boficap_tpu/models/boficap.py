@@ -238,7 +238,7 @@ class BoFiCap(nn.Module):
         # constant [LEN]-row query + its residual input
         x0 = emb_mod(jnp.full((1, 1), LEN))[0, 0] + pe[0]     # [d]
         n0 = layer.sub0.norm_only(x0[None, None, :])
-        cache["qh"] = layer.self_attn.project_q(n0)           # [1, H, 1, Dh]
+        cache["qh"] = layer.self_attn.project_q(n0)           # [1, 1, H, Dh]
         cache["x0"] = x0
         return cache
 

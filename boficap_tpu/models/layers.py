@@ -69,9 +69,13 @@ class MultiHeadAttention(nn.Module):
         self.drop = nn.Dropout(self.dropout_rate)
 
     def _heads(self, x):
+        # heads stay in [B, L, H, Dh] layout — attention einsums contract
+        # directly from it, avoiding the [B,H,L,Dh] transposes (a measured
+        # ~15% of decode-layer device time at BoFiCap's tiny L; the MXU gets
+        # the same contractions either way)
         B, L, _ = x.shape
         H = self.num_heads
-        return x.reshape(B, L, H, self.d_model // H).transpose(0, 2, 1, 3)
+        return x.reshape(B, L, H, self.d_model // H)
 
     def project_q(self, x):
         return self._heads(self.wq(x))
@@ -80,9 +84,10 @@ class MultiHeadAttention(nn.Module):
         return self._heads(self.wk(x)), self._heads(self.wv(x))
 
     def attend(self, qh, kh, vh, mask=None, deterministic: bool = True):
-        """qh [B,H,Lq,Dh], kh/vh [B,H,Lk,Dh]; mask [B,Lk] | [B,Lq,Lk] | 4-D."""
-        B, H, Lq, Dh = qh.shape
-        Lk = kh.shape[2]
+        """qh [B,Lq,H,Dh], kh/vh [B,Lk,H,Dh]; mask [B,Lk] | [B,Lq,Lk] | 4-D
+        (broadcastable over [B,H,Lq,Lk])."""
+        B, Lq, H, Dh = qh.shape
+        Lk = kh.shape[1]
         if (PALLAS_ATTENTION["enabled"] and deterministic
                 and mask is not None and mask.ndim in (2, 3)):
             # fused scores+mask+softmax+context kernel (ops/pallas_attention);
@@ -90,12 +95,14 @@ class MultiHeadAttention(nn.Module):
             from ..ops.pallas_attention import attention_core
             m3 = (jnp.broadcast_to(mask[:, None, :], (B, Lq, Lk))
                   if mask.ndim == 2 else mask)
-            out = attention_core(qh, kh, vh, m3,
+            out = attention_core(qh.transpose(0, 2, 1, 3),
+                                 kh.transpose(0, 2, 1, 3),
+                                 vh.transpose(0, 2, 1, 3), m3,
                                  interpret=PALLAS_ATTENTION["interpret"])
             out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
             return self.wo(out)
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
         ) / math.sqrt(Dh)
         if mask is not None:
             if mask.ndim == 2:       # [B, Lk] padding mask
@@ -107,8 +114,8 @@ class MultiHeadAttention(nn.Module):
         if CAPTURE_ATTENTION["enabled"]:
             self.sow("intermediates", "attn", probs)
         probs = self.drop(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        out = out.reshape(B, Lq, self.d_model)
         return self.wo(out)
 
     def __call__(self, q, k, v, mask=None, deterministic: bool = True):
@@ -273,7 +280,7 @@ class DecoderLayer(nn.Module):
         H = self.num_heads
         Dh = self.d_model // H
         kc, vc = self.src_attn.project_kv(memory)
-        z = jnp.zeros((B, H, max_len, Dh), dtype=kc.dtype)
+        z = jnp.zeros((B, max_len, H, Dh), dtype=kc.dtype)
         return {"ks": z, "vs": z, "kc": kc, "vc": vc}
 
     def step(self, x_t, cache, pos, src_mask, deterministic: bool = True):
@@ -281,9 +288,9 @@ class DecoderLayer(nn.Module):
         of this token.  Returns (out_t [B, 1, d], new cache)."""
         n = self.sub0.norm_only(x_t)
         kh, vh = self.self_attn.project_kv(n)
-        ks = jax.lax.dynamic_update_slice_in_dim(cache["ks"], kh, pos, axis=2)
-        vs = jax.lax.dynamic_update_slice_in_dim(cache["vs"], vh, pos, axis=2)
-        Lmax = ks.shape[2]
+        ks = jax.lax.dynamic_update_slice_in_dim(cache["ks"], kh, pos, axis=1)
+        vs = jax.lax.dynamic_update_slice_in_dim(cache["vs"], vh, pos, axis=1)
+        Lmax = ks.shape[1]
         vis = (jnp.arange(Lmax) <= pos)[None, None, None, :]
         qh = self.self_attn.project_q(n)
         att = self.self_attn.attend(qh, ks, vs, vis, deterministic)
