@@ -182,9 +182,12 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     """Returns {'loss', 'predictions', 'lang_stats', 'decode_time',
     'compile_time', 'n_images', 'images_per_s'}."""
     verbose = eval_kwargs.get("verbose", False)
+    # -1 = the whole split (training-time eval passes val_images_use AS
+    # num_images, tools/train.py; the eval CLI's explicit -1 must not be
+    # silently capped by the val_images_use saved in the train infos)
     num_images = eval_kwargs.get("num_images", -1)
-    if num_images is None or num_images < 0:
-        num_images = eval_kwargs.get("val_images_use", -1)
+    if num_images is None:
+        num_images = -1
     split = eval_kwargs.get("split", "val")
     lang_eval_flag = eval_kwargs.get("language_eval", 0)
     train_mode = eval_kwargs.get("train_mode", model.train_mode)

@@ -121,7 +121,8 @@ def main():
             row = labels[ix * cpi + c]
             toks = [f"w{int(w) - 4}" for w in row if w > 0]
             sents.append({"tokens": toks})
-        raw.append({"split": img["split"], "sentences": sents})
+        raw.append({"split": img["split"], "cocoid": img["id"],
+                    "sentences": sents})
     with open(os.path.join(args.out, "raw.json"), "w") as f:
         json.dump({"images": raw}, f)
     print(f"wrote {n} images / {n_caps} captions to {args.out}")

@@ -86,3 +86,45 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_na_decode_sharded_matches_single_device():
+    """NA decode (bounding while_loop + fill) under a data-sharded batch on
+    the 8-device mesh must equal the unsharded single-device result — the
+    serving-side counterpart of the training-mesh dryrun."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import BoFiCap, build_model
+    from boficap_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    import pathlib, tempfile
+    cfg = train_cfg(pathlib.Path(tempfile.mkdtemp()))
+    model = build_model(cfg, 44)
+    rng = np.random.RandomState(0)
+    B = 8
+    att = jnp.asarray(rng.randn(B, 9, 2048).astype(np.float32))
+    am = jnp.ones((B, 9), bool)
+    labels = jnp.zeros((B, 22), jnp.int32).at[:, 0].set(1)
+    pn = jnp.full((B,), 2, jnp.int32)
+    pl = jnp.zeros((B, 22), jnp.int32).at[:, 0].set(1).at[:, 1].set(2)
+    syn = jnp.zeros((B, 22), jnp.int32).at[:, 1].set(5)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)},
+        att, am, labels, pn, pl, syn, glat_p=None, deterministic=True)
+
+    @jax.jit
+    def decode(a, m):
+        mem = model.apply(params, a, m, deterministic=True,
+                          method=BoFiCap.encode)
+        out = bf.na_decode(model, params, jax.random.PRNGKey(7), mem, m)
+        return out["seq"], out["phrase_num"], out["phrase_length"]
+
+    ref = decode(att, am)
+
+    mesh = make_mesh(8)
+    sh = batch_sharding(mesh)
+    att_s = jax.device_put(att, sh)
+    am_s = jax.device_put(am, sh)
+    got = decode(att_s, am_s)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
