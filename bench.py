@@ -91,6 +91,15 @@ def _measure_rtt():
 RTT_S = 0.0
 KEY = jax.random.PRNGKey(0)
 
+# persistent compile cache (same dir as tests/conftest.py): the pallas fused
+# decoder layer's Mosaic compiles are slow over the axon tunnel (~1 min per
+# shape); warm reruns skip them
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main():
     from boficap_tpu.config import default_config, finalize
@@ -137,15 +146,24 @@ def main():
     NA_STEPS = SA_STEPS = 6
     AR_STEPS = 11
 
+    # pallas fused decoder layer for the fill passes (measured 1.23x on the
+    # NA fill at B=64 on v5e, sequences bit-identical; tests/test_pallas.py)
+    FUSED = jax.default_backend() == "tpu"
+
     @jax.jit
     def decode_na(memory, src_mask, rng):
+        return bf.na_decode(model, params, rng, memory, src_mask,
+                            max_steps=NA_STEPS, fused_fill=FUSED)
+
+    @jax.jit
+    def decode_na_unfused(memory, src_mask, rng):
         return bf.na_decode(model, params, rng, memory, src_mask,
                             max_steps=NA_STEPS)
 
     @jax.jit
     def decode_sa(memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
-                            max_steps=SA_STEPS)
+                            max_steps=SA_STEPS, fused_fill=FUSED)
 
     @jax.jit
     def decode_ar(memory, src_mask, rng):
@@ -189,21 +207,29 @@ def main():
 
     for _ in range(N_WARMUP):
         _fetch(decode_na(memory, src_mask, KEY))
+        _fetch(decode_na_unfused(memory, src_mask, KEY))
         _fetch(decode_sa(memory, src_mask, KEY))
         _fetch(decode_ar(memory, src_mask, KEY))
         _fetch(decode_ar_nocache(memory, src_mask, KEY))
 
     t_na = timed(decode_na, memory, src_mask)
+    t_na_unf = timed(decode_na_unfused, memory, src_mask)
+    t_na = min(t_na, t_na_unf) if not FUSED else t_na
     t_sa = timed(decode_sa, memory, src_mask)
     t_ar = timed(decode_ar, memory, src_mask)
     t_ar0 = timed(decode_ar_nocache, memory, src_mask)
 
     # p50 single-caption latency (SURVEY §6 acceptance metric): device time
     # of one encode+NA decode at B=1 (the tunnel RTT is excluded — it is a
-    # property of this dev link, not of the chip or framework)
+    # property of this dev link, not of the chip or framework).  The fused
+    # fill kernel's fixed overhead loses at B=1 (measured 0.41 vs 0.20 ms),
+    # so a serving stack would route B=1 to the unfused program: report that.
     mem1, sm1 = memory[:1], src_mask[:1]
-    _fetch(decode_na(mem1, sm1, KEY))
-    t_na1 = timed(decode_na, mem1, sm1)
+    _fetch(decode_na_unfused(mem1, sm1, KEY))
+    t_na1 = timed(decode_na_unfused, mem1, sm1)
+    if FUSED:
+        _fetch(decode_na(mem1, sm1, KEY))
+        t_na1 = min(t_na1, timed(decode_na, mem1, sm1))
 
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
@@ -222,6 +248,8 @@ def main():
             "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "na_p50_latency_ms_b1": round(t_na1 * 1000, 3),
+            "na_unfused_ms_per_batch": round(t_na_unf * 1000, 3),
+            "pallas_fused_fill": FUSED,
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),
             "note_batch_scaling": "NA ~32k img/s and ~10.2x ratio also at "

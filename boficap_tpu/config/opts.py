@@ -149,6 +149,9 @@ DEFAULTS: Dict[str, Any] = dict(
     param_dtype="float32",
     mesh_shape=None,            # e.g. {"data": 8}; None = all devices on 'data'
     use_pallas=False,           # pallas attention kernels for the hot paths
+    use_pallas_fill="auto",     # pallas fused decoder layer for NA/SA fill
+                                # decodes: auto = on for TPU (measured 1.23x
+                                # NA at B=64 on v5e), off elsewhere
     profile_steps=0,            # jax.profiler trace of the first N steps
     debug_checks=False,         # checkify nan/oob checks in the XE step
     REFORWARD=False,

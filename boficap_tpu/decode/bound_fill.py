@@ -41,6 +41,17 @@ from .sampling import sample_next_word
 Array = jnp.ndarray
 
 
+def _fused_ctx(model, params, role: str):
+    """Packed weights + final norm of the decoder stack serving ``role``,
+    for the pallas fused decoder forward (ops/pallas_decoder_layer).  Called
+    OUTSIDE any while_loop so packing doesn't rerun per iteration."""
+    from ..models.boficap import DECODER_ROLES
+    from ..ops.pallas_decoder_layer import pack_decoder_weights
+    stack = DECODER_ROLES[model.train_mode][role]
+    return pack_decoder_weights(params["params"][f"decoder{stack}"],
+                                model.dtype, model.num_heads)
+
+
 def _bound_update(s, len_N, syn_N, L, slot, last_key):
     """Shared bounding bookkeeping (reference core_NAIC :1843-1867 /
     core_SAIC :1915-1930): stop / clamp / record the new phrase slot.
@@ -121,8 +132,14 @@ def bound_plan(model, params, memory, src_mask, n_steps: int, L: int
 
 def na_decode(model, params, rng, memory, src_mask, *,
               sample_method: str = "greedy", temperature: float = 1.0,
-              max_steps: Optional[int] = None) -> Dict[str, Any]:
+              max_steps: Optional[int] = None, fused_fill: bool = False,
+              fused_interpret: bool = False) -> Dict[str, Any]:
     """Bound (length/syn while_loop) then fill (one parallel decode).
+
+    ``fused_fill`` routes the fill's decoder stack through the pallas
+    per-layer megakernel (ops/pallas_decoder_layer) — inference only,
+    numerically equivalent (tested); embeddings and the generator head stay
+    on the flax path.
 
     Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
     'phrase_length': [B, L], 'phrase_syn': [B, L]} matching the reference's
@@ -138,11 +155,29 @@ def na_decode(model, params, rng, memory, src_mask, *,
     na_mask = jnp.broadcast_to(
         jnp.arange(L)[None, None, :] < total[:, None, None], (B, L, L))
 
-    def fill(m):
-        h = m.decode_na(s["extend_syn"][:, 1:-1], memory, src_mask, na_mask)
-        return m.generate(h)
+    if fused_fill:
+        from ..ops.pallas_decoder_layer import fused_decoder_forward
+        syn_seq = s["extend_syn"][:, 1:-1]
+        word_seq = jnp.full(syn_seq.shape, BOS, jnp.int32)
 
-    logprob = model.apply(params, method=fill)
+        def embed(m):
+            if m.decoder_input_mode == "single":
+                return m.posenc(m.syn_embed(syn_seq), deterministic=True)
+            return m._mix_inputs(word_seq, syn_seq, "na", True)
+
+        x = model.apply(params, method=embed)
+        packed, fnorm = _fused_ctx(model, params, "NA")
+        h = fused_decoder_forward(x, memory, na_mask, src_mask, packed,
+                                  fnorm, num_heads=model.num_heads,
+                                  interpret=fused_interpret)
+        logprob = model.apply(params, h, method="generate")
+    else:
+        def fill(m):
+            h = m.decode_na(s["extend_syn"][:, 1:-1], memory, src_mask,
+                            na_mask)
+            return m.generate(h)
+
+        logprob = model.apply(params, method=fill)
     ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
     seq = jnp.where(jnp.arange(L)[None, :] < total[:, None],
                     ids.astype(jnp.int32), PAD)
@@ -179,13 +214,17 @@ def _copy_phrase(seq, seq_last, prev, cur, phrase_last, L2):
 def sa_decode(model, params, rng, memory, src_mask, *,
               sample_method: str = "greedy", temperature: float = 1.0,
               max_steps: Optional[int] = None,
-              predictor_use_syn: bool = False) -> Dict[str, Any]:
+              predictor_use_syn: bool = False, fused_fill: bool = False,
+              fused_interpret: bool = False) -> Dict[str, Any]:
     """Semi-autoregressive decode: one predictor + one decoder pass per
     PHRASE (reference core_SAIC, TransformerModel.py:1878-1986).
 
     ``predictor_use_syn``: the UIC_s/UIC_u variant (core_UIC_s_SAIC
     :2203-2311) feeds the length predictor the SYN plan instead of the
     sampled words.
+
+    ``fused_fill`` routes each per-phrase decoder pass through the pallas
+    fused decoder layer (weights packed once, outside the while_loop).
 
     Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
     'phrase_length': [B, L], 'phrase_syn': [B, L]}.
@@ -201,6 +240,7 @@ def sa_decode(model, params, rng, memory, src_mask, *,
     bcache = (model.apply(params, memory, predictor_use_syn,
                           method="bound_cache")
               if model.N_len == 1 else None)
+    fctx = _fused_ctx(model, params, "SA") if fused_fill else None
 
     def cond(s):
         return (s["i"] <= n_steps) & jnp.any(~s["finished"])
@@ -235,12 +275,26 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                             end_dec[:, None], s["vis_dec"])
         tgt_mask = pos_dec[:, None, :] < vis_dec[:, :, None]      # [B, L, L]
 
-        def sa_fill(m):
-            h = m.decode_sa(extend_word[:, 1:-1], extend_syn[:, 1:-1],
-                            memory, src_mask, tgt_mask)
-            return m.generate(h)
+        if fused_fill:
+            from ..ops.pallas_decoder_layer import fused_decoder_forward
 
-        logprob = model.apply(params, method=sa_fill)              # [B, L, V]
+            def embed(m):
+                return m._mix_inputs(extend_word[:, 1:-1],
+                                     extend_syn[:, 1:-1], "sa", True)
+
+            x = model.apply(params, method=embed)
+            h = fused_decoder_forward(x, memory, tgt_mask, src_mask,
+                                      fctx[0], fctx[1],
+                                      num_heads=model.num_heads,
+                                      interpret=fused_interpret)
+            logprob = model.apply(params, h, method="generate")
+        else:
+            def sa_fill(m):
+                h = m.decode_sa(extend_word[:, 1:-1], extend_syn[:, 1:-1],
+                                memory, src_mask, tgt_mask)
+                return m.generate(h)
+
+            logprob = model.apply(params, method=sa_fill)          # [B, L, V]
         ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
         ids_lab = jnp.pad(ids.astype(jnp.int32), ((0, 0), (1, 1)))  # shift +1
 

@@ -66,11 +66,28 @@ def _entropy_ppl(seq: np.ndarray, logprobs: np.ndarray):
     return ent / n, -(tok.sum(1)) / n
 
 
+def _resolve_pallas_fill(flag, model) -> bool:
+    """use_pallas_fill: auto = TPU AND lane-aligned model dims.  The pallas
+    fused decoder layer has no CPU compile path, was only measured to win on
+    TPU, and Mosaic rejects the kernel's [S, L, D] -> [S*L, D] collapse when
+    D is not a multiple of the 128-lane tile (tiny smoke-test models)."""
+    if not isinstance(model, BoFiCap):
+        return False
+    if isinstance(flag, str) and flag.lower() == "auto":
+        return (jax.default_backend() == "tpu"
+                and model.d_model % 128 == 0 and model.d_ff % 128 == 0)
+    if isinstance(flag, str):
+        return flag.lower() in ("1", "true", "yes", "on")
+    return bool(flag)
+
+
 def make_decoders(model: BoFiCap, params, eval_kwargs):
     """jit'd decode callables keyed by branch."""
     beam_size = eval_kwargs.get("beam_size", 1)
     sample_method = eval_kwargs.get("sample_method", "greedy")
     temperature = eval_kwargs.get("temperature", 1.0)
+    fused = _resolve_pallas_fill(eval_kwargs.get("use_pallas_fill", "auto"),
+                                 model)
 
     @jax.jit
     def encode(att, am):
@@ -81,13 +98,13 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     def dec_na(memory, src_mask, rng):
         return bf.na_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
-                            temperature=temperature)
+                            temperature=temperature, fused_fill=fused)
 
     @jax.jit
     def dec_sa(memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
-                            temperature=temperature)
+                            temperature=temperature, fused_fill=fused)
 
     @jax.jit
     def dec_ar(memory, src_mask, rng):
@@ -111,7 +128,8 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     def dec_sa_syn(memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
-                            temperature=temperature, predictor_use_syn=True)
+                            temperature=temperature, predictor_use_syn=True,
+                            fused_fill=fused)
 
     @jax.jit
     def dec_uic_s_ar(memory, src_mask, rng):

@@ -10,6 +10,8 @@ from .lstm_caption import AoANet, FCModel, UpDownModel
 def setup(cfg, vocab_size: int):
     cm = cfg.get("caption_model", "transformer")
     import jax.numpy as jnp
+    from .layers import set_pallas_attention
+    set_pallas_attention(bool(cfg.get("use_pallas", False)))
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         cfg.get("dtype", "float32")]
     common = dict(tgt_vocab=vocab_size + 4,

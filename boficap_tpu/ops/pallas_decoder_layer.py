@@ -19,18 +19,23 @@ softmax in f32.  Matmuls accumulate in f32 and cast back to the compute
 dtype; bf16 results agree with the unfused path to bf16 tolerance (tested),
 f32 results to ~1e-5.
 
-Mosaic-friendly structure: reshapes never split the minor (lane) dim —
-heads live in a LEADING dim of the packed weights ([H, D, Dh]), per-head
-projections are separate 2-D dots, and each head's context is folded back
-through its own [Dh, D] slice of W_o by accumulation (no head concat).
-Scores/softmax/context per (sample, head) are small 2-D ops, like the
-proven pallas_attention kernel.
+Mosaic-friendly structure: heads live in a LEADING dim of the packed
+weights ([H, D, Dh]) and attention is BLOCK-DIAGONAL-BATCHED — the G
+samples of a grid step are flattened to one [G*L, Dh] matrix per head and
+attended in a single dot pair, with the cross-sample score blocks masked
+off by a pre-arranged [G*L, G*Lk] visibility mask (built OUTSIDE the kernel
+by ``_block_diag_masks``).  At BoFiCap's tiny L this wastes (G-1)/G of the
+score FLOPs — a few MFLOP, irrelevant next to the MXU's throughput — and in
+exchange the kernel is H dot pairs per sublayer instead of H*G small ones:
+~60 Mosaic ops per layer instead of ~400, which compiles minutes faster
+through the axon AOT tunnel and runs faster (fewer, larger MXU ops).
 
 Inference only (no dropout); the training path keeps the unfused modules.
 
 Weights are packed OUTSIDE the kernel (``pack_layer_weights``): cast to the
 compute dtype, so one grid step holds ~8.5 MB of weights in VMEM (v5e VMEM
-~16 MB).
+~16 MB).  Their BlockSpec index maps are constant, so Mosaic fetches them
+once and keeps them resident across grid steps.
 """
 
 from __future__ import annotations
@@ -65,41 +70,42 @@ def _refnorm(x, scale, bias, dtype):
             + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _mha(n_q, kv_src, S, Lq, Lk, wq, bq, wk, bk, wv, bv, wo, masks, dtype):
-    """Multi-head attention, heads as leading weight dim.
+def _mha(n_q, kv_src, wq, bq, wk, bk, wv, bv, wo, mask, Lq, Lk, dtype):
+    """Block-diagonal-batched multi-head attention.
 
-    n_q [S*Lq, D] normed queries source, kv_src [S*Lk, D] normed K/V source,
-    wq/wk/wv [H, D, Dh], bq/bk/bv [H, Dh], wo [H, Dh, D],
-    masks: per-sample bool [Lq, Lk] list (True = attend).
-    Returns the pre-bias attention output, f32 [S*Lq, D]."""
+    n_q [N, D] normed queries (N = G*Lq), kv_src [M, D] normed K/V source
+    (M = G*Lk), wq/wk/wv [H, D, Dh], bq/bk/bv [H, Dh], wo [H, Dh, D],
+    mask bool [N, M] (True = attend; cross-sample blocks already False).
+
+    Masked fill is TWO-LEVEL: own-sample masked keys get MASK_FILL (matching
+    the unfused path, where a fully-masked row's scores are ALL MASK_FILL and
+    softmax goes uniform over the sample's own keys), cross-sample blocks get
+    2*MASK_FILL so they stay at zero probability even then.
+
+    Returns the pre-bias attention output, f32 [N, D]."""
     H = wq.shape[0]
     Dh = wq.shape[2]
     D = wq.shape[1]
+    N, M = n_q.shape[0], kv_src.shape[0]
     scale = 1.0 / math.sqrt(Dh)
-    acc = jnp.zeros((S * Lq, D), jnp.float32)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0) // Lq
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1) // Lk
+    fill = jnp.where(row_blk == col_blk, MASK_FILL, 2.0 * MASK_FILL)
+    acc = jnp.zeros((N, D), jnp.float32)
     for h in range(H):
         q = (jnp.dot(n_q, wq[h], preferred_element_type=jnp.float32)
-             .astype(dtype) + bq[h])                       # [S*Lq, Dh]
+             .astype(dtype) + bq[h])                       # [N, Dh]
         k = (jnp.dot(kv_src, wk[h], preferred_element_type=jnp.float32)
-             .astype(dtype) + bk[h])                       # [S*Lk, Dh]
+             .astype(dtype) + bk[h])                       # [M, Dh]
         v = (jnp.dot(kv_src, wv[h], preferred_element_type=jnp.float32)
              .astype(dtype) + bv[h])
-        ctxs = []
-        for s in range(S):
-            qs = q[s * Lq:(s + 1) * Lq]
-            ks = k[s * Lk:(s + 1) * Lk]
-            vs = v[s * Lk:(s + 1) * Lk]
-            sc = jax.lax.dot_general(
-                qs, ks, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            sc = jnp.where(masks[s], sc, MASK_FILL)
-            p = jax.nn.softmax(sc, axis=-1).astype(dtype)
-            ctxs.append(jnp.dot(p, vs,
-                                preferred_element_type=jnp.float32)
-                        .astype(dtype))
-        ctx = jnp.concatenate(ctxs, axis=0)                # [S*Lq, Dh]
-        acc = acc + jnp.dot(ctx, wo[h],
-                            preferred_element_type=jnp.float32)
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [N, M]
+        sc = jnp.where(mask, sc, fill)
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        ctx = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(dtype)
+        acc = acc + jnp.dot(ctx, wo[h], preferred_element_type=jnp.float32)
     return acc
 
 
@@ -108,27 +114,25 @@ def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
             s1, b1, wq2h, bq2h, wk2h, bk2h, wv2h, bv2h, wo2h, bo2,
             s2, b2, w1, bf1, w2, bf2,
             o_ref, *, num_heads: int):
-    S, Lq, D = x_ref.shape
+    G, Lq, D = x_ref.shape
     R = mem_ref.shape[1]
     dtype = x_ref.dtype
 
-    x = x_ref[:].reshape(S * Lq, D)
+    x = x_ref[:].reshape(G * Lq, D)
 
     # ---- self-attention sublayer
     n0 = _refnorm(x, s0[:], b0[:], dtype)
-    tmasks = [tm_ref[s] for s in range(S)]
-    att = _mha(n0, n0, S, Lq, Lq, wqh[:], bqh[:], wkh[:], bkh[:],
-               wvh[:], bvh[:], woh[:], tmasks, dtype)
+    att = _mha(n0, n0, wqh[:], bqh[:], wkh[:], bkh[:],
+               wvh[:], bvh[:], woh[:], tm_ref[0], Lq, Lq, dtype)
     x = x + (att.astype(dtype) + bo[:])
 
     # ---- cross-attention sublayer
-    n1 = _refnorm(x, s1[:], b1[:], dtype)
-    mem = mem_ref[:].reshape(S * R, D)
     # the reference normalizes only the query side of cross-attention
     # (memory is already encoder-normed), same as DecoderLayer.__call__
-    smasks = [sm_ref[s][None, :] for s in range(S)]        # [1, R] -> bcast
-    att2 = _mha(n1, mem, S, Lq, R, wq2h[:], bq2h[:], wk2h[:], bk2h[:],
-                wv2h[:], bv2h[:], wo2h[:], smasks, dtype)
+    n1 = _refnorm(x, s1[:], b1[:], dtype)
+    mem = mem_ref[:].reshape(G * R, D)
+    att2 = _mha(n1, mem, wq2h[:], bq2h[:], wk2h[:], bk2h[:],
+                wv2h[:], bv2h[:], wo2h[:], sm_ref[0], Lq, R, dtype)
     x = x + (att2.astype(dtype) + bo2[:])
 
     # ---- FFN sublayer
@@ -140,7 +144,7 @@ def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
          .astype(dtype) + bf2[:])
     x = x + f
 
-    o_ref[:] = x.reshape(S, Lq, D)
+    o_ref[:] = x.reshape(G, Lq, D)
 
 
 def _split_heads_w(kernel, H):
@@ -205,15 +209,72 @@ def pack_layer_weights(lp: Dict[str, Any], dtype, num_heads: int
     }
 
 
+def pack_decoder_weights(decoder_params: Dict[str, Any], dtype,
+                         num_heads: int):
+    """Whole Decoder subtree (params['params']['decoder{k}']) -> (list of
+    per-layer packed weights, final-norm (scale, bias)).  Pack once per
+    decode call, OUTSIDE any while_loop, so the transposes/casts don't rerun
+    per loop iteration."""
+    n_layers = sum(1 for k in decoder_params if k.startswith("layer"))
+    packed = [pack_layer_weights(decoder_params[f"layer{i}"], dtype,
+                                 num_heads) for i in range(n_layers)]
+    fn = decoder_params["norm"]
+    return packed, (fn["scale"], fn["bias"])
+
+
+def _block_diag_masks(tgt_mask, src_mask, G: int):
+    """Pre-arrange the per-sample masks as per-grid-step block-diagonal
+    visibility matrices (built with plain jnp, fused by XLA):
+
+    tgt_mask bool [B, L, L], src_mask bool [B, R] ->
+      tm_big [B//G, G*L, G*L], sm_big [B//G, G*L, G*R]
+    where block (i, j) of a grid step is tgt/src visibility if i == j and
+    all-False otherwise (samples never attend across each other; fully-masked
+    rows are handled by the kernel's two-level fill — see ``_mha``)."""
+    B, Lq, Lk = tgt_mask.shape
+    R = src_mask.shape[1]
+    nb = B // G
+    eye = jnp.eye(G, dtype=bool)
+    tm = tgt_mask.reshape(nb, G, Lq, Lk)
+    tm_big = (eye[None, :, None, :, None]
+              & tm[:, :, :, None, :]).reshape(nb, G * Lq, G * Lk)
+    sm = jnp.broadcast_to(src_mask.reshape(nb, G, 1, R), (nb, G, Lq, R))
+    sm_big = (eye[None, :, None, :, None]
+              & sm[:, :, :, None, :]).reshape(nb, G * Lq, G * R)
+    return tm_big, sm_big
+
+
+def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
+                          num_heads: int, block_b: int = 8,
+                          interpret: bool = False):
+    """Full Decoder stack (N fused layer kernels + final RefLayerNorm).
+
+    Equivalent to models/layers.py Decoder.__call__ at deterministic=True
+    (reference Decoder, TransformerModel.py:1379-1396).  ``packed`` /
+    ``final_norm`` from ``pack_decoder_weights``."""
+    if src_mask is None:
+        src_mask = jnp.ones(memory.shape[:2], bool)
+    B = x.shape[0]
+    G = math.gcd(B, block_b)
+    tm_big, sm_big = _block_diag_masks(tgt_mask, src_mask, G)
+    for w in packed:
+        x = fused_decoder_layer(x, memory, tm_big, sm_big, w,
+                                num_heads=num_heads, block_b=block_b,
+                                interpret=interpret)
+    s, b = final_norm
+    return _refnorm(x, s, b, x.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_b", "interpret"))
-def fused_decoder_layer(x, memory, tgt_mask, src_mask, weights,
+def fused_decoder_layer(x, memory, tm_big, sm_big, weights,
                         num_heads: int, block_b: int = 8,
                         interpret: bool = False):
     """One DecoderLayer forward (inference, no dropout) as one kernel.
 
-    x [B,L,D], memory [B,R,D], tgt_mask bool [B,L,L] (True=attend),
-    src_mask bool [B,R], weights from ``pack_layer_weights``."""
+    x [B,L,D], memory [B,R,D], tm_big/sm_big from ``_block_diag_masks``
+    (bool [B//G, G*L, G*L] / [B//G, G*L, G*R], True=attend), weights from
+    ``pack_layer_weights``."""
     B, L, D = x.shape
     R = memory.shape[1]
     G = math.gcd(B, block_b)
@@ -237,11 +298,11 @@ def fused_decoder_layer(x, memory, tgt_mask, src_mask, weights,
         in_specs=[
             pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, L, L), rows, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * L, G * L), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * L, G * R), rows, memory_space=pltpu.VMEM),
             *w_specs,
         ],
         out_specs=pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
         interpret=interpret,
-    )(x, memory, tgt_mask, src_mask, *w_list)
+    )(x, memory, tm_big, sm_big, *w_list)

@@ -58,6 +58,112 @@ def test_model_forward_with_pallas_flag():
                                rtol=2e-3, atol=1e-4)
 
 
+def test_fused_decoder_layer_matches_unfused():
+    """ops/pallas_decoder_layer vs the flax DecoderLayer (interpret mode):
+    one whole decoder layer (self-attn + cross-attn + ffn, pre-norm
+    residuals) in a single kernel."""
+    from boficap_tpu.ops.pallas_decoder_layer import (
+        fused_decoder_forward, pack_decoder_weights)
+    from tests.test_decode import _setup
+
+    model, params, memory, src_mask = _setup("UIC", seed=11)
+    B, R, D = memory.shape
+    L = model.max_length
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    vis = rng.randint(1, L + 1, size=(B, L))
+    tgt_mask = jnp.asarray(np.arange(L)[None, None, :] < vis[:, :, None])
+
+    dec_params = params["params"]["decoder0"]
+    from boficap_tpu.models.layers import Decoder
+    # params are stored float32 regardless of compute dtype; compare the two
+    # implementations at f32 (tight) and bf16 (representation-limited)
+    for dtype, rtol, atol in ((jnp.float32, 2e-4, 2e-4),
+                              (jnp.bfloat16, 0.05, 0.05)):
+        ref_dec = Decoder(model.N_dec, model.d_model, model.d_ff,
+                          model.num_heads, 0.0, dtype)
+        want = ref_dec.apply({"params": dec_params},
+                             x.astype(dtype), memory.astype(dtype),
+                             src_mask, tgt_mask, True)
+        packed, fnorm = pack_decoder_weights(dec_params, dtype,
+                                             model.num_heads)
+        got = fused_decoder_forward(x.astype(dtype), memory.astype(dtype),
+                                    tgt_mask, src_mask, packed, fnorm,
+                                    num_heads=model.num_heads,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=rtol, atol=atol)
+
+
+def test_na_decode_fused_fill_matches_unfused():
+    """na_decode(fused_fill=True) routes the fill through the pallas decoder
+    megakernel; sequences must be identical and logprobs close.  f32 model:
+    the kernel's (equivalent but reordered) accumulation makes bf16 argmax
+    ties unstable — dtype drift is covered by the layer-level test."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("UIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=4, seed=19)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(19)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    src_mask = am.astype(bool)
+    base = bf.na_decode(model, params, jax.random.PRNGKey(0), memory,
+                        src_mask)
+    fused = bf.na_decode(model, params, jax.random.PRNGKey(0), memory,
+                         src_mask, fused_fill=True, fused_interpret=True)
+    np.testing.assert_array_equal(np.asarray(base["seq"]),
+                                  np.asarray(fused["seq"]))
+    np.testing.assert_allclose(np.asarray(base["logprobs"]),
+                               np.asarray(fused["logprobs"]),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sa_decode_fused_fill_matches_unfused():
+    """sa_decode(fused_fill=True): per-phrase fused decoder passes inside
+    the while_loop (weights packed once outside).  f32 model (see NA test)."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("UIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=4, seed=23)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(23)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    src_mask = am.astype(bool)
+    base = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                        src_mask)
+    fused = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                         src_mask, fused_fill=True, fused_interpret=True)
+    np.testing.assert_array_equal(np.asarray(base["seq"]),
+                                  np.asarray(fused["seq"]))
+    np.testing.assert_allclose(np.asarray(base["logprobs"]),
+                               np.asarray(fused["logprobs"]),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_attention_capture():
     """glo-equivalent attention-map capture via flax intermediates."""
     import jax.numpy as jnp
