@@ -209,6 +209,68 @@ class SplitSampler:
 # DataLoader equivalent
 # ---------------------------------------------------------------------------
 
+class _BatchPrefetcher:
+    """Background train-batch assembly (depth-N queue, one worker thread) —
+    the TPU-side step and the host-side numpy assembly overlap instead of
+    alternating (the reference gets the same overlap from 4 torch DataLoader
+    worker processes, dataloader.py:536-548).
+
+    Resume correctness: the sampler state snapshotted BEFORE each batch was
+    drawn rides with it, and ``pending_state()`` reports the snapshot of the
+    oldest batch the consumer has NOT yet received — i.e. checkpointed state
+    behaves as if queued-but-unconsumed batches were never drawn.  The
+    reference compensates for its worker prefetch the same way
+    (dataloader.py:579-592)."""
+
+    def __init__(self, assemble, snapshot, depth: int = 2):
+        import collections
+        import queue
+        import threading
+        self._assemble = assemble
+        self._snapshot = snapshot
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._pending = collections.deque()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        import queue
+        while not self._stop.is_set():
+            with self._lock:
+                snap = self._snapshot()
+                self._pending.append(snap)
+            batch = self._assemble()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self):
+        batch = self._q.get()
+        with self._lock:
+            self._pending.popleft()
+        return batch
+
+    def pending_state(self):
+        """Sampler state as-if no queued/in-flight batch had been drawn."""
+        with self._lock:
+            return self._pending[0] if self._pending else self._snapshot()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        # drain so a blocked put can't leave the thread alive
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
 class CaptionData:
     """get_batch(split) -> fixed-shape numpy batch (reference DataLoader,
     dataloader.py:524-592)."""
@@ -284,7 +346,15 @@ class CaptionData:
                                 seed=cfg.get("seed", 0))
             for split, ixs in self.split_ix.items()
         }
-        self._cap_rng = np.random.RandomState(cfg.get("seed", 0) + 1)
+        # one caption-sampling rng per split: the train prefetch thread and
+        # main-thread val/test assembly must not share a stream (the
+        # reference's torch workers each have their own rng state)
+        self._cap_rngs = {
+            split: np.random.RandomState(cfg.get("seed", 0) + 1 + k)
+            for k, split in enumerate(("train", "val", "test"))
+        }
+        self.prefetch_depth = int(cfg.get("data_prefetch", 2) or 0)
+        self._prefetcher: Optional[_BatchPrefetcher] = None
 
     # ------------------------------------------------------------- per-image
     def _image_feats(self, ix: int):
@@ -311,10 +381,11 @@ class CaptionData:
             fc = att.mean(0)  # dataloader.py:492-495
         return fc.astype(np.float32), att.astype(np.float32)
 
-    def _captions(self, ix: int):
+    def _captions(self, ix: int, split: str = "train"):
         """Sample seq_per_img caption rows (reference get_captions_and_phrase,
         dataloader.py:203-229)."""
         st = self.labels
+        rng = self._cap_rngs[split]
         # h5 pointers are uint32 (reference file format): cast before
         # arithmetic or i2 - n underflows and wraps
         i1 = int(st.label_start_ix[ix]) - 1
@@ -322,10 +393,10 @@ class CaptionData:
         ncap = i2 - i1 + 1
         n = self.seq_per_img
         if ncap < n:
-            rows = np.array([self._cap_rng.randint(i1, i2 + 1)
+            rows = np.array([rng.randint(i1, i2 + 1)
                              for _ in range(n)])
         else:
-            lo = self._cap_rng.randint(i1, i2 - n + 2)
+            lo = rng.randint(i1, i2 - n + 2)
             rows = np.arange(lo, lo + n)
         seq = st.labels[rows, : self.seq_length]
         if not self.use_phrases:
@@ -341,6 +412,23 @@ class CaptionData:
 
     # ---------------------------------------------------------------- batch
     def get_batch(self, split: str) -> Dict[str, Any]:
+        """Next fixed-shape batch; train batches come from the background
+        prefetcher (``data_prefetch`` queue depth, 0 disables)."""
+        if split == "train" and self.prefetch_depth > 0:
+            if self._prefetcher is None:
+                self._prefetcher = _BatchPrefetcher(
+                    lambda: self._assemble_batch("train"),
+                    self.samplers["train"].state_dict,
+                    depth=self.prefetch_depth)
+            return self._prefetcher.get()
+        return self._assemble_batch(split)
+
+    def _close_prefetcher(self):
+        if self._prefetcher is not None:
+            self._prefetcher.close()
+            self._prefetcher = None
+
+    def _assemble_batch(self, split: str) -> Dict[str, Any]:
         B = self.batch_size
         S = self.seq_per_img
         L = self.seq_length
@@ -368,7 +456,7 @@ class CaptionData:
             fc[b] = fcb[: self.fc_feat_dim]
             att[b, :k] = attb
             att_masks[b, :k] = 1.0
-            seq, pn, pl, ps = self._captions(ix)
+            seq, pn, pl, ps = self._captions(ix, split)
             labels[b, :, 1: L + 1] = seq
             labels[b, :, 0] = BOS
             labels[b, :, L + 1] = EOS
@@ -413,15 +501,23 @@ class CaptionData:
         return data
 
     def reset_iterator(self, split: str):
+        if split == "train":
+            self._close_prefetcher()
         self.samplers[split]._reset()
         self.samplers[split].iter_counter = 0
 
     def state_dict(self):
-        return {split: s.state_dict() for split, s in self.samplers.items()}
+        out = {split: s.state_dict() for split, s in self.samplers.items()}
+        if self._prefetcher is not None:
+            # report the state as-if queued-but-unconsumed train batches had
+            # never been drawn (see _BatchPrefetcher)
+            out["train"] = self._prefetcher.pending_state()
+        return out
 
     def load_state_dict(self, state):
         if not state:
             return
+        self._close_prefetcher()
         for split, s in state.items():
             if split in self.samplers:
                 self.samplers[split].load_state_dict(s)

@@ -1,8 +1,9 @@
 """Feature-store readers (parity with the reference ``HybridLoader``,
 captioning/data/dataloader.py:24-86): a directory of ``.npz``/``.npy``
 files, an h5 file, an lmdb database, or a ``.pth`` dict — behind one
-``get(key) -> np.ndarray`` interface, with an optional in-memory cache of
-the compressed bytes.
+``get(key) -> np.ndarray`` interface, with an optional in-memory cache
+of decoded arrays (the reference caches compressed bytes; decoded caching
+also skips the per-access npz parse).
 
 Host-side, numpy only.  The TPU never sees this layer: batches are padded to
 static shapes by the collate and shipped once per step.
@@ -33,7 +34,7 @@ class FeatureReader:
         self.db_path = db_path
         self.ext = ext
         self.in_memory = in_memory
-        self._cache: Dict[str, bytes] = {}
+        self._cache: Dict[str, np.ndarray] = {}
         if db_path.endswith(".lmdb"):
             self.db_type = "lmdb"
             try:
@@ -64,26 +65,28 @@ class FeatureReader:
         return np.load(buf)["feat"]
 
     def get(self, key: str) -> np.ndarray:
+        # in_memory caches the DECODED array (the reference caches compressed
+        # bytes, dataloader.py:60-67, and re-inflates per access; decoded
+        # caching also skips the per-access npz parse, which dominated read
+        # time on the synthetic corpus).  dict get/set are GIL-atomic, so the
+        # cache is safe under the prefetch thread.
+        if self.in_memory:
+            arr = self._cache.get(key)
+            if arr is not None:
+                return arr
         if self.db_type == "lmdb":
-            byte_str = self._cache.get(key)
-            if byte_str is None:
-                byte_str = self.lmdb[key]
-                if self.in_memory:
-                    self._cache[key] = byte_str
-            return self._decode(byte_str)
-        if self.db_type == "pth":
-            return self.loader(self.feat_file[key])
-        if self.db_type == "h5":
-            return np.asarray(self.feat_file[key]).astype(np.float32)
-        # directory
-        path = os.path.join(self.db_path, key + self.ext)
-        byte_str = self._cache.get(key)
-        if byte_str is None:
+            arr = self._decode(self.lmdb[key])
+        elif self.db_type == "pth":
+            arr = self.loader(self.feat_file[key])
+        elif self.db_type == "h5":
+            arr = np.asarray(self.feat_file[key]).astype(np.float32)
+        else:  # directory
+            path = os.path.join(self.db_path, key + self.ext)
             with open(path, "rb") as f:
-                byte_str = f.read()
-            if self.in_memory:
-                self._cache[key] = byte_str
-        return self._decode(byte_str)
+                arr = self._decode(f.read())
+        if self.in_memory:
+            self._cache[key] = arr
+        return arr
 
 
 class SyntheticFeatures:

@@ -288,8 +288,10 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         if first:
             compile_time = dt
             first = False
+            redo = (att, am)           # re-timed post-loop if no other batch
         else:
             decode_time += dt
+            redo = None
 
         if logprobs is not None:
             entropy, ppl = _entropy_ppl(seq, logprobs)
@@ -343,6 +345,20 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             json.dump({str(k): v for k, v in seq_kd.items()}, f)
 
     n_imgs = len(predictions)
+    timed_imgs = n_imgs - len(data["infos"])
+    if decode_time == 0 and redo is not None and branch != "PB_pad":
+        # single-batch eval: the only decode was the compile call, so re-run
+        # it (now compiled) for a meaningful rate
+        att, am = redo
+        t0 = time.perf_counter()
+        memory = dec["encode"](att, am)
+        if branch == "AIC" and beam_size > 1:
+            out = dec["beam"](memory, am.astype(bool))
+        else:
+            out = dec[branch](memory, am.astype(bool), rng)
+        jax.block_until_ready(out)
+        decode_time = time.perf_counter() - t0
+        timed_imgs = att.shape[0]
     return {
         "loss": loss_sum / loss_evals,
         "predictions": predictions,
@@ -352,7 +368,7 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         "compile_time": compile_time,
         "n_images": n_imgs,
         "gts_words": gts_words,
-        "images_per_s": (n_imgs - len(data["infos"])) / decode_time
+        "images_per_s": timed_imgs / decode_time
         if decode_time > 0 else float("nan"),
     }
 

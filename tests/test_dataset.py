@@ -76,7 +76,7 @@ def test_sampler_resume():
 
     d2 = CaptionData(cfg)
     d2.load_state_dict(state)
-    d2._cap_rng = d1._cap_rng  # caption sampling rng is part of resume noise
+    d2._cap_rngs = d1._cap_rngs  # caption sampling rng is part of resume noise
     got = [d2.get_batch("train")["infos"] for _ in range(3)]
     assert [[i["id"] for i in batch] for batch in want] == \
         [[i["id"] for i in batch] for batch in got]
