@@ -132,8 +132,13 @@ def main():
                         att, am, labels, pn, pl, ps, glat_p=None,
                         deterministic=True)
 
+    # pallas fused layers (decoder fill + encoder) on TPU
+    FUSED = jax.default_backend() == "tpu"
+
     @jax.jit
     def encode(att, am):
+        if FUSED:
+            return bf.fused_encode(model, params, att, am)
         return model.apply(params, att, am, deterministic=True,
                            method=BoFiCap.encode)
 
@@ -145,10 +150,6 @@ def main():
     # bounding ~6 steps (5 phrases + stop), AR ~11 steps (10 words + eos).
     NA_STEPS = SA_STEPS = 6
     AR_STEPS = 11
-
-    # pallas fused decoder layer for the fill passes (measured 1.23x on the
-    # NA fill at B=64 on v5e, sequences bit-identical; tests/test_pallas.py)
-    FUSED = jax.default_backend() == "tpu"
 
     @jax.jit
     def decode_na(memory, src_mask, rng):
@@ -218,6 +219,11 @@ def main():
     t_sa = timed(decode_sa, memory, src_mask)
     t_ar = timed(decode_ar, memory, src_mask)
     t_ar0 = timed(decode_ar_nocache, memory, src_mask)
+    # encoder time: the reference's timer wraps the whole sample call, which
+    # runs the encoder inside (_prepare_feature, AttModel.py:408-410), so the
+    # apples-to-apples NA-vs-AR ratio adds t_enc to both sides; the headline
+    # keeps the decode-only protocol documented in BENCH_NOTES.md
+    t_enc = timed(lambda a, m, k: encode(a, m), att, am)
 
     # p50 single-caption latency (SURVEY §6 acceptance metric): device time
     # of one encode+NA decode at B=1 (the tunnel RTT is excluded — it is a
@@ -249,6 +255,9 @@ def main():
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "na_p50_latency_ms_b1": round(t_na1 * 1000, 3),
             "na_unfused_ms_per_batch": round(t_na_unf * 1000, 3),
+            "encode_ms_per_batch": round(t_enc * 1000, 3),
+            "na_vs_ar_nocache_speedup_incl_encode": round(
+                (t_ar0 + t_enc) / (t_na + t_enc), 2),
             "pallas_fused_fill": FUSED,
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),

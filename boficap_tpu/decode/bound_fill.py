@@ -52,6 +52,22 @@ def _fused_ctx(model, params, role: str):
                                 model.dtype, model.num_heads)
 
 
+def fused_encode(model, params, att_feats, att_masks,
+                 interpret: bool = False):
+    """``BoFiCap.encode`` with the encoder stack routed through the pallas
+    fused encoder layer (ops/pallas_decoder_layer) — inference only,
+    numerically equivalent (tested).  att_embed stays on the flax path."""
+    from ..ops.pallas_decoder_layer import (fused_encoder_forward,
+                                            pack_encoder_weights)
+    x = model.apply(params, att_feats, True, method="embed_att")
+    src_mask = None if att_masks is None else att_masks.astype(bool)
+    packed, fnorm = pack_encoder_weights(params["params"]["encoder"],
+                                         model.dtype, model.num_heads)
+    return fused_encoder_forward(x, src_mask, packed, fnorm,
+                                 num_heads=model.num_heads,
+                                 interpret=interpret)
+
+
 def _bound_update(s, len_N, syn_N, L, slot, last_key):
     """Shared bounding bookkeeping (reference core_NAIC :1843-1867 /
     core_SAIC :1915-1930): stop / clamp / record the new phrase slot.

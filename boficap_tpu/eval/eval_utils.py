@@ -91,6 +91,8 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
 
     @jax.jit
     def encode(att, am):
+        if fused:
+            return bf.fused_encode(model, params, att, am)
         return model.apply(params, att, am, deterministic=True,
                            method="encode")
 

@@ -265,6 +265,129 @@ def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
     return _refnorm(x, s, b, x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Encoder variant: self-attention + FFN only (reference EncoderLayer,
+# TransformerModel.py:1366-1377), same block-diagonal batching
+# ---------------------------------------------------------------------------
+
+_ENC_WNAMES = ("s0", "b0", "wqh", "bqh", "wkh", "bkh", "wvh", "bvh", "woh",
+               "bo", "s1", "b1", "w1", "bf1", "w2", "bf2")
+
+
+def _enc_kernel(x_ref, m_ref,
+                s0, b0, wqh, bqh, wkh, bkh, wvh, bvh, woh, bo,
+                s1, b1, w1, bf1, w2, bf2,
+                o_ref, *, num_heads: int):
+    G, R, D = x_ref.shape
+    dtype = x_ref.dtype
+    x = x_ref[:].reshape(G * R, D)
+
+    n0 = _refnorm(x, s0[:], b0[:], dtype)
+    att = _mha(n0, n0, wqh[:], bqh[:], wkh[:], bkh[:],
+               wvh[:], bvh[:], woh[:], m_ref[0], R, R, dtype)
+    x = x + (att.astype(dtype) + bo[:])
+
+    n1 = _refnorm(x, s1[:], b1[:], dtype)
+    f = jnp.maximum(
+        jnp.dot(n1, w1[:], preferred_element_type=jnp.float32)
+        .astype(dtype) + bf1[:], 0)
+    f = (jnp.dot(f, w2[:], preferred_element_type=jnp.float32)
+         .astype(dtype) + bf2[:])
+    x = x + f
+    o_ref[:] = x.reshape(G, R, D)
+
+
+def pack_encoder_weights(encoder_params: Dict[str, Any], dtype,
+                         num_heads: int):
+    """Encoder subtree (params['params']['encoder']) -> (per-layer packed
+    weights, final-norm (scale, bias))."""
+    H = num_heads
+    n_layers = sum(1 for k in encoder_params if k.startswith("layer"))
+
+    def pack_one(lp):
+        def kb(name):
+            p = lp["self_attn"][name]
+            return p["kernel"].astype(dtype), p["bias"].astype(dtype)
+
+        wq, bq = kb("wq")
+        wk, bk = kb("wk")
+        wv, bv = kb("wv")
+        wo, bo = kb("wo")
+        Dh = wq.shape[0] // H
+        out = {
+            "wqh": _split_heads_w(wq, H), "bqh": bq.reshape(H, Dh),
+            "wkh": _split_heads_w(wk, H), "bkh": bk.reshape(H, Dh),
+            "wvh": _split_heads_w(wv, H), "bvh": bv.reshape(H, Dh),
+            "woh": _split_heads_wo(wo, H), "bo": bo,
+            "w1": lp["ffn"]["Dense_0"]["kernel"].astype(dtype),
+            "bf1": lp["ffn"]["Dense_0"]["bias"].astype(dtype),
+            "w2": lp["ffn"]["Dense_1"]["kernel"].astype(dtype),
+            "bf2": lp["ffn"]["Dense_1"]["bias"].astype(dtype),
+        }
+        for i, sub in enumerate(("sub0", "sub1")):
+            n = lp[sub]["norm"]
+            out[f"s{i}"] = n["scale"].astype(dtype)
+            out[f"b{i}"] = n["bias"].astype(dtype)
+        return out
+
+    packed = [pack_one(encoder_params[f"layer{i}"]) for i in range(n_layers)]
+    fn = encoder_params["RefLayerNorm_0"]
+    return packed, (fn["scale"], fn["bias"])
+
+
+def fused_encoder_forward(x, src_mask, packed, final_norm, num_heads: int,
+                          block_b: int = 8, interpret: bool = False):
+    """Full Encoder stack (N fused layer kernels + final RefLayerNorm) over
+    embedded region features x [B, R, D] with padding mask src_mask [B, R].
+    Equivalent to models/layers.py Encoder.__call__ at deterministic=True."""
+    B, R, D = x.shape
+    if src_mask is None:
+        src_mask = jnp.ones((B, R), bool)
+    G = math.gcd(B, block_b)
+    m_big, _ = _block_diag_masks(
+        jnp.broadcast_to(src_mask[:, None, :], (B, R, R)), src_mask, G)
+    for w in packed:
+        x = fused_encoder_layer(x, m_big, w, num_heads=num_heads,
+                                block_b=block_b, interpret=interpret)
+    s, b = final_norm
+    return _refnorm(x, s, b, x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_b", "interpret"))
+def fused_encoder_layer(x, m_big, weights, num_heads: int, block_b: int = 8,
+                        interpret: bool = False):
+    """One EncoderLayer forward (inference, no dropout) as one kernel."""
+    B, R, D = x.shape
+    G = math.gcd(B, block_b)
+    grid = (B // G,)
+
+    def rows(i):
+        return (i, 0, 0)
+
+    w_list = [weights[n] for n in _ENC_WNAMES]
+
+    def _zero_idx(i, *, n):
+        return (0,) * n
+
+    w_specs = [pl.BlockSpec(w.shape, functools.partial(_zero_idx, n=w.ndim),
+                            memory_space=pltpu.VMEM)
+               for w in w_list]
+
+    return pl.pallas_call(
+        functools.partial(_enc_kernel, num_heads=num_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * R, G * R), rows, memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, D), x.dtype),
+        interpret=interpret,
+    )(x, m_big, *w_list)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_b", "interpret"))
 def fused_decoder_layer(x, memory, tm_big, sm_big, weights,

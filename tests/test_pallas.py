@@ -131,6 +131,36 @@ def test_na_decode_fused_fill_matches_unfused():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_fused_encoder_matches_unfused():
+    """fused_encode vs BoFiCap.encode (interpret mode): the encoder variant
+    of the fused layer (self-attn + ffn, block-diag batched)."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode.bound_fill import fused_encode
+    from boficap_tpu.models.boficap import build_model
+    from tests.test_model import tiny_cfg, make_batch
+
+    for dtype, rtol, atol in (("float32", 2e-4, 2e-4),
+                              ("bfloat16", 0.05, 0.05)):
+        cfg = tiny_cfg("UIC")
+        cfg.dtype = dtype
+        model = build_model(cfg, 50)
+        batch = make_batch(B=4, seed=31)
+        att = jnp.asarray(batch["att_feats"])
+        am = jnp.asarray(batch["att_masks"])
+        params = model.init(
+            {"params": jax.random.PRNGKey(31)}, att, am,
+            jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+            jnp.asarray(batch["phrase_length"]),
+            jnp.asarray(batch["phrase_syn"]), glat_p=-1.0,
+            deterministic=True)
+        want = model.apply(params, att, am, deterministic=True,
+                           method="encode")
+        got = fused_encode(model, params, att, am, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=rtol, atol=atol)
+
+
 def test_sa_decode_fused_fill_matches_unfused():
     """sa_decode(fused_fill=True): per-phrase fused decoder passes inside
     the while_loop (weights packed once outside).  f32 model (see NA test)."""
