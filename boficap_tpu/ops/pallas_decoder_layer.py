@@ -245,13 +245,17 @@ def _block_diag_masks(tgt_mask, src_mask, G: int):
 
 
 def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
-                          num_heads: int, block_b: int = 8,
+                          num_heads: int, block_b: int = 16,
                           interpret: bool = False):
     """Full Decoder stack (N fused layer kernels + final RefLayerNorm).
 
     Equivalent to models/layers.py Decoder.__call__ at deterministic=True
     (reference Decoder, TransformerModel.py:1379-1396).  ``packed`` /
-    ``final_norm`` from ``pack_decoder_weights``."""
+    ``final_norm`` from ``pack_decoder_weights``.
+
+    block_b=16 measured best for the decoder stack on v5e at B=64 (1.12 vs
+    1.42 ms at 8; 32 exceeds VMEM); the encoder stack prefers 8 (R=36 rows
+    per sample vs the decoder's 20)."""
     if src_mask is None:
         src_mask = jnp.ones(memory.shape[:2], bool)
     B = x.shape[0]
@@ -391,7 +395,7 @@ def fused_encoder_layer(x, m_big, weights, num_heads: int, block_b: int = 8,
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_b", "interpret"))
 def fused_decoder_layer(x, memory, tm_big, sm_big, weights,
-                        num_heads: int, block_b: int = 8,
+                        num_heads: int, block_b: int = 16,
                         interpret: bool = False):
     """One DecoderLayer forward (inference, no dropout) as one kernel.
 
