@@ -19,16 +19,18 @@ softmax in f32.  Matmuls accumulate in f32 and cast back to the compute
 dtype; bf16 results agree with the unfused path to bf16 tolerance (tested),
 f32 results to ~1e-5.
 
-Mosaic-friendly structure: heads live in a LEADING dim of the packed
-weights ([H, D, Dh]) and attention is BLOCK-DIAGONAL-BATCHED — the G
-samples of a grid step are flattened to one [G*L, Dh] matrix per head and
-attended in a single dot pair, with the cross-sample score blocks masked
-off by a pre-arranged [G*L, G*Lk] visibility mask (built OUTSIDE the kernel
-by ``_block_diag_masks``).  At BoFiCap's tiny L this wastes (G-1)/G of the
+Mosaic-friendly structure: attention is BLOCK-DIAGONAL-BATCHED — the G
+samples of a grid step are flattened to one [G*L, D] matrix, Q/K/V/O
+projections run as FULL-WIDTH [.,D]@[D,D] dots (4 MXU lane tiles at D=512),
+and only the score/context dots loop over heads on lane-slices of the
+projected activations, with the cross-sample score blocks masked off by a
+pre-arranged [G*L, G*Lk] visibility mask (built OUTSIDE the kernel by
+``_block_diag_masks``).  At BoFiCap's tiny L this wastes (G-1)/G of the
 score FLOPs — a few MFLOP, irrelevant next to the MXU's throughput — and in
-exchange the kernel is H dot pairs per sublayer instead of H*G small ones:
-~60 Mosaic ops per layer instead of ~400, which compiles minutes faster
-through the axon AOT tunnel and runs faster (fewer, larger MXU ops).
+exchange the kernel is a handful of large dots per sublayer instead of H*G
+small ones: ~60 Mosaic ops per layer instead of ~400, which compiles
+minutes faster through the axon AOT tunnel and runs faster (per-layer
+device time 250 us unfused -> 187 us head-split -> 139 us full-width).
 
 Inference only (no dropout); the training path keeps the unfused modules.
 
@@ -70,12 +72,18 @@ def _refnorm(x, scale, bias, dtype):
             + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _mha(n_q, kv_src, wq, bq, wk, bk, wv, bv, wo, mask, Lq, Lk, dtype):
+def _mha(n_q, kv_src, wq, bq, wk, bk, wv, bv, wo, mask, Lq, Lk, dtype,
+         num_heads: int):
     """Block-diagonal-batched multi-head attention.
 
     n_q [N, D] normed queries (N = G*Lq), kv_src [M, D] normed K/V source
-    (M = G*Lk), wq/wk/wv [H, D, Dh], bq/bk/bv [H, Dh], wo [H, Dh, D],
+    (M = G*Lk), wq/wk/wv/wo [D, D] packed projections, bq/bk/bv [D],
     mask bool [N, M] (True = attend; cross-sample blocks already False).
+
+    Projections run as FULL-WIDTH dots ([N,D]@[D,D] — 4 MXU lane tiles at
+    D=512) instead of per-head [D,Dh] slices (half-empty at Dh=64); only the
+    score/context dots loop over heads on lane-slices of the projected
+    matrices.
 
     Masked fill is TWO-LEVEL: own-sample masked keys get MASK_FILL (matching
     the unfused path, where a fully-masked row's scores are ALL MASK_FILL and
@@ -83,30 +91,34 @@ def _mha(n_q, kv_src, wq, bq, wk, bk, wv, bv, wo, mask, Lq, Lk, dtype):
     2*MASK_FILL so they stay at zero probability even then.
 
     Returns the pre-bias attention output, f32 [N, D]."""
-    H = wq.shape[0]
-    Dh = wq.shape[2]
+    H = num_heads
     D = wq.shape[1]
+    Dh = D // H
     N, M = n_q.shape[0], kv_src.shape[0]
     scale = 1.0 / math.sqrt(Dh)
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0) // Lq
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1) // Lk
     fill = jnp.where(row_blk == col_blk, MASK_FILL, 2.0 * MASK_FILL)
-    acc = jnp.zeros((N, D), jnp.float32)
+    q_all = (jnp.dot(n_q, wq, preferred_element_type=jnp.float32)
+             .astype(dtype) + bq)                          # [N, D]
+    k_all = (jnp.dot(kv_src, wk, preferred_element_type=jnp.float32)
+             .astype(dtype) + bk)                          # [M, D]
+    v_all = (jnp.dot(kv_src, wv, preferred_element_type=jnp.float32)
+             .astype(dtype) + bv)
+    ctxs = []
     for h in range(H):
-        q = (jnp.dot(n_q, wq[h], preferred_element_type=jnp.float32)
-             .astype(dtype) + bq[h])                       # [N, Dh]
-        k = (jnp.dot(kv_src, wk[h], preferred_element_type=jnp.float32)
-             .astype(dtype) + bk[h])                       # [M, Dh]
-        v = (jnp.dot(kv_src, wv[h], preferred_element_type=jnp.float32)
-             .astype(dtype) + bv[h])
+        q = q_all[:, h * Dh:(h + 1) * Dh]
+        k = k_all[:, h * Dh:(h + 1) * Dh]
+        v = v_all[:, h * Dh:(h + 1) * Dh]
         sc = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # [N, M]
         sc = jnp.where(mask, sc, fill)
         p = jax.nn.softmax(sc, axis=-1).astype(dtype)
-        ctx = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(dtype)
-        acc = acc + jnp.dot(ctx, wo[h], preferred_element_type=jnp.float32)
-    return acc
+        ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
+                    .astype(dtype))
+    ctx = jnp.concatenate(ctxs, axis=-1)                   # [N, D]
+    return jnp.dot(ctx, wo, preferred_element_type=jnp.float32)
 
 
 def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
@@ -123,7 +135,7 @@ def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
     # ---- self-attention sublayer
     n0 = _refnorm(x, s0[:], b0[:], dtype)
     att = _mha(n0, n0, wqh[:], bqh[:], wkh[:], bkh[:],
-               wvh[:], bvh[:], woh[:], tm_ref[0], Lq, Lq, dtype)
+               wvh[:], bvh[:], woh[:], tm_ref[0], Lq, Lq, dtype, num_heads)
     x = x + (att.astype(dtype) + bo[:])
 
     # ---- cross-attention sublayer
@@ -132,7 +144,8 @@ def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
     n1 = _refnorm(x, s1[:], b1[:], dtype)
     mem = mem_ref[:].reshape(G * R, D)
     att2 = _mha(n1, mem, wq2h[:], bq2h[:], wk2h[:], bk2h[:],
-                wv2h[:], bv2h[:], wo2h[:], sm_ref[0], Lq, R, dtype)
+                wv2h[:], bv2h[:], wo2h[:], sm_ref[0], Lq, R, dtype,
+                num_heads)
     x = x + (att2.astype(dtype) + bo2[:])
 
     # ---- FFN sublayer
@@ -147,25 +160,12 @@ def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
     o_ref[:] = x.reshape(G, Lq, D)
 
 
-def _split_heads_w(kernel, H):
-    """[D, D] projection kernel -> [H, D, Dh] (head h's columns)."""
-    D = kernel.shape[0]
-    Dh = D // H
-    return kernel.reshape(D, H, Dh).transpose(1, 0, 2)
-
-
-def _split_heads_wo(kernel, H):
-    """W_o [D, D] -> [H, Dh, D] (head h's rows)."""
-    D = kernel.shape[1]
-    Dh = kernel.shape[0] // H
-    return kernel.reshape(H, Dh, D)
-
-
 def pack_layer_weights(lp: Dict[str, Any], dtype, num_heads: int
                        ) -> Dict[str, jnp.ndarray]:
     """DecoderLayer param subtree (params['layer{i}']) -> packed kernel
-    weights in the compute dtype, heads split into a leading dim."""
-    H = num_heads
+    weights in the compute dtype ([D, D] projections kept whole — the
+    kernel's projections are full-width dots and heads are lane-slices of
+    the projected activations)."""
 
     def kb(mod, name):
         p = lp[mod][name]
@@ -176,13 +176,8 @@ def pack_layer_weights(lp: Dict[str, Any], dtype, num_heads: int
         wk, bk = kb(mod, "wk")
         wv, bv = kb(mod, "wv")
         wo, bo = kb(mod, "wo")
-        Dh = wq.shape[0] // H
-        return {
-            "wq": _split_heads_w(wq, H), "bq": bq.reshape(H, Dh),
-            "wk": _split_heads_w(wk, H), "bk": bk.reshape(H, Dh),
-            "wv": _split_heads_w(wv, H), "bv": bv.reshape(H, Dh),
-            "wo": _split_heads_wo(wo, H), "bo": bo,
-        }
+        return {"wq": wq, "bq": bq, "wk": wk, "bk": bk,
+                "wv": wv, "bv": bv, "wo": wo, "bo": bo}
 
     sa, ca = attn("self_attn"), attn("src_attn")
 
@@ -245,7 +240,7 @@ def _block_diag_masks(tgt_mask, src_mask, G: int):
 
 
 def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
-                          num_heads: int, block_b: int = 16,
+                          num_heads: int, block_b: int = 8,
                           interpret: bool = False):
     """Full Decoder stack (N fused layer kernels + final RefLayerNorm).
 
@@ -253,9 +248,8 @@ def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
     (reference Decoder, TransformerModel.py:1379-1396).  ``packed`` /
     ``final_norm`` from ``pack_decoder_weights``.
 
-    block_b=16 measured best for the decoder stack on v5e at B=64 (1.12 vs
-    1.42 ms at 8; 32 exceeds VMEM); the encoder stack prefers 8 (R=36 rows
-    per sample vs the decoder's 20)."""
+    block_b=8 measured best on v5e at B=64 with the full-width-projection
+    kernel (decoder stack 0.83 ms at 8 vs 0.90 at 16; 32 exceeds VMEM)."""
     if src_mask is None:
         src_mask = jnp.ones(memory.shape[:2], bool)
     B = x.shape[0]
@@ -288,7 +282,7 @@ def _enc_kernel(x_ref, m_ref,
 
     n0 = _refnorm(x, s0[:], b0[:], dtype)
     att = _mha(n0, n0, wqh[:], bqh[:], wkh[:], bkh[:],
-               wvh[:], bvh[:], woh[:], m_ref[0], R, R, dtype)
+               wvh[:], bvh[:], woh[:], m_ref[0], R, R, dtype, num_heads)
     x = x + (att.astype(dtype) + bo[:])
 
     n1 = _refnorm(x, s1[:], b1[:], dtype)
@@ -305,7 +299,6 @@ def pack_encoder_weights(encoder_params: Dict[str, Any], dtype,
                          num_heads: int):
     """Encoder subtree (params['params']['encoder']) -> (per-layer packed
     weights, final-norm (scale, bias))."""
-    H = num_heads
     n_layers = sum(1 for k in encoder_params if k.startswith("layer"))
 
     def pack_one(lp):
@@ -317,12 +310,11 @@ def pack_encoder_weights(encoder_params: Dict[str, Any], dtype,
         wk, bk = kb("wk")
         wv, bv = kb("wv")
         wo, bo = kb("wo")
-        Dh = wq.shape[0] // H
         out = {
-            "wqh": _split_heads_w(wq, H), "bqh": bq.reshape(H, Dh),
-            "wkh": _split_heads_w(wk, H), "bkh": bk.reshape(H, Dh),
-            "wvh": _split_heads_w(wv, H), "bvh": bv.reshape(H, Dh),
-            "woh": _split_heads_wo(wo, H), "bo": bo,
+            "wqh": wq, "bqh": bq,
+            "wkh": wk, "bkh": bk,
+            "wvh": wv, "bvh": bv,
+            "woh": wo, "bo": bo,
             "w1": lp["ffn"]["Dense_0"]["kernel"].astype(dtype),
             "bf1": lp["ffn"]["Dense_0"]["bias"].astype(dtype),
             "w2": lp["ffn"]["Dense_1"]["kernel"].astype(dtype),
@@ -395,7 +387,7 @@ def fused_encoder_layer(x, m_big, weights, num_heads: int, block_b: int = 8,
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_b", "interpret"))
 def fused_decoder_layer(x, memory, tm_big, sm_big, weights,
-                        num_heads: int, block_b: int = 16,
+                        num_heads: int, block_b: int = 8,
                         interpret: bool = False):
     """One DecoderLayer forward (inference, no dropout) as one kernel.
 
