@@ -72,8 +72,14 @@ def language_eval(predictions: List[dict], gts: Dict,
         sub_gts, [{"image_id": i, "caption": res[i]} for i in ids])
     out["ROUGE_L"] = float(np.mean(
         [rouge_l(res[i][0], sub_gts[i]) for i in ids]))
-    out["METEOR"] = None   # java scorer not available in-process
-    out["SPICE"] = None    # java scorer not available in-process
+    # official METEOR/SPICE need external java models (WordNet synonymy /
+    # dependency parses): absent, never faked.  METEOR_approx is the
+    # in-process exact+stem implementation (eval/meteor.py).
+    out["METEOR"] = None
+    out["SPICE"] = None
+    from .meteor import meteor as _meteor
+    out["METEOR_approx"] = float(np.mean(
+        [_meteor(res[i][0], sub_gts[i]) for i in ids]))
 
     bad = sum(1 for p in predictions
               if p["caption"].split()[-1:] and

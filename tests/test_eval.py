@@ -75,3 +75,38 @@ def test_sample_n_eval():
                                 jax.random.PRNGKey(0),
                                 {"sample_n": 3, "sample_n_method": method})
         assert ids.shape == (att.shape[0], 3, 20)
+
+
+def test_meteor_approx():
+    """eval/meteor.py: Porter stemmer cases from Porter (1980) and
+    hand-computed METEOR-2005 segment scores."""
+    from boficap_tpu.eval.meteor import meteor, porter_stem
+
+    for w, s in [("caresses", "caress"), ("ponies", "poni"),
+                 ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+                 ("plastered", "plaster"), ("motoring", "motor"),
+                 ("sing", "sing"), ("conflated", "conflat"),
+                 ("troubling", "troubl"), ("sized", "size"),
+                 ("hopping", "hop"), ("falling", "fall"),
+                 ("happy", "happi"), ("relational", "relat"),
+                 ("conditional", "condit"), ("rational", "ration"),
+                 ("activate", "activ")]:
+        assert porter_stem(w) == s, (w, porter_stem(w), s)
+
+    # identical 5-word sentence: P=R=1, Fmean=1, chunks=1, m=5
+    s = meteor("a man rides a horse", ["a man rides a horse"])
+    assert abs(s - (1 - 0.5 * (1 / 5) ** 3)) < 1e-9
+    # no overlap
+    assert meteor("blue ocean waves", ["red desert sand dunes"]) == 0.0
+    # hand-worked partial: cand 'the cat sat', ref 'the cat is sitting'
+    # exact matches: the, cat (contiguous); 'sat' has no exact/stem match
+    # ('sitting' stems to 'sit').  m=2, P=2/3, R=2/4, Fmean=10PR/(R+9P),
+    # chunks=1, penalty=0.5*(1/2)^3=0.0625
+    p, r = 2 / 3, 2 / 4
+    want = (10 * p * r / (r + 9 * p)) * (1 - 0.0625)
+    assert abs(meteor("the cat sat", ["the cat is sitting"]) - want) < 1e-9
+    # stem-stage match: 'running' ~ 'runs' (both -> 'run')
+    assert meteor("running", ["runs"]) > 0
+    # max over refs
+    a = meteor("a dog", ["a dog", "something else"])
+    assert a == meteor("a dog", ["a dog"])
