@@ -27,7 +27,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ..constants import BOS, EOS, PAD
+from ..constants import BOS, EOS
 from .readers import FeatureReader, SyntheticFeatures
 
 PHRASE_MODES = ("PB_pad", "NAIC", "SAIC", "UIC", "UIC_ds", "UIC_s", "UIC_u")

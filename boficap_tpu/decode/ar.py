@@ -21,7 +21,6 @@ step's computation reproducible from the final sequence.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

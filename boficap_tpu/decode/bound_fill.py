@@ -35,7 +35,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..constants import EOS, BOS, LEN, PAD, SYN_LOWER, SYN_UPPER
+from ..constants import BOS, LEN, PAD, SYN_LOWER, SYN_UPPER
 from .sampling import sample_next_word
 
 Array = jnp.ndarray

@@ -20,14 +20,12 @@ import json
 import os
 import pickle
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import EOS, PAD
 from ..decode import ar as ar_mod
 from ..decode import bound_fill as bf
 from ..models.boficap import BoFiCap

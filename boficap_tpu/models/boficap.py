@@ -30,7 +30,7 @@ TPU-first re-expressions (none of these change the math, only its shape):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

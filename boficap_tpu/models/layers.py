@@ -15,7 +15,7 @@ reference's annotated-transformer pieces (captioning/models/TransformerModel.py:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ All token ids are 0-indexed into the vocab then offset by +4 at train time
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
