@@ -110,3 +110,25 @@ def test_meteor_approx():
     # max over refs
     a = meteor("a dog", ["a dog", "something else"])
     assert a == meteor("a dog", ["a dog"])
+
+
+def test_pallas_fill_gating():
+    """use_pallas_fill resolution: explicit on/off strings, auto gating by
+    backend + lane alignment, and non-BoFiCap models always off."""
+    from boficap_tpu.eval.eval_utils import _resolve_pallas_fill
+    from boficap_tpu.models.boficap import build_model
+    from tests.test_model import tiny_cfg
+
+    small = build_model(tiny_cfg("UIC"), 50)          # d_model=64: unaligned
+    cfg = tiny_cfg("UIC")
+    cfg.d_model = 128
+    cfg.d_ff = 256
+    aligned = build_model(cfg, 50)
+
+    assert _resolve_pallas_fill("true", small) is True
+    assert _resolve_pallas_fill("off", small) is False
+    assert _resolve_pallas_fill(False, aligned) is False
+    # auto on the CPU test backend is always off
+    assert _resolve_pallas_fill("auto", aligned) is False
+    assert _resolve_pallas_fill("auto", small) is False
+    assert _resolve_pallas_fill(True, object()) is False
