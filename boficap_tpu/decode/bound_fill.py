@@ -417,7 +417,8 @@ def uic_s_ar_decode(model, params, rng, memory, src_mask, *,
 
 
 def nnaic_decode(model, params, rng, memory, src_mask, *,
-                 sample_method: str = "greedy", temperature: float = 1.0
+                 sample_method: str = "greedy", temperature: float = 1.0,
+                 fused_fill: bool = False, fused_interpret: bool = False
                  ) -> Dict[str, Any]:
     """Naive NA decode (reference core_NNAIC, TransformerModel.py:1806-1822):
     predict one whole-caption length, then one parallel decode over bos
@@ -428,11 +429,25 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
     tgt = jnp.full((B, L), BOS, jnp.int32)
     keep = jnp.arange(L)[None, :] < length_N[:, None]
 
-    def fill(m):
-        h = m.decode_a(tgt, memory, src_mask, keep[:, None, :])
-        return m.generate(h)
+    if fused_fill:
+        from ..ops.pallas_decoder_layer import fused_decoder_forward
 
-    logprob = model.apply(params, method=fill)
+        def embed(m):
+            return m.posenc(m.word_embed(tgt), deterministic=True)
+
+        x = model.apply(params, method=embed)
+        packed, fnorm = _fused_ctx(model, params, "A")
+        mask3 = jnp.broadcast_to(keep[:, None, :], (B, L, L))
+        h = fused_decoder_forward(x, memory, mask3, src_mask, packed, fnorm,
+                                  num_heads=model.num_heads,
+                                  interpret=fused_interpret)
+        logprob = model.apply(params, h, method="generate")
+    else:
+        def fill(m):
+            h = m.decode_a(tgt, memory, src_mask, keep[:, None, :])
+            return m.generate(h)
+
+        logprob = model.apply(params, method=fill)
     ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
     seq = jnp.where(keep, ids.astype(jnp.int32), PAD)
     return {"seq": seq, "logprobs": logprob, "length": length_N}

@@ -122,7 +122,7 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     def dec_nnaic(memory, src_mask, rng):
         return bf.nnaic_decode(model, params, rng, memory, src_mask,
                                sample_method=sample_method,
-                               temperature=temperature)
+                               temperature=temperature, fused_fill=fused)
 
     @jax.jit
     def dec_sa_syn(memory, src_mask, rng):

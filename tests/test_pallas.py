@@ -220,3 +220,36 @@ def test_attention_capture():
     assert m.ndim == 4
     np.testing.assert_allclose(m.astype(np.float32).sum(-1), 1.0,
                                atol=2e-2)  # probs stored in bf16
+
+
+def test_nnaic_decode_fused_fill_matches_unfused():
+    """nnaic_decode(fused_fill=True): the naive-NA single parallel fill
+    through the fused decoder stack (f32 model; see NA test)."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("NNAIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=4, seed=37)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(37)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    src_mask = am.astype(bool)
+    base = bf.nnaic_decode(model, params, jax.random.PRNGKey(0), memory,
+                           src_mask)
+    fused = bf.nnaic_decode(model, params, jax.random.PRNGKey(0), memory,
+                            src_mask, fused_fill=True, fused_interpret=True)
+    np.testing.assert_array_equal(np.asarray(base["seq"]),
+                                  np.asarray(fused["seq"]))
+    np.testing.assert_allclose(np.asarray(base["logprobs"]),
+                               np.asarray(fused["logprobs"]),
+                               rtol=2e-3, atol=2e-4)
