@@ -226,16 +226,30 @@ def main():
     t_enc = timed(lambda a, m, k: encode(a, m), att, am)
 
     # p50 single-caption latency (SURVEY §6 acceptance metric): device time
-    # of one encode+NA decode at B=1 (the tunnel RTT is excluded — it is a
-    # property of this dev link, not of the chip or framework).  The fused
-    # fill kernel's fixed overhead loses at B=1 (measured 0.41 vs 0.20 ms),
-    # so a serving stack would route B=1 to the unfused program: report that.
-    mem1, sm1 = memory[:1], src_mask[:1]
-    _fetch(decode_na_unfused(mem1, sm1, KEY))
-    t_na1 = timed(decode_na_unfused, mem1, sm1)
+    # of one full caption — encode + bound + fill — at B=1, ONE jit program
+    # (the tunnel RTT is excluded — it is a property of this dev link, not
+    # of the chip or framework).  The fused kernels' fixed overhead loses at
+    # B=1, so a serving stack would route B=1 to the unfused program:
+    # report the better of the two.
+    @jax.jit
+    def caption_unfused(att, am, rng):
+        m = model.apply(params, att, am, deterministic=True,
+                        method=BoFiCap.encode)
+        return bf.na_decode(model, params, rng, m, am.astype(bool),
+                            max_steps=NA_STEPS)
+
+    @jax.jit
+    def caption_fused(att, am, rng):
+        m = bf.fused_encode(model, params, att, am)
+        return bf.na_decode(model, params, rng, m, am.astype(bool),
+                            max_steps=NA_STEPS, fused_fill=True)
+
+    att1, am1 = att[:1], am[:1]
+    _fetch(caption_unfused(att1, am1, KEY))
+    t_na1 = timed(caption_unfused, att1, am1)
     if FUSED:
-        _fetch(decode_na(mem1, sm1, KEY))
-        t_na1 = min(t_na1, timed(decode_na, mem1, sm1))
+        _fetch(caption_fused(att1, am1, KEY))
+        t_na1 = min(t_na1, timed(caption_fused, att1, am1))
 
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
@@ -253,7 +267,7 @@ def main():
             "ar_nocache_images_per_s": round(BATCH / t_ar0, 2),
             "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
-            "na_p50_latency_ms_b1": round(t_na1 * 1000, 3),
+            "na_p50_caption_latency_ms_b1": round(t_na1 * 1000, 3),
             "na_unfused_ms_per_batch": round(t_na_unf * 1000, 3),
             "encode_ms_per_batch": round(t_enc * 1000, 3),
             "na_vs_ar_nocache_speedup_incl_encode": round(
