@@ -231,6 +231,9 @@ def main():
     # of the chip or framework).  The fused kernels' fixed overhead loses at
     # B=1, so a serving stack would route B=1 to the unfused program:
     # report the better of the two.
+    # (the fused kernels lose at B=1 — 0.41 vs 0.20 ms measured — so only
+    # the unfused program is compiled here; one less multi-minute Mosaic
+    # AOT compile on a cold cache)
     @jax.jit
     def caption_unfused(att, am, rng):
         m = model.apply(params, att, am, deterministic=True,
@@ -238,18 +241,9 @@ def main():
         return bf.na_decode(model, params, rng, m, am.astype(bool),
                             max_steps=NA_STEPS)
 
-    @jax.jit
-    def caption_fused(att, am, rng):
-        m = bf.fused_encode(model, params, att, am)
-        return bf.na_decode(model, params, rng, m, am.astype(bool),
-                            max_steps=NA_STEPS, fused_fill=True)
-
     att1, am1 = att[:1], am[:1]
     _fetch(caption_unfused(att1, am1, KEY))
     t_na1 = timed(caption_unfused, att1, am1)
-    if FUSED:
-        _fetch(caption_fused(att1, am1, KEY))
-        t_na1 = min(t_na1, timed(caption_fused, att1, am1))
 
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
