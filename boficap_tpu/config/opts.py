@@ -148,6 +148,9 @@ DEFAULTS: Dict[str, Any] = dict(
     dtype="bfloat16",          # compute dtype on TPU
     param_dtype="float32",
     mesh_shape=None,            # e.g. {"data": 8}; None = all devices on 'data'
+    multihost=False,            # call jax.distributed.initialize() at CLI
+                                # start (multi-host DCN; launcher provides
+                                # coordinator env)
     data_prefetch=2,            # train-batch prefetch queue depth (0 = off)
     use_pallas=False,           # pallas attention kernels for the hot paths
     use_pallas_fill="auto",     # pallas fused decoder layer for NA/SA fill

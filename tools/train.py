@@ -52,6 +52,13 @@ def train(opt):
     if opt.get("device") == "cpu":
         # must happen before jax initializes a backend
         jax.config.update("jax_platforms", "cpu")
+    if opt.get("multihost"):
+        # multi-host (DCN) data parallelism: every host runs this same
+        # program; the coordinator address/process env comes from the
+        # launcher (JAX_COORDINATOR_ADDRESS etc.).  The mesh below then
+        # spans all hosts' devices and XLA's gradient psum rides ICI
+        # within a host and DCN across hosts.
+        jax.distributed.initialize()
     # persistent compilation cache shared with the test suite: repeat CLI
     # runs of the same program shapes skip XLA compilation entirely
     cache_dir = os.environ.get(
