@@ -209,6 +209,13 @@ class SplitSampler:
 # DataLoader equivalent
 # ---------------------------------------------------------------------------
 
+class _PrefetchError:
+    """Sentinel carrying a worker exception across the prefetch queue."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class _BatchPrefetcher:
     """Background train-batch assembly (depth-N queue, one worker thread) —
     the TPU-side step and the host-side numpy assembly overlap instead of
@@ -241,16 +248,31 @@ class _BatchPrefetcher:
             with self._lock:
                 snap = self._snapshot()
                 self._pending.append(snap)
-            batch = self._assemble()
+            try:
+                batch = self._assemble()
+            except BaseException as e:  # re-raised in get(), like torch workers
+                batch = _PrefetchError(e)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, _PrefetchError):
+                return
 
     def get(self):
-        batch = self._q.get()
+        import queue
+        while True:
+            try:
+                batch = self._q.get(timeout=5)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    raise RuntimeError(
+                        "prefetch worker died without reporting an error")
+        if isinstance(batch, _PrefetchError):
+            raise batch.exc
         with self._lock:
             self._pending.popleft()
         return batch
@@ -262,13 +284,19 @@ class _BatchPrefetcher:
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=5)
-        # drain so a blocked put can't leave the thread alive
-        try:
-            while True:
-                self._q.get_nowait()
-        except Exception:
-            pass
+        # Drain-then-join until the thread actually exits: callers touch
+        # sampler state right after close(), so a still-running _assemble()
+        # must not race it (a blocked put() also needs the drain to unwedge).
+        for _ in range(60):
+            self._thread.join(timeout=1)
+            if not self._thread.is_alive():
+                return
+            try:
+                while True:
+                    self._q.get_nowait()
+            except Exception:
+                pass
+        raise RuntimeError("prefetch worker failed to exit within 60s")
 
 
 class CaptionData:

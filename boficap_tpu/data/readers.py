@@ -85,6 +85,10 @@ class FeatureReader:
             with open(path, "rb") as f:
                 arr = self._decode(f.read())
         if self.in_memory:
+            # Cached arrays are shared across accesses: freeze them so an
+            # accidental in-place mutation raises instead of corrupting
+            # features for the rest of the run.
+            arr.setflags(write=False)
             self._cache[key] = arr
         return arr
 

@@ -74,9 +74,22 @@ def _resolve_pallas_fill(flag, model) -> bool:
     if isinstance(flag, str) and flag.lower() == "auto":
         return (jax.default_backend() == "tpu"
                 and model.d_model % 128 == 0 and model.d_ff % 128 == 0)
-    if isinstance(flag, str):
-        return flag.lower() in ("1", "true", "yes", "on")
-    return bool(flag)
+    forced = (flag.lower() in ("1", "true", "yes", "on")
+              if isinstance(flag, str) else bool(flag))
+    if forced:
+        # Fail with a clear message now rather than an opaque Mosaic
+        # lowering error later.
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "use_pallas_fill=1 requires a TPU backend "
+                f"(current: {jax.default_backend()}); use "
+                "use_pallas_fill=auto to fall back automatically")
+        if model.d_model % 128 != 0 or model.d_ff % 128 != 0:
+            raise ValueError(
+                "use_pallas_fill=1 requires d_model and d_ff to be "
+                f"multiples of the 128-lane tile (got d_model="
+                f"{model.d_model}, d_ff={model.d_ff})")
+    return forced
 
 
 def make_decoders(model: BoFiCap, params, eval_kwargs):

@@ -172,3 +172,51 @@ def test_use_box_geometry(tmp_path):
     assert (areas <= 1.0 + 1e-6).all()        # area fraction of the image
     for row in areas:                          # sorted descending
         assert (np.diff(row[row > 0]) <= 1e-6).all()
+
+
+def test_prefetcher_propagates_worker_error():
+    """A worker exception inside _assemble must surface in get() instead of
+    hanging the training loop (the reference's torch DataLoader re-raises
+    worker exceptions the same way)."""
+    from boficap_tpu.data.dataset import _BatchPrefetcher
+
+    calls = {"n": 0}
+
+    def assemble():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("corrupt feature file")
+        return {"ok": calls["n"]}
+
+    p = _BatchPrefetcher(assemble, lambda: {"snap": calls["n"]}, depth=2)
+    assert p.get()["ok"] == 1
+    with pytest.raises(OSError, match="corrupt feature file"):
+        p.get()
+    p.close()
+
+
+def test_prefetcher_close_joins_worker():
+    import time
+    from boficap_tpu.data.dataset import _BatchPrefetcher
+
+    def assemble():
+        time.sleep(0.05)
+        return {}
+
+    p = _BatchPrefetcher(assemble, dict, depth=2)
+    p.get()
+    p.close()
+    assert not p._thread.is_alive()
+
+
+def test_reader_cache_returns_readonly(tmp_path):
+    """in_memory cached arrays are frozen: in-place mutation raises instead
+    of silently corrupting features for the rest of the run."""
+    from boficap_tpu.data.readers import FeatureReader
+    np.savez(tmp_path / "7.npz", feat=np.ones((4, 8), np.float32))
+    r = FeatureReader(str(tmp_path), in_memory=True)
+    a = r.get("7")
+    b = r.get("7")
+    assert a is b
+    with pytest.raises(ValueError):
+        b += 1.0

@@ -128,3 +128,57 @@ def test_na_decode_sharded_matches_single_device():
     got = decode(att_s, am_s)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_dp_tp_step_matches_single_device():
+    """One XE step on a 2-D (data=4, model=2) mesh — Megatron TP param
+    sharding + batch sharding — must produce the same loss and updated
+    params as the unsharded single-device step (the dryrun only checks
+    finiteness; this pins numerical equivalence)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import __graft_entry__ as ge
+    from boficap_tpu.parallel.mesh import shard_params
+    from boficap_tpu.train import optim as optim_mod
+    from boficap_tpu.train import steps as steps_mod
+    from boficap_tpu.train.state import TrainState, create_state
+
+    cfg = ge._tiny_cfg(4)
+    data, model, batch, params = ge._setup(cfg)
+    tx = optim_mod.build_optimizer(cfg)
+    step_fn = steps_mod.make_xe_step(model, tx)
+    rng = jax.random.PRNGKey(0)
+
+    def run(state, put):
+        new_state, metrics = step_fn(
+            state, put(batch["att_feats"]), put(batch["att_masks"]),
+            put(batch["labels"]), put(batch["phrase_num"]),
+            put(batch["phrase_length"]), put(batch["phrase_syn"]),
+            put(batch["masks"]), rng, None)
+        return float(np.asarray(metrics["loss"])), new_state.params
+
+    # single device
+    state1 = create_state(params, tx)
+    loss_ref, params_ref = run(state1, jnp.asarray)
+
+    # dp=4 x tp=2
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    state2 = create_state(params, tx)
+    ps = shard_params(state2.params, mesh)
+    os_ = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+        state2.opt_state)
+    state2 = TrainState(params=ps, opt_state=os_, step=state2.step)
+    bs = NamedSharding(mesh, P("data"))
+    with mesh:
+        loss_sh, params_sh = run(
+            state2, lambda x: jax.device_put(jnp.asarray(x), bs))
+
+    assert abs(loss_sh - loss_ref) < 1e-4 * max(1.0, abs(loss_ref))
+    flat_ref = jax.tree_util.tree_leaves(params_ref)
+    flat_sh = jax.tree_util.tree_leaves(params_sh)
+    assert len(flat_ref) == len(flat_sh)
+    for a, b in zip(flat_ref, flat_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

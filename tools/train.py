@@ -76,7 +76,20 @@ def train(opt):
     from boficap_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                            replicate_state)
     import math
-    n_dev = math.gcd(len(jax.devices()), max(opt.batch_size, 1))
+    if opt.get("multihost"):
+        # A gcd fallback would slice the GLOBAL device list and leave some
+        # hosts with zero mesh-local devices (device_put to a non-addressable
+        # sharding fails) — require exact divisibility instead.  NB each host
+        # runs the same seeded sampler stream, so all hosts assemble
+        # identical global batches; the mesh then shards them identically.
+        if opt.batch_size % len(jax.devices()) != 0:
+            raise ValueError(
+                f"--multihost requires batch_size ({opt.batch_size}) "
+                f"divisible by the global device count "
+                f"({len(jax.devices())})")
+        n_dev = len(jax.devices())
+    else:
+        n_dev = math.gcd(len(jax.devices()), max(opt.batch_size, 1))
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
         if n_dev < len(jax.devices()):
