@@ -4,7 +4,7 @@ captioning/models/__init__.py:14-24 — which can only construct
 implemented here natively)."""
 
 from .boficap import BoFiCap, build_model
-from .lstm_caption import AoANet, FCModel, UpDownModel
+from .lstm_caption import AoANet, Att2in2Model, FCModel, UpDownModel
 
 
 def setup(cfg, vocab_size: int):
@@ -28,6 +28,11 @@ def setup(cfg, vocab_size: int):
                            att_hid_size=cfg.get("att_hid_size", 512),
                            att_feat_size=cfg.get("att_feat_size", 2048),
                            **common)
+    if cm in ("att2in2", "att2in"):
+        return Att2in2Model(d_model=cfg.get("input_encoding_size", 512),
+                            rnn_size=cfg.get("rnn_size", 512),
+                            att_hid_size=cfg.get("att_hid_size", 512),
+                            **common)
     if cm == "aoa":
         return AoANet(d_model=cfg.get("input_encoding_size", 512),
                       rnn_size=cfg.get("rnn_size", 512),

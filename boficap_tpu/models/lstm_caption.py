@@ -218,6 +218,66 @@ class UpDownModel(_ARMixin, nn.Module):
         return lp, {"att": att_state, "lang": lang_state}
 
 
+class Att2in2Model(_ARMixin, nn.Module):
+    """Att2in2 captioner (SCST, Rennie et al. 2017): a single LSTM whose
+    cell candidate receives the attended context through its own projection
+    (attention fed "into" the cell) with a 2-way maxout in_transform,
+    attention reading the RAW region features.  Re-implemented from the
+    published architecture; the reference fork ships a2i2*.yml configs
+    (configs/a2i2.yml) and its AttModel.py:1-9 docstring still names
+    Att2in2, but the class was stripped so the fork cannot construct them
+    — this build can."""
+    tgt_vocab: int
+    d_model: int = 512           # word embedding size
+    rnn_size: int = 512
+    att_hid_size: int = 512
+    drop_prob_lm: float = 0.5
+    max_length: int = 20
+    train_mode: str = "AIC"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embed = nn.Embed(self.tgt_vocab, self.d_model, dtype=self.dtype)
+        self.i2h = nn.Dense(5 * self.rnn_size, kernel_init=dense_init,
+                            dtype=self.dtype)
+        self.h2h = nn.Dense(5 * self.rnn_size, kernel_init=dense_init,
+                            dtype=self.dtype)
+        self.a2c = nn.Dense(2 * self.rnn_size, kernel_init=dense_init,
+                            dtype=self.dtype)
+        self.ctx2att = nn.Dense(self.att_hid_size, kernel_init=dense_init,
+                                dtype=self.dtype)
+        self.attention = Attention(self.att_hid_size, self.dtype)
+        self.logit = nn.Dense(self.tgt_vocab, kernel_init=dense_init,
+                              dtype=self.dtype)
+        self.dropout = nn.Dropout(self.drop_prob_lm)
+
+    def encode(self, att_feats, att_masks=None, deterministic=True):
+        # att2in attends over the raw (unprojected) region features
+        return att_feats.astype(self.dtype)
+
+    def _carry_init(self, memory, deterministic=True):
+        B = memory.shape[0]
+        z = jnp.zeros((B, self.rnn_size), self.dtype)
+        return (z, z)
+
+    def _step_core(self, it, state, memory, src_mask, deterministic=True):
+        h_prev, c_prev = state
+        att_res = self.attention(h_prev, memory, self.ctx2att(memory),
+                                 src_mask)
+        s = self.i2h(self.embed(it)) + self.h2h(h_prev)
+        R = self.rnn_size
+        in_gate = nn.sigmoid(s[:, :R])
+        forget_gate = nn.sigmoid(s[:, R:2 * R])
+        out_gate = nn.sigmoid(s[:, 2 * R:3 * R])
+        cand = s[:, 3 * R:] + self.a2c(att_res)
+        in_transform = jnp.maximum(cand[:, :R], cand[:, R:])
+        c = forget_gate * c_prev + in_gate * in_transform
+        h = out_gate * jnp.tanh(c)
+        h = self.dropout(h, deterministic=deterministic)
+        lp = jax.nn.log_softmax(self.logit(h).astype(jnp.float32), -1)
+        return lp, (h, c)
+
+
 class AoA(nn.Module):
     """Attention-on-attention gate: GLU over [attended; query]."""
     d_model: int

@@ -53,7 +53,7 @@ def setup_lstm(caption_model):
     return cfg, data, model, tx, create_state(params, tx)
 
 
-@pytest.mark.parametrize("cm", ["fc", "updown", "aoa"])
+@pytest.mark.parametrize("cm", ["fc", "updown", "aoa", "att2in2"])
 def test_lstm_xe_learns(cm):
     cfg, data, model, tx, state = setup_lstm(cm)
     step_fn = steps_mod.make_xe_step(model, tx)
@@ -67,7 +67,7 @@ def test_lstm_xe_learns(cm):
     assert losses[-1] < losses[0]
 
 
-@pytest.mark.parametrize("cm", ["fc", "updown", "aoa"])
+@pytest.mark.parametrize("cm", ["fc", "updown", "aoa", "att2in2"])
 def test_lstm_greedy_and_beam(cm):
     cfg, data, model, tx, state = setup_lstm(cm)
     batch = data.get_batch("val")
