@@ -54,9 +54,13 @@ def ar_sample(model, params, rng, memory, src_mask, *,
               ) -> Dict[str, Any]:
     """Sample (or greedy-decode) captions autoregressively.
 
-    Returns {'seq': [B, L] int32, 'logprobs': [B, L, V] float32} matching the
-    reference's (seq, seqLogprobs) contract (AttModel.py:341-410): finished
-    rows get PAD tokens and zeroed log-prob rows.
+    Returns {'seq': [B, L] int32, 'tok_logprobs': [B, L] float32 (chosen
+    token's log-prob per position), 'entropy': [B, L] float32 (per-position
+    distribution entropy)} — the same information the reference's dense
+    (seq, seqLogprobs) contract (AttModel.py:341-410) is reduced to by eval
+    (eval_utils.py:183-184), carried as [B, L] instead of [B, L, V] so the
+    sampling loop does not stream a ~50 MB logprob buffer through HBM every
+    step.  Finished rows get PAD tokens and zero tok/entropy entries.
 
     ``block_trigrams``: soft-penalize words that would repeat an already
     generated trigram (AttModel.py:355-383, ln(1/2)*alpha with alpha=2).
@@ -115,25 +119,31 @@ def ar_sample(model, params, rng, memory, src_mask, *,
                                 logprob + counts * (-0.693) * alpha, logprob)
         ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
         ids = jnp.where(s["unfinished"], ids, PAD).astype(jnp.int32)
-        store = jnp.where(s["unfinished"][:, None], logprob, 0.0)
+        tok = jnp.take_along_axis(logprob, ids[:, None], axis=1)[:, 0]
+        ent = -(jnp.exp(logprob) * logprob).sum(-1)
+        tok = jnp.where(s["unfinished"], tok, 0.0)
+        ent = jnp.where(s["unfinished"], ent, 0.0)
         seq = s["seq"].at[:, s["pos"]].set(ids)
-        seqlp = jax.lax.dynamic_update_slice_in_dim(
-            s["seqlp"], store[:, None, :], s["pos"], axis=1)
+        tok_lp = s["tok_lp"].at[:, s["pos"]].set(tok)
+        ent_lp = s["ent"].at[:, s["pos"]].set(ent)
         unfinished = s["unfinished"] & (ids != EOS)
         return {"pos": s["pos"] + 1, "it": ids, "cache": cache, "seq": seq,
-                "seqlp": seqlp, "unfinished": unfinished, "rng": rng}
+                "tok_lp": tok_lp, "ent": ent_lp, "unfinished": unfinished,
+                "rng": rng}
 
     init = {
         "pos": jnp.array(0, jnp.int32),
         "it": jnp.full((B,), BOS, jnp.int32),
         "cache": cache,
         "seq": jnp.full((B, L), PAD, jnp.int32),
-        "seqlp": jnp.zeros((B, L, V), jnp.float32),
+        "tok_lp": jnp.zeros((B, L), jnp.float32),
+        "ent": jnp.zeros((B, L), jnp.float32),
         "unfinished": jnp.ones((B,), bool),
         "rng": rng,
     }
     out = jax.lax.while_loop(cond, body, init)
-    return {"seq": out["seq"], "logprobs": out["seqlp"]}
+    return {"seq": out["seq"], "tok_logprobs": out["tok_lp"],
+            "entropy": out["ent"]}
 
 
 def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
@@ -273,7 +283,7 @@ def ar_diverse_sample(model, params, rng, memory, src_mask, *,
     """Group-diverse sampling (reference AttModel._diverse_sample
     :519-614): group_size sequences per image, each group's logits penalized
     by previous groups' same-step choices.  Returns {'seq': [B, G, L],
-    'logprobs': [B, G, L, V]}."""
+    'tok_logprobs': [B, G, L]}."""
     seqs, lps = [], []
     penalty = None
     for g in range(group_size):
@@ -283,6 +293,6 @@ def ar_diverse_sample(model, params, rng, memory, src_mask, *,
                         penalty_seqs=penalty,
                         diversity_lambda=diversity_lambda)
         seqs.append(out["seq"])
-        lps.append(out["logprobs"])
+        lps.append(out["tok_logprobs"])
         penalty = jnp.stack(seqs, axis=1)
-    return {"seq": jnp.stack(seqs, 1), "logprobs": jnp.stack(lps, 1)}
+    return {"seq": jnp.stack(seqs, 1), "tok_logprobs": jnp.stack(lps, 1)}

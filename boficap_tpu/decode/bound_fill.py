@@ -157,9 +157,12 @@ def na_decode(model, params, rng, memory, src_mask, *,
     numerically equivalent (tested); embeddings and the generator head stay
     on the flax path.
 
-    Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
-    'phrase_length': [B, L], 'phrase_syn': [B, L]} matching the reference's
-    NAIC sample contract (AttModel.py:419-429).
+    Returns {'seq': [B, L], 'tok_logprobs': [B, L], 'entropy': [B, L],
+    'phrase_num': [B], 'phrase_length': [B, L], 'phrase_syn': [B, L]} —
+    the reference's NAIC sample contract (AttModel.py:419-429) with the
+    dense [B, L, V] logprobs reduced to the per-position quantities eval
+    actually uses (eval_utils.py:183-184), so eval never fetches a ~50 MB
+    buffer per batch.
     """
     L = model.max_length
     B = memory.shape[0]
@@ -195,11 +198,32 @@ def na_decode(model, params, rng, memory, src_mask, *,
 
         logprob = model.apply(params, method=fill)
     ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
-    seq = jnp.where(jnp.arange(L)[None, :] < total[:, None],
-                    ids.astype(jnp.int32), PAD)
-    return {"seq": seq, "logprobs": logprob, "phrase_num": s["phrase_num"],
+    keep = jnp.arange(L)[None, :] < total[:, None]
+    seq = jnp.where(keep, ids.astype(jnp.int32), PAD)
+    # NO position mask here: the reference's NAIC seqLogprobs is the raw
+    # parallel-fill logprob tensor, so eval's entropy/perplexity include the
+    # beyond-plan tail rows (AttModel.py:419-429); reproduced exactly.
+    tok, ent = _tok_entropy(logprob, seq)
+    return {"seq": seq, "tok_logprobs": tok, "entropy": ent,
+            "phrase_num": s["phrase_num"],
             "phrase_length": s["phrase_length"][:, :L],
             "phrase_syn": s["phrase_syn"][:, :L]}
+
+
+def _tok_entropy(logprob, seq, mask=None):
+    """Reduce a dense [B, L, V] logprob tensor to the per-position chosen
+    token log-prob and distribution entropy [B, L] (exactly what eval's
+    entropy/perplexity reduction consumes, eval_utils.py:183-184).
+    ``mask`` (bool [B, L]) zeroes positions, reproducing loops that stored
+    zero logprob rows there; ``mask=None`` keeps every row, reproducing the
+    single-pass fills whose dense tensor had live tail rows."""
+    tok = jnp.take_along_axis(logprob, seq[..., None].astype(jnp.int32),
+                              axis=-1)[..., 0]
+    ent = -(jnp.exp(logprob) * logprob).sum(-1)
+    if mask is not None:
+        tok = jnp.where(mask, tok, 0.0)
+        ent = jnp.where(mask, ent, 0.0)
+    return tok, ent
 
 
 def _copy_phrase(seq, seq_last, prev, cur, phrase_last, L2):
@@ -242,13 +266,15 @@ def sa_decode(model, params, rng, memory, src_mask, *,
     ``fused_fill`` routes each per-phrase decoder pass through the pallas
     fused decoder layer (weights packed once, outside the while_loop).
 
-    Returns {'seq': [B, L], 'logprobs': [B, L, V], 'phrase_num': [B],
-    'phrase_length': [B, L], 'phrase_syn': [B, L]}.
+    Returns {'seq': [B, L], 'tok_logprobs': [B, L], 'entropy': [B, L],
+    'phrase_num': [B], 'phrase_length': [B, L], 'phrase_syn': [B, L]}.
+    The per-round dense logprob is reduced to [B, L] token/entropy carries
+    (the only quantities eval consumes) instead of streaming a [B, L, V]
+    f32 buffer (~50 MB at B=64, V=9487) through HBM every round.
     """
     L = model.max_length
     L2 = L + 2
     B = memory.shape[0]
-    V = model.tgt_vocab
     n_steps = L if max_steps is None else min(max_steps, L)
     pos_dec = jnp.arange(L)[None, :]
     # loop-invariant predictor tensors (see bound_plan): full K/V table for
@@ -257,6 +283,20 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                           method="bound_cache")
               if model.N_len == 1 else None)
     fctx = _fused_ctx(model, params, "SA") if fused_fill else None
+    if fused_fill:
+        # K/V-cached windowed fill: cross-attn K/V are loop-invariant —
+        # project them once per decode; self-attn K/V of finalized
+        # positions never change (blockwise finality) — cache them per
+        # layer and decode only a W-wide window of new positions per round
+        # (reference core_SAIC re-runs the FULL decoder per phrase).
+        from ..ops.pallas_decoder_layer import (_block_diag_masks,
+                                                fused_window_decoder_forward,
+                                                project_cross_kv)
+        k2s, v2s = project_cross_kv(fctx[0], memory)
+        n_layers = len(fctx[0])
+        W_SMALL = min(8, L)
+        src_b = (src_mask if src_mask is not None
+                 else jnp.ones(memory.shape[:2], bool))
 
     def cond(s):
         return (s["i"] <= n_steps) & jnp.any(~s["finished"])
@@ -291,19 +331,50 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                             end_dec[:, None], s["vis_dec"])
         tgt_mask = pos_dec[:, None, :] < vis_dec[:, :, None]      # [B, L, L]
 
+        cache_upd = {}
         if fused_fill:
-            from ..ops.pallas_decoder_layer import fused_decoder_forward
-
             def embed(m):
                 return m._mix_inputs(extend_word[:, 1:-1],
                                      extend_syn[:, 1:-1], "sa", True)
 
-            x = model.apply(params, method=embed)
-            h = fused_decoder_forward(x, memory, tgt_mask, src_mask,
-                                      fctx[0], fctx[1],
-                                      num_heads=model.num_heads,
-                                      interpret=fused_interpret)
-            logprob = model.apply(params, h, method="generate")
+            x_full = model.apply(params, method=embed)         # [B, L, D]
+
+            def windowed_fill(W: int):
+                w_start = jnp.clip(start_dec, 0, L - W)
+                idx = w_start[:, None] + jnp.arange(W)[None, :]   # [B, W]
+                x_win = jnp.take_along_axis(x_full, idx[..., None], axis=1)
+                vis_rows = jnp.take_along_axis(vis_dec, idx, axis=1)
+                q_mask = (jnp.arange(L)[None, None, :]
+                          < vis_rows[:, :, None])                 # [B, W, L]
+                import math as _math
+                tm_big, sm_big = _block_diag_masks(q_mask, src_b,
+                                                   _math.gcd(B, 8))
+                h_win, kc_new, vc_new = fused_window_decoder_forward(
+                    x_win, w_start, list(s["kc"]), list(s["vc"]), k2s, v2s,
+                    tm_big, sm_big, fctx[0], fctx[1],
+                    num_heads=model.num_heads, interpret=fused_interpret)
+                lp_win = model.apply(params, h_win, method="generate")
+                ids_win, _ = sample_next_word(skey, lp_win, sample_method,
+                                              temperature)
+                tok_win, ent_win = _tok_entropy(lp_win, ids_win)
+                # re-align window rows to the full decoder frame (rows
+                # outside the window are garbage, masked by in_dec below)
+                o = pos_dec - w_start[:, None]                    # [B, L]
+                oc = jnp.clip(o, 0, W - 1)
+                ids_f = jnp.take_along_axis(ids_win.astype(jnp.int32), oc,
+                                            axis=1)
+                tok_f = jnp.take_along_axis(tok_win, oc, axis=1)
+                ent_f = jnp.take_along_axis(ent_win, oc, axis=1)
+                return ids_f, tok_f, ent_f, tuple(kc_new), tuple(vc_new)
+
+            if W_SMALL < L:
+                ids, tok_r, ent_r, kc, vc = jax.lax.cond(
+                    jnp.max(len_eff) <= W_SMALL,
+                    lambda: windowed_fill(W_SMALL),
+                    lambda: windowed_fill(L))
+            else:
+                ids, tok_r, ent_r, kc, vc = windowed_fill(L)
+            cache_upd = {"kc": kc, "vc": vc}
         else:
             def sa_fill(m):
                 h = m.decode_sa(extend_word[:, 1:-1], extend_syn[:, 1:-1],
@@ -311,19 +382,22 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                 return m.generate(h)
 
             logprob = model.apply(params, method=sa_fill)          # [B, L, V]
-        ids, _ = sample_next_word(skey, logprob, sample_method, temperature)
+            ids, _ = sample_next_word(skey, logprob, sample_method,
+                                      temperature)
+            tok_r, ent_r = _tok_entropy(logprob, ids)
         ids_lab = jnp.pad(ids.astype(jnp.int32), ((0, 0), (1, 1)))  # shift +1
 
         in_dec = emit[:, None] & (pos_dec >= start_dec[:, None]) \
             & (pos_dec < end_dec[:, None])
         seq = jnp.where(in_ph, ids_lab, s["seq"])
         extend_len = jnp.where(in_ph, ids_lab, s["extend_len"])
-        seq_lp = jnp.where(in_dec[:, :, None], logprob, s["seq_lp"])
+        tok_lp = jnp.where(in_dec, tok_r, s["tok_lp"])
+        ent_c = jnp.where(in_dec, ent_r, s["ent"])
 
-        return {**s, **upd,
+        return {**s, **upd, **cache_upd,
                 "seq": seq, "extend_len": extend_len,
                 "extend_word": extend_word, "extend_syn": extend_syn,
-                "vis_dec": vis_dec, "seq_lp": seq_lp,
+                "vis_dec": vis_dec, "tok_lp": tok_lp, "ent": ent_c,
                 "seq_last": s["seq_last"] + jnp.where(emit, s["prev_len"], 0),
                 "phrase_last": s["phrase_last"] + len_eff,
                 "prev_len": jnp.where(emit, len_eff, s["prev_len"]),
@@ -343,12 +417,19 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         "phrase_syn": jnp.full((B, L2), PAD, jnp.int32),
         "phrase_num": jnp.zeros((B,), jnp.int32),
         "finished": jnp.zeros((B,), bool),
-        "seq_lp": jnp.zeros((B, L, V), jnp.float32),
+        "tok_lp": jnp.zeros((B, L), jnp.float32),
+        "ent": jnp.zeros((B, L), jnp.float32),
         "rng": rng,
     }
+    if fused_fill:
+        D = memory.shape[-1]
+        zeros = lambda: tuple(jnp.zeros((B, L, D), model.dtype)
+                              for _ in range(n_layers))
+        init["kc"] = zeros()
+        init["vc"] = zeros()
     s = jax.lax.while_loop(cond, body, init)
-    return {"seq": s["seq"][:, 1:-1], "logprobs": s["seq_lp"],
-            "phrase_num": s["phrase_num"],
+    return {"seq": s["seq"][:, 1:-1], "tok_logprobs": s["tok_lp"],
+            "entropy": s["ent"], "phrase_num": s["phrase_num"],
             "phrase_length": s["phrase_length"][:, 1:-1],
             "phrase_syn": s["phrase_syn"][:, 1:-1]}
 
@@ -368,7 +449,6 @@ def uic_s_ar_decode(model, params, rng, memory, src_mask, *,
     """
     L = model.max_length
     B = memory.shape[0]
-    V = model.tgt_vocab
     n_bound = L if max_steps is None else min(max_steps, L)
     plan = bound_plan(model, params, memory, src_mask, n_bound, L)
     extend_syn = plan["extend_syn"]
@@ -395,22 +475,24 @@ def uic_s_ar_decode(model, params, rng, memory, src_mask, *,
         write = (s["pos"] + 1) < last                       # reference :2385
         ids = jnp.where(write, ids, PAD).astype(jnp.int32)
         seq = s["seq"].at[:, s["pos"]].set(ids)
-        store = jnp.where(write[:, None], logprob, 0.0)
-        seqlp = jax.lax.dynamic_update_slice_in_dim(
-            s["seqlp"], store[:, None, :], s["pos"], axis=1)
+        tok, ent = _tok_entropy(logprob, ids, write)
+        tok_lp = s["tok_lp"].at[:, s["pos"]].set(tok)
+        ent_c = s["ent"].at[:, s["pos"]].set(ent)
         return {"pos": s["pos"] + 1, "it": ids, "cache": cache, "seq": seq,
-                "seqlp": seqlp, "rng": rng}
+                "tok_lp": tok_lp, "ent": ent_c, "rng": rng}
 
     init = {
         "pos": jnp.array(0, jnp.int32),
         "it": jnp.full((B,), BOS, jnp.int32),
         "cache": cache,
         "seq": jnp.full((B, L), PAD, jnp.int32),
-        "seqlp": jnp.zeros((B, L, V), jnp.float32),
+        "tok_lp": jnp.zeros((B, L), jnp.float32),
+        "ent": jnp.zeros((B, L), jnp.float32),
         "rng": rng,
     }
     s = jax.lax.while_loop(cond, body, init)
-    return {"seq": s["seq"], "logprobs": s["seqlp"],
+    return {"seq": s["seq"], "tok_logprobs": s["tok_lp"],
+            "entropy": s["ent"],
             "phrase_num": plan["phrase_num"],
             "phrase_length": plan["phrase_length"][:, :L],
             "phrase_syn": plan["phrase_syn"][:, :L]}
@@ -450,7 +532,9 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
         logprob = model.apply(params, method=fill)
     ids, _ = sample_next_word(rng, logprob, sample_method, temperature)
     seq = jnp.where(keep, ids.astype(jnp.int32), PAD)
-    return {"seq": seq, "logprobs": logprob, "length": length_N}
+    tok, ent = _tok_entropy(logprob, seq)      # unmasked: dense-tensor parity
+    return {"seq": seq, "tok_logprobs": tok, "entropy": ent,
+            "length": length_N}
 
 
 def ss_sa_loop(model, params, rng, memory, src_mask, labels, phrase_length,

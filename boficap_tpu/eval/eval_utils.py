@@ -55,15 +55,6 @@ def decode_sequence(ix_to_word: Dict[str, str], seq: np.ndarray,
     return out
 
 
-def _entropy_ppl(seq: np.ndarray, logprobs: np.ndarray):
-    """Per-caption entropy and perplexity (eval_utils.py:183-184)."""
-    p = np.exp(logprobs)
-    ent = -(p * logprobs).sum(2).sum(1)
-    tok = np.take_along_axis(logprobs, seq[:, :, None], axis=2)[:, :, 0]
-    n = (seq > VOCAB_LOWER).sum(1) + 1
-    return ent / n, -(tok.sum(1)) / n
-
-
 def _resolve_pallas_fill(flag, model) -> bool:
     """use_pallas_fill: auto = TPU AND lane-aligned model dims.  The pallas
     fused decoder layer has no CPU compile path, was only measured to win on
@@ -151,14 +142,13 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                                   temperature=temperature)
 
     def dec_pb(att, am, rng):
-        # host-driven legacy loop (decode/pb.py) — takes raw features
+        # host-driven legacy loop (decode/pb.py) — takes raw features.
+        # PB decode exposes no per-word logprobs; entropy/perplexity are
+        # reported ABSENT for it rather than fabricated (the old path
+        # zero-filled a dense logprob tensor, making them meaningless).
         from ..decode.pb import pb_decode as _pb
-        out = _pb(model, params, rng, att, am,
-                  sample_method=sample_method, temperature=temperature)
-        V = model.tgt_vocab
-        out = dict(out)
-        out["logprobs"] = np.zeros(out["seq"].shape + (V,), np.float32)
-        return out
+        return _pb(model, params, rng, att, am,
+                   sample_method=sample_method, temperature=temperature)
 
     return {"encode": encode, "NAIC": dec_na, "SAIC": dec_sa,
             "AIC": dec_ar, "beam": dec_beam, "NNAIC": dec_nnaic,
@@ -281,21 +271,22 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         memory = dec["encode"](att, am)
         src_mask = am.astype(bool)
         rng, k = jax.random.split(rng)
+        ent_arr = None
         if branch == "AIC" and beam_size > 1:
             out = dec["beam"](memory, src_mask)
             out = jax.tree_util.tree_map(lambda x: x, out)
             seq_all = np.asarray(out["seq"])           # [B, K, L]
             seq = seq_all[:, 0]
             tok_lp = np.asarray(out["tok_logprobs"])[:, 0]
-            logprobs = None
         elif branch == "PB_pad":
             out = dec[branch](att, am, k)
             seq = np.asarray(out["seq"])
-            logprobs = np.asarray(out["logprobs"])
+            tok_lp = None                   # PB: entropy/ppl absent
         else:
             out = dec[branch](memory, src_mask, k)
             seq = np.asarray(out["seq"])
-            logprobs = np.asarray(out["logprobs"])
+            tok_lp = np.asarray(out["tok_logprobs"])
+            ent_arr = np.asarray(out["entropy"])
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         if first:
@@ -306,20 +297,38 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             decode_time += dt
             redo = None
 
-        if logprobs is not None:
-            entropy, ppl = _entropy_ppl(seq, logprobs)
+        if tok_lp is None:                   # PB_pad: no per-word logprobs
+            entropy = ppl = None
         else:
             n_tok = (seq > VOCAB_LOWER).sum(1) + 1
             ppl = -tok_lp.sum(1) / n_tok
-            entropy = np.zeros(len(seq))
+            entropy = (ent_arr.sum(1) / n_tok if ent_arr is not None
+                       else np.zeros(len(seq)))
 
         sents = decode_sequence(ix_to_word, seq, remove_bad_endings=remove_bad)
         for kk, sent in enumerate(sents):
             img_id = data["infos"][kk]["id"]
             entry = {"image_id": img_id, "caption": sent,
-                     "perplexity": float(ppl[kk]),
-                     "entropy": float(entropy[kk])}
+                     "perplexity": None if ppl is None else float(ppl[kk]),
+                     "entropy": (None if entropy is None
+                                 else float(entropy[kk]))}
+            if eval_kwargs.get("dump_path", 0) == 1:
+                # include the source path in the dump
+                # (reference eval_utils.py:198-199)
+                entry["file_name"] = data["infos"][kk].get("file_path", "")
             predictions.append(entry)
+            if eval_kwargs.get("dump_images", 0) == 1:
+                # copy the image next to the predictions
+                # (reference eval_utils.py:201-204); no-op when the loader
+                # carries no file paths or the file is absent
+                src = os.path.join(
+                    str(eval_kwargs.get("image_root", "") or ""),
+                    str(data["infos"][kk].get("file_path", "") or ""))
+                if data["infos"][kk].get("file_path") and os.path.isfile(src):
+                    import shutil
+                    os.makedirs(os.path.join("vis", "imgs"), exist_ok=True)
+                    shutil.copy(src, os.path.join(
+                        "vis", "imgs", f"img{len(predictions)}.jpg"))
             gts_words[img_id] = decode_sequence(ix_to_word,
                                                 data["gts"][kk])
             if verbose:

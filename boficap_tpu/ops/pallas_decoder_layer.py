@@ -264,6 +264,218 @@ def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
 
 
 # ---------------------------------------------------------------------------
+# Windowed variant with per-layer K/V caches: the SA fill's incremental
+# rounds (reference core_SAIC, TransformerModel.py:1878-1986, re-runs the
+# FULL decoder per phrase; blockwise finality means finalized positions'
+# K/V never change, so each round only needs to decode the new slot's
+# W-wide window against cached keys).
+# ---------------------------------------------------------------------------
+
+_WIN_WNAMES = ("s0", "b0", "wqh", "bqh", "wkh", "bkh", "wvh", "bvh", "woh",
+               "bo", "s1", "b1", "wq2h", "bq2h", "wo2h", "bo2",
+               "s2", "b2", "w1", "bf1", "w2", "bf2")
+
+
+def _win_kernel(starts_ref, x_ref, kc_in, vc_in, k2_ref, v2_ref,
+                tm_ref, sm_ref,
+                s0, b0, wqh, bqh, wkh, bkh, wvh, bvh, woh, bo,
+                s1, b1, wq2h, bq2h, wo2h, bo2,
+                s2, b2, w1, bf1, w2, bf2,
+                o_ref, kc_out, vc_out, *, num_heads: int):
+    """One decoder layer on a [G, W, D] window of NEW positions.
+
+    Self-attention keys/values come from the [G, L, D] caches; the window's
+    own K/V are computed here and scattered into the caches FIRST (at each
+    sample's ``start`` row from the scalar-prefetch arg) so the window
+    attends to itself through the cache — the mask (built outside from the
+    per-row visibility bounds) makes the result bit-equal to the full-width
+    pass.  Cross-attention K/V arrive pre-projected (loop-invariant per
+    decode, computed once outside the round loop), so this kernel carries
+    neither wk2/wv2 weights nor their per-round projections."""
+    G, W, D = x_ref.shape
+    L = kc_in.shape[1]
+    R = k2_ref.shape[1]
+    dtype = x_ref.dtype
+    H = num_heads
+    Dh = D // H
+    base = pl.program_id(0) * G
+
+    x = x_ref[:].reshape(G * W, D)
+
+    # ---- self-attention sublayer (K/V through the caches)
+    n0 = _refnorm(x, s0[:], b0[:], dtype)
+    q_all = (jnp.dot(n0, wqh[:], preferred_element_type=jnp.float32)
+             .astype(dtype) + bqh[:])
+    k_new = (jnp.dot(n0, wkh[:], preferred_element_type=jnp.float32)
+             .astype(dtype) + bkh[:])
+    v_new = (jnp.dot(n0, wvh[:], preferred_element_type=jnp.float32)
+             .astype(dtype) + bvh[:])
+    # carry the caches through (same memory traffic as aliasing: one
+    # read + one write per layer), then overwrite the window rows
+    kc_out[:] = kc_in[:]
+    vc_out[:] = vc_in[:]
+    k_new_g = k_new.reshape(G, W, D)
+    v_new_g = v_new.reshape(G, W, D)
+    for g in range(G):
+        st = starts_ref[base + g]
+        kc_out[g, pl.ds(st, W), :] = k_new_g[g]
+        vc_out[g, pl.ds(st, W), :] = v_new_g[g]
+    k_all = kc_out[:].reshape(G * L, D)
+    v_all = vc_out[:].reshape(G * L, D)
+
+    scale = 1.0 / math.sqrt(Dh)
+    N, M = G * W, G * L
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0) // W
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1) // L
+    fill = jnp.where(row_blk == col_blk, MASK_FILL, 2.0 * MASK_FILL)
+    tm = tm_ref[0]
+    ctxs = []
+    for h in range(H):
+        q = q_all[:, h * Dh:(h + 1) * Dh]
+        k = k_all[:, h * Dh:(h + 1) * Dh]
+        v = v_all[:, h * Dh:(h + 1) * Dh]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(tm, sc, fill)
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
+                    .astype(dtype))
+    att = jnp.dot(jnp.concatenate(ctxs, axis=-1), woh[:],
+                  preferred_element_type=jnp.float32)
+    x = x + (att.astype(dtype) + bo[:])
+
+    # ---- cross-attention sublayer (pre-projected K/V)
+    n1 = _refnorm(x, s1[:], b1[:], dtype)
+    q2_all = (jnp.dot(n1, wq2h[:], preferred_element_type=jnp.float32)
+              .astype(dtype) + bq2h[:])
+    k2_all = k2_ref[:].reshape(G * R, D)
+    v2_all = v2_ref[:].reshape(G * R, D)
+    M2 = G * R
+    row_blk2 = jax.lax.broadcasted_iota(jnp.int32, (N, M2), 0) // W
+    col_blk2 = jax.lax.broadcasted_iota(jnp.int32, (N, M2), 1) // R
+    fill2 = jnp.where(row_blk2 == col_blk2, MASK_FILL, 2.0 * MASK_FILL)
+    sm = sm_ref[0]
+    ctxs2 = []
+    for h in range(H):
+        q = q2_all[:, h * Dh:(h + 1) * Dh]
+        k = k2_all[:, h * Dh:(h + 1) * Dh]
+        v = v2_all[:, h * Dh:(h + 1) * Dh]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(sm, sc, fill2)
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        ctxs2.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
+                     .astype(dtype))
+    att2 = jnp.dot(jnp.concatenate(ctxs2, axis=-1), wo2h[:],
+                   preferred_element_type=jnp.float32)
+    x = x + (att2.astype(dtype) + bo2[:])
+
+    # ---- FFN sublayer
+    n2 = _refnorm(x, s2[:], b2[:], dtype)
+    f = jnp.maximum(
+        jnp.dot(n2, w1[:], preferred_element_type=jnp.float32)
+        .astype(dtype) + bf1[:], 0)
+    f = (jnp.dot(f, w2[:], preferred_element_type=jnp.float32)
+         .astype(dtype) + bf2[:])
+    x = x + f
+    o_ref[:] = x.reshape(G, W, D)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_b", "interpret"))
+def fused_window_decoder_layer(x_win, starts, k_cache, v_cache, k2, v2,
+                               tm_big, sm_big, weights, num_heads: int,
+                               block_b: int = 8, interpret: bool = False):
+    """One windowed DecoderLayer round.
+
+    x_win [B, W, D] window activations, starts [B] int32 window origins,
+    k_cache/v_cache [B, L, D] self-attn caches (returned updated), k2/v2
+    [B, R, D] pre-projected cross K/V, tm_big [B//G, G*W, G*L] /
+    sm_big [B//G, G*W, G*R] block-diagonal visibility masks.
+    Returns (x_out [B, W, D], k_cache', v_cache')."""
+    B, W, D = x_win.shape
+    L = k_cache.shape[1]
+    R = k2.shape[1]
+    G = math.gcd(B, block_b)
+
+    def rows(i, *_):
+        return (i, 0, 0)
+
+    w_list = [weights[n] for n in _WIN_WNAMES]
+
+    def _zero_idx(i, *_, n):
+        # extra args: scalar-prefetch refs are passed to index maps too
+        return (0,) * n
+
+    w_specs = [pl.BlockSpec(w.shape, functools.partial(_zero_idx, n=w.ndim),
+                            memory_space=pltpu.VMEM)
+               for w in w_list]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, W, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * W, G * L), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * W, G * R), rows, memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((G, W, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_win_kernel, num_heads=num_heads),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, D), x_win.dtype),
+            jax.ShapeDtypeStruct((B, L, D), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, L, D), v_cache.dtype),
+        ),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), x_win, k_cache, v_cache, k2, v2,
+      tm_big, sm_big, *w_list)
+
+
+def project_cross_kv(packed, memory):
+    """Pre-project each layer's cross-attention K/V from the encoder memory
+    (loop-invariant per decode — the reference recomputes them every
+    decoder pass).  Returns ([k2_l], [v2_l]) lists of [B, R, D]."""
+    ks, vs = [], []
+    for w in packed:
+        ks.append(jnp.einsum("brd,de->bre", memory, w["wk2h"]) + w["bk2h"])
+        vs.append(jnp.einsum("brd,de->bre", memory, w["wv2h"]) + w["bv2h"])
+    return ks, vs
+
+
+def fused_window_decoder_forward(x_win, starts, k_caches, v_caches,
+                                 k2s, v2s, tm_big, sm_big, packed,
+                                 final_norm, num_heads: int,
+                                 block_b: int = 8, interpret: bool = False):
+    """Windowed decoder stack: N fused_window_decoder_layer rounds + final
+    RefLayerNorm on the window.  k_caches/v_caches are per-layer lists of
+    [B, L, D]; returns (h_win, new k_caches, new v_caches)."""
+    new_k, new_v = [], []
+    for i, w in enumerate(packed):
+        x_win, kc, vc = fused_window_decoder_layer(
+            x_win, starts, k_caches[i], v_caches[i], k2s[i], v2s[i],
+            tm_big, sm_big, w, num_heads=num_heads, block_b=block_b,
+            interpret=interpret)
+        new_k.append(kc)
+        new_v.append(vc)
+    s, b = final_norm
+    return _refnorm(x_win, s, b, x_win.dtype), new_k, new_v
+
+
+# ---------------------------------------------------------------------------
 # Encoder variant: self-attention + FFN only (reference EncoderLayer,
 # TransformerModel.py:1366-1377), same block-diagonal batching
 # ---------------------------------------------------------------------------

@@ -96,6 +96,15 @@ def oracle_na(model, params, memory, src_mask):
                 phrase_length=pl[:, :L], phrase_syn=ps[:, :L])
 
 
+def dense_tok_ent(lp, seq):
+    """Reduce an oracle's dense [B, L, V] logprobs to the decode API's
+    (tok_logprobs, entropy) [B, L] pair (zero rows reduce to zeros)."""
+    tok = np.take_along_axis(lp, seq[:, :, None].astype(np.int64),
+                             axis=2)[:, :, 0]
+    ent = -(np.exp(lp) * lp).sum(-1)
+    return tok, ent
+
+
 def test_na_decode_matches_oracle():
     model, params, memory, src_mask = _setup("UIC", seed=11)
     got = jax.jit(lambda m, sm, r: bf.na_decode(
@@ -110,7 +119,10 @@ def test_na_decode_matches_oracle():
     np.testing.assert_array_equal(np.asarray(got["seq"]), want["seq"])
     # loose float tolerance: whole-program XLA fusion vs op-by-op eager
     # reorders f32 reductions; an eager na_decode matches the oracle exactly
-    np.testing.assert_allclose(np.asarray(got["logprobs"]), want["logprobs"],
+    tok, ent = dense_tok_ent(want["logprobs"], want["seq"])
+    np.testing.assert_allclose(np.asarray(got["tok_logprobs"]), tok,
+                               rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["entropy"]), ent,
                                rtol=2e-2, atol=1e-3)
 
 
@@ -207,7 +219,10 @@ def test_sa_decode_matches_oracle():
     np.testing.assert_array_equal(np.asarray(got["phrase_num"]),
                                   want["phrase_num"])
     np.testing.assert_array_equal(np.asarray(got["seq"]), want["seq"])
-    np.testing.assert_allclose(np.asarray(got["logprobs"]), want["logprobs"],
+    tok, ent = dense_tok_ent(want["logprobs"], want["seq"])
+    np.testing.assert_allclose(np.asarray(got["tok_logprobs"]), tok,
+                               rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["entropy"]), ent,
                                rtol=2e-2, atol=1e-3)
 
 
@@ -263,22 +278,36 @@ def test_ar_kv_cache_matches_full_recompute():
 
 
 def test_ar_sample_self_consistent():
-    """Greedy ar_sample: each emitted token is the argmax of its own stored
-    log-prob row; rows after eos are PAD with zeroed log-probs."""
+    """Greedy ar_sample: the stored per-token log-prob/entropy match an
+    eager ar_step REPLAY of the sample's own token stream (comparing two
+    free-running trajectories instead would be flaky — fusion noise can
+    flip near-tie argmaxes); rows after eos are PAD with zeros."""
     model, params, memory, src_mask = _setup("AIC", seed=17)
     got = jax.jit(lambda m, sm, r: ar_mod.ar_sample(
         model, params, r, m, sm))(memory, src_mask, jax.random.PRNGKey(0))
     seq = np.asarray(got["seq"])
-    lps = np.asarray(got["logprobs"])
-    for b in range(seq.shape[0]):
-        done = False
-        for t in range(L):
-            if done:
-                assert seq[b, t] == PAD and (lps[b, t] == 0).all()
+    tok = np.asarray(got["tok_logprobs"])
+    ent = np.asarray(got["entropy"])
+    B = seq.shape[0]
+    cache = model.apply(params, memory, L + 1, method="init_ar_cache")
+    it = jnp.full((B,), BOS, jnp.int32)
+    unfinished = np.ones(B, bool)
+    for t in range(L):
+        lp, cache = model.apply(params, it, t, cache, src_mask,
+                                method="ar_step")
+        lp = np.asarray(lp)
+        wtok = np.take_along_axis(lp, seq[:, t][:, None], axis=1)[:, 0]
+        went = -(np.exp(lp) * lp).sum(-1)
+        for b in range(B):
+            if unfinished[b]:
+                np.testing.assert_allclose(tok[b, t], wtok[b],
+                                           rtol=2e-2, atol=1e-3)
+                np.testing.assert_allclose(ent[b, t], went[b],
+                                           rtol=2e-2, atol=1e-3)
             else:
-                assert seq[b, t] == lps[b, t].argmax()
-            if seq[b, t] == EOS:
-                done = True
+                assert seq[b, t] == PAD and tok[b, t] == 0 and ent[b, t] == 0
+        unfinished &= seq[:, t] != EOS
+        it = jnp.asarray(seq[:, t])
 
 
 def test_beam_one_equals_greedy():
@@ -329,7 +358,8 @@ def test_nnaic_decode_and_forward():
     ln = np.asarray(out["length"])
     for b in range(B):
         assert (seq[b, ln[b]:] == PAD).all()
-        assert np.isfinite(np.asarray(out["logprobs"][b])).all()
+        assert np.isfinite(np.asarray(out["tok_logprobs"][b])).all()
+        assert np.isfinite(np.asarray(out["entropy"][b])).all()
 
 
 def test_uic_s_decode_branches():
@@ -343,7 +373,8 @@ def test_uic_s_decode_branches():
     B = memory.shape[0]
     for out in (sa, ar):
         assert out["seq"].shape == (B, L)
-        assert np.isfinite(np.asarray(out["logprobs"])).all()
+        assert np.isfinite(np.asarray(out["tok_logprobs"])).all()
+        assert np.isfinite(np.asarray(out["entropy"])).all()
     # AR words only inside the planned length (label positions 1..total)
     total = np.asarray(ar["phrase_length"]).sum(-1)
     seq = np.asarray(ar["seq"])
@@ -372,7 +403,7 @@ def test_block_trigrams_runs():
     model, params, memory, src_mask = _setup("AIC", seed=41)
     out = ar_mod.ar_sample(model, params, jax.random.PRNGKey(0), memory,
                            src_mask, block_trigrams=True)
-    assert np.isfinite(np.asarray(out["logprobs"])).all()
+    assert np.isfinite(np.asarray(out["tok_logprobs"])).all()
 
 
 def test_decoding_constraint_blocks_repeats():

@@ -125,10 +125,48 @@ def test_pallas_fill_gating():
     cfg.d_ff = 256
     aligned = build_model(cfg, 50)
 
-    assert _resolve_pallas_fill("true", small) is True
+    # forcing the flag where its preconditions fail raises a clear error
+    # instead of deferring to an opaque Mosaic lowering failure
+    with pytest.raises(ValueError, match="TPU backend"):
+        _resolve_pallas_fill("true", small)
     assert _resolve_pallas_fill("off", small) is False
     assert _resolve_pallas_fill(False, aligned) is False
     # auto on the CPU test backend is always off
     assert _resolve_pallas_fill("auto", aligned) is False
     assert _resolve_pallas_fill("auto", small) is False
     assert _resolve_pallas_fill(True, object()) is False
+
+
+# ---------------------------------------------------------------------------
+# METEOR_approx golden values (VERDICT r1 #9): pin the approximation against
+# hand-worked values of the published algorithm (Banerjee & Lavie 2005,
+# Fmean = 10PR/(R+9P), penalty = 0.5*(chunks/m)^3) and quantify its bias
+# (exact + Porter-stem stages only; no WordNet synonym/paraphrase stages).
+# ---------------------------------------------------------------------------
+
+def test_meteor_golden_values():
+    from boficap_tpu.eval.meteor import meteor
+    ref = ["the cat sat on the mat"]
+    # identical: m=6, F=1, 1 chunk -> 1 - 0.5/216
+    assert meteor("the cat sat on the mat", ref) == pytest.approx(
+        1.0 - 0.5 * (1 / 6) ** 3, abs=1e-9)
+    # published example (paper / survey tables report 0.9654): P=6/7, R=1,
+    # Fmean=60/61, 2 chunks -> the approximation reproduces it exactly
+    assert meteor("the cat was sat on the mat", ref) == pytest.approx(
+        (60 / 61) * (1 - 0.5 * (2 / 6) ** 3), abs=1e-9)
+    assert meteor("the cat was sat on the mat", ref) == pytest.approx(
+        0.9654, abs=1e-4)
+    # full reorder: greedy continuation alignment finds 3 chunks
+    assert meteor("on the mat sat the cat", ref) == pytest.approx(
+        1.0 - 0.5 * (3 / 6) ** 3, abs=1e-9)
+
+
+def test_meteor_stem_stage_and_known_bias():
+    from boficap_tpu.eval.meteor import meteor
+    # stem stage: inflection differences still match
+    assert meteor("dogs running", ["dog runs"]) == pytest.approx(
+        1.0 - 0.5 * (1 / 2) ** 3, abs=1e-9)
+    # KNOWN BIAS vs official METEOR: no synonym stage, so synonym pairs
+    # score 0 where the java scorer (WordNet stage) would match them
+    assert meteor("happy", ["glad"]) == 0.0
+    assert meteor("", ["anything"]) == 0.0

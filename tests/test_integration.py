@@ -74,6 +74,35 @@ def test_eval_cli(tmp_path):
     assert result["n_images"] == 4
     assert result["lang_stats"] is not None
 
+    # --image_folder switches to DataLoaderRaw (reference tools/eval.py:
+    # 109-118): on-the-fly features, vocab from the train infos, language
+    # metrics off; --dump_path/--dump_images record/copy the source images
+    from PIL import Image
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (42, 42, 3), np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = eval_main([
+            "--model", os.path.join(cfg.checkpoint_path, "model.ckpt"),
+            "--infos_path", os.path.join(cfg.checkpoint_path,
+                                         f"infos_{cfg.id}.pkl"),
+            "--image_folder", str(img_dir), "--num_images", "3",
+            "--dump_json", "0", "--dump_path", "1", "--dump_images", "1",
+            "--inference_mode", "NAIC",
+        ])
+    finally:
+        os.chdir(cwd)
+    assert result["n_images"] == 3
+    assert result["lang_stats"] is None
+    preds = result["predictions"]
+    assert len(preds) == 3 and preds[0]["file_name"] == "im0.jpg"
+    assert os.path.isfile(tmp_path / "vis" / "imgs" / "img1.jpg")
+
 
 def test_dryrun_multichip_8dev():
     import __graft_entry__ as ge

@@ -53,8 +53,9 @@ def test_model_forward_with_pallas_flag():
         set_pallas_attention(False)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
-    np.testing.assert_allclose(np.asarray(base["logprobs"]),
-                               np.asarray(fused["logprobs"]),
+    for key in ("tok_logprobs", "entropy"):
+        np.testing.assert_allclose(np.asarray(base[key]),
+                                   np.asarray(fused[key]),
                                rtol=2e-3, atol=1e-4)
 
 
@@ -126,8 +127,9 @@ def test_na_decode_fused_fill_matches_unfused():
                          src_mask, fused_fill=True, fused_interpret=True)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
-    np.testing.assert_allclose(np.asarray(base["logprobs"]),
-                               np.asarray(fused["logprobs"]),
+    for key in ("tok_logprobs", "entropy"):
+        np.testing.assert_allclose(np.asarray(base[key]),
+                                   np.asarray(fused[key]),
                                rtol=2e-3, atol=2e-4)
 
 
@@ -189,8 +191,9 @@ def test_sa_decode_fused_fill_matches_unfused():
                          src_mask, fused_fill=True, fused_interpret=True)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
-    np.testing.assert_allclose(np.asarray(base["logprobs"]),
-                               np.asarray(fused["logprobs"]),
+    for key in ("tok_logprobs", "entropy"):
+        np.testing.assert_allclose(np.asarray(base[key]),
+                                   np.asarray(fused[key]),
                                rtol=2e-3, atol=2e-4)
 
 
@@ -250,6 +253,7 @@ def test_nnaic_decode_fused_fill_matches_unfused():
                             src_mask, fused_fill=True, fused_interpret=True)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
-    np.testing.assert_allclose(np.asarray(base["logprobs"]),
-                               np.asarray(fused["logprobs"]),
+    for key in ("tok_logprobs", "entropy"):
+        np.testing.assert_allclose(np.asarray(base[key]),
+                                   np.asarray(fused[key]),
                                rtol=2e-3, atol=2e-4)

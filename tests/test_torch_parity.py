@@ -191,10 +191,16 @@ def test_uic_greedy_decode_parity(parity_uic):
     # .py:1872-1874); compare only rows whose plan length equals the last
     # sample's, where the bug is invisible
     totals = pl.numpy().sum(-1)
+    seq = np.asarray(got["seq"])
     for b in range(B):
         if totals[b] == totals[-1]:
-            np.testing.assert_allclose(np.asarray(got["logprobs"])[b],
-                                       ref_lp[b], rtol=1e-3, atol=2e-4)
+            want_tok = np.take_along_axis(
+                ref_lp[b], seq[b][:, None].astype(np.int64), axis=1)[:, 0]
+            want_ent = -(np.exp(ref_lp[b]) * ref_lp[b]).sum(-1)
+            np.testing.assert_allclose(np.asarray(got["tok_logprobs"])[b],
+                                       want_tok, rtol=1e-3, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(got["entropy"])[b],
+                                       want_ent, rtol=1e-3, atol=2e-4)
 
 
 def test_uic_ds_forward_parity():

@@ -147,13 +147,16 @@ def test_rl_rescore_matches_sampling_logprobs():
                                deterministic=True)
     for key, s in (("sa_logprob", sa), ("na_logprob", na)):
         total = np.asarray(s["phrase_length"]).sum(-1)
-        got = np.asarray(lps[key])
-        want = np.asarray(s["logprobs"])
+        got = np.asarray(lps[key])                 # dense [B, L, V]
+        seq = np.asarray(s["seq"])
+        got_tok = np.take_along_axis(
+            got, seq[:, :, None].astype(np.int64), axis=2)[:, :, 0]
+        want = np.asarray(s["tok_logprobs"])
         for b in range(got.shape[0]):
             n = int(total[b])
             if n == 0:
                 continue
-            np.testing.assert_allclose(got[b, :n], want[b, :n],
+            np.testing.assert_allclose(got_tok[b, :n], want[b, :n],
                                        rtol=2e-2, atol=1e-3)
 
 

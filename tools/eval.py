@@ -94,7 +94,27 @@ def main(argv=None):
             return stats
         print("no cached predictions; running full eval")
 
-    loader = CaptionData(opt)
+    if args.image_folder:
+        # eval over a raw image folder (reference tools/eval.py:109-118):
+        # features are extracted on the fly; the vocab MUST come from the
+        # train infos (the folder has no cocotalk json), and there are no
+        # gt captions, so language metrics are off.
+        from boficap_tpu.data.raw import DataLoaderRaw
+        loader = DataLoaderRaw(
+            args.image_folder,
+            batch_size=int(opt.get("batch_size", 10) or 10),
+            coco_json=args.coco_json or "")
+        loader.ix_to_word = infos["vocab"]
+        loader.vocab_size = len(infos["vocab"])
+        loader.seq_length = int(opt.get("max_length", 20) or 20)
+        if eval_kwargs.get("language_eval"):
+            print("--image_folder has no gt captions; language_eval -> 0")
+        eval_kwargs["language_eval"] = 0
+        eval_kwargs.setdefault("image_root", args.image_folder)
+        if not eval_kwargs.get("image_root"):
+            eval_kwargs["image_root"] = args.image_folder
+    else:
+        loader = CaptionData(opt)
     model = models_setup(opt, loader.vocab_size)
 
     # init a parameter template, then load the checkpoint bytes into it
@@ -102,6 +122,16 @@ def main(argv=None):
     import jax
     from boficap_tpu.train import steps as steps_mod
     f = steps_mod._flat(ex)
+    if f.get("labels") is None:
+        # raw-folder batches carry no labels; template init uses dummies
+        B = ex["att_feats"].shape[0]
+        L2 = int(opt.get("max_length", 20) or 20) + 2
+        f = dict(f)
+        f["labels"] = jnp.zeros((B, L2), jnp.int32).at[:, 0].set(1)
+        f["phrase_num"] = jnp.full((B,), 2, jnp.int32)
+        f["phrase_length"] = (jnp.zeros((B, L2), jnp.int32)
+                              .at[:, 0].set(1).at[:, 1].set(2))
+        f["phrase_syn"] = jnp.zeros((B, L2), jnp.int32).at[:, 1].set(5)
     template = model.init(
         {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)},
         jnp.asarray(ex["att_feats"]), jnp.asarray(ex["att_masks"]),
