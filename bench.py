@@ -142,6 +142,11 @@ def main():
         return model.apply(params, att, am, deterministic=True,
                            method=BoFiCap.encode)
 
+    @jax.jit
+    def encode_unfused(att, am):
+        return model.apply(params, att, am, deterministic=True,
+                           method=BoFiCap.encode)
+
     # Realistic-termination protocol: an UNTRAINED model never emits a stop
     # signal, so free-running loops all hit the worst case and measure
     # nothing but max_length.  A trained BoFiCap on COCO emits ~9.5-word
@@ -223,17 +228,20 @@ def main():
     # runs the encoder inside (_prepare_feature, AttModel.py:408-410), so the
     # apples-to-apples NA-vs-AR ratio adds t_enc to both sides; the headline
     # keeps the decode-only protocol documented in BENCH_NOTES.md
-    t_enc = timed(lambda a, m, k: encode(a, m), att, am)
+    # both encoder programs are measured (their ranking swings with the
+    # tunnel weather — decomposition runs have shown each winning); a
+    # serving stack routes to whichever is faster on the day
+    t_enc_fused = timed(lambda a, m, k: encode(a, m), att, am)
+    _fetch(encode_unfused(att, am))
+    t_enc_unf = timed(lambda a, m, k: encode_unfused(a, m), att, am)
+    t_enc = min(t_enc_fused, t_enc_unf)
 
     # p50 single-caption latency (SURVEY §6 acceptance metric): device time
     # of one full caption — encode + bound + fill — at B=1, ONE jit program
     # (the tunnel RTT is excluded — it is a property of this dev link, not
-    # of the chip or framework).  The fused kernels' fixed overhead loses at
-    # B=1, so a serving stack would route B=1 to the unfused program:
-    # report the better of the two.
-    # (the fused kernels lose at B=1 — 0.41 vs 0.20 ms measured — so only
-    # the unfused program is compiled here; one less multi-minute Mosaic
-    # AOT compile on a cold cache)
+    # of the chip or framework).  Both the fused and unfused B=1 programs
+    # are measured (the persistent compile cache makes the extra Mosaic
+    # compile a one-time cost) and the better one is the serving route.
     @jax.jit
     def caption_unfused(att, am, rng):
         m = model.apply(params, att, am, deterministic=True,
@@ -241,9 +249,18 @@ def main():
         return bf.na_decode(model, params, rng, m, am.astype(bool),
                             max_steps=NA_STEPS)
 
+    @jax.jit
+    def caption_fused(att, am, rng):
+        m = bf.fused_encode(model, params, att, am)
+        return bf.na_decode(model, params, rng, m, am.astype(bool),
+                            max_steps=NA_STEPS, fused_fill=True)
+
     att1, am1 = att[:1], am[:1]
     _fetch(caption_unfused(att1, am1, KEY))
-    t_na1 = timed(caption_unfused, att1, am1)
+    t_na1_unf = timed(caption_unfused, att1, am1)
+    _fetch(caption_fused(att1, am1, KEY))
+    t_na1_fus = timed(caption_fused, att1, am1)
+    t_na1 = min(t_na1_unf, t_na1_fus)
 
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
@@ -262,8 +279,12 @@ def main():
             "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
             "na_vs_ar_kvcache_speedup": round(t_ar / t_na, 2),
             "na_p50_caption_latency_ms_b1": round(t_na1 * 1000, 3),
+            "na_p50_b1_unfused_ms": round(t_na1_unf * 1000, 3),
+            "na_p50_b1_fused_ms": round(t_na1_fus * 1000, 3),
             "na_unfused_ms_per_batch": round(t_na_unf * 1000, 3),
             "encode_ms_per_batch": round(t_enc * 1000, 3),
+            "encode_fused_ms": round(t_enc_fused * 1000, 3),
+            "encode_unfused_ms": round(t_enc_unf * 1000, 3),
             "na_vs_ar_nocache_speedup_incl_encode": round(
                 (t_ar0 + t_enc) / (t_na + t_enc), 2),
             "pallas_fused_fill": FUSED,

@@ -175,7 +175,8 @@ def na_decode(model, params, rng, memory, src_mask, *,
         jnp.arange(L)[None, None, :] < total[:, None, None], (B, L, L))
 
     if fused_fill:
-        from ..ops.pallas_decoder_layer import fused_decoder_forward
+        from ..ops.pallas_decoder_layer import (fused_decoder_forward,
+                                                fused_greedy_head)
         syn_seq = s["extend_syn"][:, 1:-1]
         word_seq = jnp.full(syn_seq.shape, BOS, jnp.int32)
 
@@ -189,6 +190,24 @@ def na_decode(model, params, rng, memory, src_mask, *,
         h = fused_decoder_forward(x, memory, na_mask, src_mask, packed,
                                   fnorm, num_heads=model.num_heads,
                                   interpret=fused_interpret)
+        if sample_method == "greedy" and (B * L >= 256
+                                          or fused_interpret):
+            # streaming head: never materializes [B, L, V] (see
+            # fused_greedy_head); tail rows (seq=PAD) take lp[:, PAD].
+            # Gated by row count: at tiny batches the 19 sequential vocab
+            # tiles are latency-bound and XLA's one-shot head wins
+            # (measured 0.84 vs 0.32 ms at B=1)
+            gen = params["params"]["generator"]["proj"]
+            ids, tok_a, ent, lp_pad = fused_greedy_head(
+                h, gen["kernel"], gen["bias"], pad_id=PAD,
+                interpret=fused_interpret)
+            keep = jnp.arange(L)[None, :] < total[:, None]
+            seq = jnp.where(keep, ids, PAD)
+            tok = jnp.where(keep, tok_a, lp_pad)
+            return {"seq": seq, "tok_logprobs": tok, "entropy": ent,
+                    "phrase_num": s["phrase_num"],
+                    "phrase_length": s["phrase_length"][:, :L],
+                    "phrase_syn": s["phrase_syn"][:, :L]}
         logprob = model.apply(params, h, method="generate")
     else:
         def fill(m):
@@ -289,7 +308,9 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         # positions never change (blockwise finality) — cache them per
         # layer and decode only a W-wide window of new positions per round
         # (reference core_SAIC re-runs the FULL decoder per phrase).
-        from ..ops.pallas_decoder_layer import (_block_diag_masks,
+        import math as _math
+
+        from ..ops.pallas_decoder_layer import (_block_diag_one,
                                                 fused_window_decoder_forward,
                                                 project_cross_kv)
         k2s, v2s = project_cross_kv(fctx[0], memory)
@@ -297,6 +318,16 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         W_SMALL = min(8, L)
         src_b = (src_mask if src_mask is not None
                  else jnp.ones(memory.shape[:2], bool))
+        # the cross-attention mask never changes across rounds — build the
+        # block-diagonal expansion ONCE per decode for both window widths
+        G_blk = _math.gcd(B, 8)
+        R = memory.shape[1]
+
+        def _sm_big(W):
+            sm3 = jnp.broadcast_to(src_b[:, None, :], (B, W, R))
+            return _block_diag_one(sm3, G_blk)
+
+        sm_bigs = {W_SMALL: _sm_big(W_SMALL), L: _sm_big(L)}
 
     def cond(s):
         return (s["i"] <= n_steps) & jnp.any(~s["finished"])
@@ -333,38 +364,66 @@ def sa_decode(model, params, rng, memory, src_mask, *,
 
         cache_upd = {}
         if fused_fill:
-            def embed(m):
-                return m._mix_inputs(extend_word[:, 1:-1],
-                                     extend_syn[:, 1:-1], "sa", True)
-
-            x_full = model.apply(params, method=embed)         # [B, L, D]
-
             def windowed_fill(W: int):
                 w_start = jnp.clip(start_dec, 0, L - W)
                 idx = w_start[:, None] + jnp.arange(W)[None, :]   # [B, W]
-                x_win = jnp.take_along_axis(x_full, idx[..., None], axis=1)
-                vis_rows = jnp.take_along_axis(vis_dec, idx, axis=1)
-                q_mask = (jnp.arange(L)[None, None, :]
-                          < vis_rows[:, :, None])                 # [B, W, L]
-                import math as _math
-                tm_big, sm_big = _block_diag_masks(q_mask, src_b,
-                                                   _math.gcd(B, 8))
+                # one-hot matmul gathers (exact: single 1 per row) — TPU
+                # generic gathers over the 512-wide dim are pathologically
+                # slow inside the loop (see fused_window_decoder_forward)
+                ohw = (jnp.arange(L)[None, None, :]
+                       == idx[:, :, None])                        # [B, W, L]
+                ohw_f = ohw.astype(jnp.float32)
+                # embed ONLY the window slots (word ids < 2^24 exact in f32)
+                w_ids = jnp.einsum(
+                    "bwl,bl->bw", ohw_f,
+                    extend_word[:, 1:-1].astype(jnp.float32)
+                ).astype(jnp.int32)
+                s_ids = jnp.einsum(
+                    "bwl,bl->bw", ohw_f,
+                    extend_syn[:, 1:-1].astype(jnp.float32)
+                ).astype(jnp.int32)
+                x_win = model.apply(params, w_ids, s_ids, ohw_f, "sa",
+                                    method="mix_inputs_window")
+                vis_rows = jnp.einsum(
+                    "bwl,bl->bw", ohw_f,
+                    vis_dec.astype(jnp.float32)).astype(jnp.int32)
+                # keys = cache columns (0..L-1) ++ fresh window columns:
+                # cache copies of in-window positions are stale -> masked,
+                # the window columns carry those positions instead
+                key_pos = jnp.arange(L)[None, None, :]
+                vis = vis_rows[:, :, None]
+                in_win_col = ((key_pos >= w_start[:, None, None])
+                              & (key_pos < (w_start + W)[:, None, None]))
+                m_cache = (key_pos < vis) & ~in_win_col           # [B, W, L]
+                m_win = idx[:, None, :] < vis                     # [B, W, W]
+                q_mask = jnp.concatenate([m_cache, m_win], axis=-1)
+                tm_big = _block_diag_one(q_mask, G_blk)
+                sm_big = sm_bigs[W]
                 h_win, kc_new, vc_new = fused_window_decoder_forward(
                     x_win, w_start, list(s["kc"]), list(s["vc"]), k2s, v2s,
                     tm_big, sm_big, fctx[0], fctx[1],
                     num_heads=model.num_heads, interpret=fused_interpret)
-                lp_win = model.apply(params, h_win, method="generate")
-                ids_win, _ = sample_next_word(skey, lp_win, sample_method,
-                                              temperature)
-                tok_win, ent_win = _tok_entropy(lp_win, ids_win)
-                # re-align window rows to the full decoder frame (rows
-                # outside the window are garbage, masked by in_dec below)
-                o = pos_dec - w_start[:, None]                    # [B, L]
-                oc = jnp.clip(o, 0, W - 1)
-                ids_f = jnp.take_along_axis(ids_win.astype(jnp.int32), oc,
-                                            axis=1)
-                tok_f = jnp.take_along_axis(tok_win, oc, axis=1)
-                ent_f = jnp.take_along_axis(ent_win, oc, axis=1)
+                if sample_method == "greedy" and (B * W >= 256
+                                                  or fused_interpret):
+                    from ..ops.pallas_decoder_layer import fused_greedy_head
+                    gen = params["params"]["generator"]["proj"]
+                    ids_win, tok_win, ent_win, _ = fused_greedy_head(
+                        h_win, gen["kernel"], gen["bias"], pad_id=PAD,
+                        interpret=fused_interpret)
+                else:
+                    lp_win = model.apply(params, h_win, method="generate")
+                    ids_win, _ = sample_next_word(skey, lp_win,
+                                                  sample_method, temperature)
+                    tok_win, ent_win = _tok_entropy(lp_win, ids_win)
+                # re-align window rows to the full decoder frame via the
+                # transposed one-hot (rows outside the window become 0,
+                # masked by in_dec below); word ids < 2^24 are exact in f32
+                ohl = ohw_f                                       # [B, W, L]
+                ids_f = jnp.einsum("bwl,bw->bl", ohl,
+                                   ids_win.astype(jnp.float32)
+                                   ).astype(jnp.int32)
+                tok_f = jnp.einsum("bwl,bw->bl", ohl, tok_win)
+                ent_f = jnp.einsum("bwl,bw->bl", ohl, ent_win)
                 return ids_f, tok_f, ent_f, tuple(kc_new), tuple(vc_new)
 
             if W_SMALL < L:
@@ -523,6 +582,17 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
         h = fused_decoder_forward(x, memory, mask3, src_mask, packed, fnorm,
                                   num_heads=model.num_heads,
                                   interpret=fused_interpret)
+        if sample_method == "greedy" and (B * L >= 256
+                                      or fused_interpret):
+            from ..ops.pallas_decoder_layer import fused_greedy_head
+            gen = params["params"]["generator"]["proj"]
+            ids, tok_a, ent, lp_pad = fused_greedy_head(
+                h, gen["kernel"], gen["bias"], pad_id=PAD,
+                interpret=fused_interpret)
+            seq = jnp.where(keep, ids, PAD)
+            tok = jnp.where(keep, tok_a, lp_pad)
+            return {"seq": seq, "tok_logprobs": tok, "entropy": ent,
+                    "length": length_N}
         logprob = model.apply(params, h, method="generate")
     else:
         def fill(m):

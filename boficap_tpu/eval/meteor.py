@@ -3,11 +3,15 @@
 The reference gets METEOR from the external coco-caption java scorer
 (captioning/utils/eval_utils.py:21-26), which also uses WordNet synonym and
 paraphrase tables; those data files are not in this image, so this module
-implements the METEOR algorithm (Banerjee & Lavie 2005) with its first two
-matching stages only:
+implements the METEOR algorithm (Banerjee & Lavie 2005) with three
+matching stages:
 
   1. exact surface match,
   2. Porter-stem match,
+
+  3. synonym match against a compact embedded table (a WordNet-free
+     stand-in for the official scorer's WordNet synset stage, covering
+     common caption-domain synsets; see ``_SYN_GROUPS``),
 
 then the standard scoring: m unigram matches, P = m/|cand|, R = m/|ref|,
 Fmean = 10PR / (R + 9P), chunk penalty 0.5 * (chunks/m)^3,
@@ -25,6 +29,102 @@ from __future__ import annotations
 from typing import List
 
 _VOWELS = "aeiou"
+
+# Compact synonym table: each tuple is one synset (words considered
+# pairwise synonymous for stage 3).  Chosen for caption-domain coverage
+# (COCO-style vocabulary) plus common English synsets the WordNet stage
+# would match; membership is checked on the PORTER STEM of both words,
+# so inflections hit the same group.
+_SYN_GROUPS = (
+    ("photo", "photograph", "picture", "image", "shot"),
+    ("man", "guy", "gentleman", "male"),
+    ("woman", "lady", "female", "gal"),
+    ("child", "kid", "youngster"),
+    ("person", "individual", "human"),
+    ("people", "persons", "folks", "crowd"),
+    ("couch", "sofa"),
+    ("tv", "television"),
+    ("cellphone", "phone", "telephone", "mobile"),
+    ("car", "automobile", "auto", "vehicle"),
+    ("bike", "bicycle", "cycle"),
+    ("motorbike", "motorcycle"),
+    ("bus", "coach"),
+    ("plane", "airplane", "aeroplane", "aircraft", "jet"),
+    ("boat", "ship", "vessel"),
+    ("street", "road", "roadway"),
+    ("sidewalk", "pavement"),
+    ("store", "shop"),
+    ("house", "home"),
+    ("big", "large", "huge", "enormous", "giant"),
+    ("small", "little", "tiny"),
+    ("fast", "quick", "rapid", "speedy"),
+    ("slow", "sluggish"),
+    ("happy", "glad", "joyful", "cheerful"),
+    ("sad", "unhappy", "sorrowful"),
+    ("pretty", "beautiful", "lovely", "gorgeous"),
+    ("begin", "start", "commence"),
+    ("end", "finish", "conclude"),
+    ("look", "gaze", "stare", "watch"),
+    ("walk", "stroll"),
+    ("run", "sprint", "jog"),
+    ("jump", "leap", "hop"),
+    ("talk", "speak", "chat", "converse"),
+    ("eat", "consume", "dine"),
+    ("hold", "grasp", "grip", "clutch"),
+    ("toss", "throw", "hurl"),
+    ("cut", "slice", "chop"),
+    ("near", "close", "nearby"),
+    ("under", "beneath", "underneath", "below"),
+    ("above", "over", "atop"),
+    ("beside", "alongside"),
+    ("middle", "center", "centre"),
+    ("rock", "stone", "boulder"),
+    ("ocean", "sea"),
+    ("forest", "woods", "woodland"),
+    ("mountain", "mount", "peak"),
+    ("field", "meadow", "pasture"),
+    ("rug", "carpet"),
+    ("sack", "bag"),
+    ("cap", "hat"),
+    ("coat", "jacket"),
+    ("trousers", "pants", "slacks"),
+    ("shoes", "footwear", "sneakers"),
+    ("baby", "infant", "toddler"),
+    ("dog", "canine", "puppy", "pup"),
+    ("cat", "feline", "kitten", "kitty"),
+    ("horse", "pony", "steed"),
+    ("cow", "cattle", "bovine"),
+    ("bird", "fowl"),
+    ("bunny", "rabbit", "hare"),
+    ("pig", "hog", "swine"),
+    ("food", "meal", "cuisine", "dish"),
+    ("tasty", "delicious", "yummy"),
+    ("cold", "chilly", "freezing", "frigid"),
+    ("hot", "warm"),
+    ("wet", "damp", "moist", "soaked"),
+    ("dry", "arid", "parched"),
+    ("old", "elderly", "aged", "ancient"),
+    ("new", "modern", "recent"),
+    ("many", "numerous", "several"),
+    ("group", "bunch", "cluster", "gathering"),
+    ("smile", "grin"),
+    ("ride", "mount"),
+    ("carry", "haul", "lug", "tote"),
+    ("sit", "seated"),
+    ("stand", "standing"),
+)
+
+
+def _syn_index():
+    """word-stem -> group-id map, built once on first use."""
+    idx = {}
+    for gid, group in enumerate(_SYN_GROUPS):
+        for w in group:
+            idx.setdefault(porter_stem(w), gid)
+    return idx
+
+
+_SYN_IDX = None
 
 
 def _cons(w: str, i: int) -> bool:
@@ -149,21 +249,30 @@ def porter_stem(word: str) -> str:
 
 
 def _align(cand: List[str], ref: List[str]):
-    """Unigram alignment: exact stage then stem stage; each word used at
-    most once.  Per candidate word, prefer the reference position that
-    continues the previous match (approximate chunk minimization).
+    """Unigram alignment: exact stage, then stem stage, then synonym
+    stage; each word used at most once.  Per candidate word, prefer the
+    reference position that continues the previous match (approximate
+    chunk minimization).
 
     Returns the list of (cand_idx, ref_idx) matches in candidate order."""
+    global _SYN_IDX
+    if _SYN_IDX is None:
+        _SYN_IDX = _syn_index()
     used = [False] * len(ref)
     matches = []
     last_r = -2
     cstem = [porter_stem(c) for c in cand]
     rstem = [porter_stem(r) for r in ref]
+    cgrp = [_SYN_IDX.get(s, -1) for s in cstem]
+    rgrp = [_SYN_IDX.get(s, -1) for s in rstem]
     for ci, c in enumerate(cand):
         cands_exact = [rj for rj, r in enumerate(ref)
                        if not used[rj] and r == c]
         pool = cands_exact or [rj for rj in range(len(ref))
                                if not used[rj] and rstem[rj] == cstem[ci]]
+        if not pool and cgrp[ci] >= 0:
+            pool = [rj for rj in range(len(ref))
+                    if not used[rj] and rgrp[rj] == cgrp[ci]]
         if not pool:
             continue
         # continuation first, else leftmost

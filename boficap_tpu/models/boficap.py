@@ -326,6 +326,29 @@ class BoFiCap(nn.Module):
             x = g * w + (1 - g) * s
         return self.posenc(x, deterministic=deterministic)
 
+    def mix_inputs_window(self, word_seq, syn_seq, pos_onehot, gate):
+        """``_mix_inputs`` for a GATHERED window of decoder slots: embeds
+        only the [B, W] window tokens instead of the full [B, L] frame and
+        adds the positional rows selected by ``pos_onehot`` [B, W, L]
+        (one-hot of each slot's absolute position — a [W, L] @ [L, d]
+        matmul instead of a TPU-hostile row gather).  Inference only (no
+        dropout); used by the windowed SA fill (decode/bound_fill.py)."""
+        from .layers import sinusoid_table
+        w = self.word_embed(word_seq)
+        s = self.syn_embed(syn_seq)
+        if self.decoder_input_mode == "add":
+            x = w + s
+        elif self.decoder_input_mode == "single":
+            x = w if gate == "sa" else s
+        else:
+            g = nn.sigmoid((self.sa_gate if gate == "sa" else self.na_gate)(
+                jnp.concatenate([w, s], axis=-1)))
+            x = g * w + (1 - g) * s
+        L = pos_onehot.shape[-1]
+        pe = sinusoid_table(self.posenc.max_len, self.d_model)[:L]
+        rows = jnp.einsum("bwl,ld->bwd", pos_onehot.astype(jnp.float32), pe)
+        return x + rows.astype(x.dtype)
+
     def decode_sa(self, word_seq, syn_seq, memory, src_mask, tgt_mask,
                   deterministic=True):
         """SA fill: copied-word + syn input, blockwise mask. [B, L] -> [B, L, d]."""

@@ -226,17 +226,23 @@ def _block_diag_masks(tgt_mask, src_mask, G: int):
     where block (i, j) of a grid step is tgt/src visibility if i == j and
     all-False otherwise (samples never attend across each other; fully-masked
     rows are handled by the kernel's two-level fill — see ``_mha``)."""
-    B, Lq, Lk = tgt_mask.shape
+    B, Lq, _ = tgt_mask.shape
     R = src_mask.shape[1]
+    sm3 = jnp.broadcast_to(src_mask[:, None, :], (B, Lq, R))
+    return _block_diag_one(tgt_mask, G), _block_diag_one(sm3, G)
+
+
+def _block_diag_one(m3, G: int):
+    """One [B, Lq, Lk] per-sample mask -> [B//G, G*Lq, G*Lk] block-diagonal
+    (the tgt half of ``_block_diag_masks``; exposed so loop-variant and
+    loop-invariant masks can be built separately — the src mask never
+    changes across a decode's rounds and is hoisted out of while_loops)."""
+    B, Lq, Lk = m3.shape
     nb = B // G
     eye = jnp.eye(G, dtype=bool)
-    tm = tgt_mask.reshape(nb, G, Lq, Lk)
-    tm_big = (eye[None, :, None, :, None]
-              & tm[:, :, :, None, :]).reshape(nb, G * Lq, G * Lk)
-    sm = jnp.broadcast_to(src_mask.reshape(nb, G, 1, R), (nb, G, Lq, R))
-    sm_big = (eye[None, :, None, :, None]
-              & sm[:, :, :, None, :]).reshape(nb, G * Lq, G * R)
-    return tm_big, sm_big
+    m = m3.reshape(nb, G, Lq, Lk)
+    return (eye[None, :, None, :, None]
+            & m[:, :, :, None, :]).reshape(nb, G * Lq, G * Lk)
 
 
 def fused_decoder_forward(x, memory, tgt_mask, src_mask, packed, final_norm,
@@ -276,33 +282,34 @@ _WIN_WNAMES = ("s0", "b0", "wqh", "bqh", "wkh", "bkh", "wvh", "bvh", "woh",
                "s2", "b2", "w1", "bf1", "w2", "bf2")
 
 
-def _win_kernel(starts_ref, x_ref, kc_in, vc_in, k2_ref, v2_ref,
+def _win_kernel(x_ref, kc_in, vc_in, k2_ref, v2_ref,
                 tm_ref, sm_ref,
                 s0, b0, wqh, bqh, wkh, bkh, wvh, bvh, woh, bo,
                 s1, b1, wq2h, bq2h, wo2h, bo2,
                 s2, b2, w1, bf1, w2, bf2,
-                o_ref, kc_out, vc_out, *, num_heads: int):
+                o_ref, kn_ref, vn_ref, *, num_heads: int):
     """One decoder layer on a [G, W, D] window of NEW positions.
 
-    Self-attention keys/values come from the [G, L, D] caches; the window's
-    own K/V are computed here and scattered into the caches FIRST (at each
-    sample's ``start`` row from the scalar-prefetch arg) so the window
-    attends to itself through the cache — the mask (built outside from the
-    per-row visibility bounds) makes the result bit-equal to the full-width
-    pass.  Cross-attention K/V arrive pre-projected (loop-invariant per
-    decode, computed once outside the round loop), so this kernel carries
-    neither wk2/wv2 weights nor their per-round projections."""
+    Self-attention keys/values are the CONCATENATION of the [G, L, D]
+    caches (finalized positions) and the window's freshly computed K/V —
+    no dynamic-offset stores (Mosaic requires sublane-aligned vector
+    stores, and window starts are arbitrary).  The mask (built outside
+    from per-row visibility bounds) masks the stale in-window cache
+    columns so every key participates exactly once; the caller scatters
+    the returned k_new/v_new into the caches in XLA.  Cross-attention K/V
+    arrive pre-projected (loop-invariant per decode), so this kernel
+    carries neither wk2/wv2 weights nor their per-round projections."""
     G, W, D = x_ref.shape
     L = kc_in.shape[1]
     R = k2_ref.shape[1]
     dtype = x_ref.dtype
     H = num_heads
     Dh = D // H
-    base = pl.program_id(0) * G
+    Lk = L + W
 
     x = x_ref[:].reshape(G * W, D)
 
-    # ---- self-attention sublayer (K/V through the caches)
+    # ---- self-attention sublayer (keys = cache ++ fresh window)
     n0 = _refnorm(x, s0[:], b0[:], dtype)
     q_all = (jnp.dot(n0, wqh[:], preferred_element_type=jnp.float32)
              .astype(dtype) + bqh[:])
@@ -310,23 +317,17 @@ def _win_kernel(starts_ref, x_ref, kc_in, vc_in, k2_ref, v2_ref,
              .astype(dtype) + bkh[:])
     v_new = (jnp.dot(n0, wvh[:], preferred_element_type=jnp.float32)
              .astype(dtype) + bvh[:])
-    # carry the caches through (same memory traffic as aliasing: one
-    # read + one write per layer), then overwrite the window rows
-    kc_out[:] = kc_in[:]
-    vc_out[:] = vc_in[:]
-    k_new_g = k_new.reshape(G, W, D)
-    v_new_g = v_new.reshape(G, W, D)
-    for g in range(G):
-        st = starts_ref[base + g]
-        kc_out[g, pl.ds(st, W), :] = k_new_g[g]
-        vc_out[g, pl.ds(st, W), :] = v_new_g[g]
-    k_all = kc_out[:].reshape(G * L, D)
-    v_all = vc_out[:].reshape(G * L, D)
+    kn_ref[:] = k_new.reshape(G, W, D)
+    vn_ref[:] = v_new.reshape(G, W, D)
+    k_all = jnp.concatenate([kc_in[:], k_new.reshape(G, W, D)],
+                            axis=1).reshape(G * Lk, D)
+    v_all = jnp.concatenate([vc_in[:], v_new.reshape(G, W, D)],
+                            axis=1).reshape(G * Lk, D)
 
     scale = 1.0 / math.sqrt(Dh)
-    N, M = G * W, G * L
+    N, M = G * W, G * Lk
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0) // W
-    col_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1) // L
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1) // Lk
     fill = jnp.where(row_blk == col_blk, MASK_FILL, 2.0 * MASK_FILL)
     tm = tm_ref[0]
     ctxs = []
@@ -385,36 +386,36 @@ def _win_kernel(starts_ref, x_ref, kc_in, vc_in, k2_ref, v2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_b", "interpret"))
-def fused_window_decoder_layer(x_win, starts, k_cache, v_cache, k2, v2,
+def fused_window_decoder_layer(x_win, k_cache, v_cache, k2, v2,
                                tm_big, sm_big, weights, num_heads: int,
                                block_b: int = 8, interpret: bool = False):
     """One windowed DecoderLayer round.
 
-    x_win [B, W, D] window activations, starts [B] int32 window origins,
-    k_cache/v_cache [B, L, D] self-attn caches (returned updated), k2/v2
-    [B, R, D] pre-projected cross K/V, tm_big [B//G, G*W, G*L] /
+    x_win [B, W, D] window activations, k_cache/v_cache [B, L, D] self-attn
+    caches, k2/v2 [B, R, D] pre-projected cross K/V, tm_big
+    [B//G, G*W, G*(L+W)] (keys = cache columns then window columns) /
     sm_big [B//G, G*W, G*R] block-diagonal visibility masks.
-    Returns (x_out [B, W, D], k_cache', v_cache')."""
+    Returns (x_out [B, W, D], k_new [B, W, D], v_new [B, W, D]); the
+    caller scatters k_new/v_new into the caches at the window positions."""
     B, W, D = x_win.shape
     L = k_cache.shape[1]
     R = k2.shape[1]
     G = math.gcd(B, block_b)
 
-    def rows(i, *_):
+    def rows(i):
         return (i, 0, 0)
 
     w_list = [weights[n] for n in _WIN_WNAMES]
 
-    def _zero_idx(i, *_, n):
-        # extra args: scalar-prefetch refs are passed to index maps too
+    def _zero_idx(i, *, n):
         return (0,) * n
 
     w_specs = [pl.BlockSpec(w.shape, functools.partial(_zero_idx, n=w.ndim),
                             memory_space=pltpu.VMEM)
                for w in w_list]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        functools.partial(_win_kernel, num_heads=num_heads),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec((G, W, D), rows, memory_space=pltpu.VMEM),
@@ -422,27 +423,23 @@ def fused_window_decoder_layer(x_win, starts, k_cache, v_cache, k2, v2,
             pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, D), rows, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * W, G * L), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * W, G * (L + W)), rows,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G * W, G * R), rows, memory_space=pltpu.VMEM),
             *w_specs,
         ],
         out_specs=(
             pl.BlockSpec((G, W, D), rows, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, L, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W, D), rows, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W, D), rows, memory_space=pltpu.VMEM),
         ),
-    )
-    return pl.pallas_call(
-        functools.partial(_win_kernel, num_heads=num_heads),
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, W, D), x_win.dtype),
-            jax.ShapeDtypeStruct((B, L, D), k_cache.dtype),
-            jax.ShapeDtypeStruct((B, L, D), v_cache.dtype),
+            jax.ShapeDtypeStruct((B, W, D), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, W, D), v_cache.dtype),
         ),
         interpret=interpret,
-    )(starts.astype(jnp.int32), x_win, k_cache, v_cache, k2, v2,
-      tm_big, sm_big, *w_list)
+    )(x_win, k_cache, v_cache, k2, v2, tm_big, sm_big, *w_list)
 
 
 def project_cross_kv(packed, memory):
@@ -462,15 +459,33 @@ def fused_window_decoder_forward(x_win, starts, k_caches, v_caches,
                                  block_b: int = 8, interpret: bool = False):
     """Windowed decoder stack: N fused_window_decoder_layer rounds + final
     RefLayerNorm on the window.  k_caches/v_caches are per-layer lists of
-    [B, L, D]; returns (h_win, new k_caches, new v_caches)."""
+    [B, L, D]; after each layer the window's fresh K/V are scattered back
+    into the caches at per-sample ``starts`` (fused XLA gather+where —
+    Mosaic rejects dynamic sublane-offset stores in-kernel).
+    Returns (h_win, new k_caches, new v_caches)."""
+    B, W, _ = x_win.shape
+    L = k_caches[0].shape[1]
+    o = jnp.arange(L)[None, :] - starts[:, None]          # [B, L]
+    in_win = ((o >= 0) & (o < W))[..., None]
+    # one-hot matmul scatter: a take_along_axis gather over the 512-wide
+    # minor dim lowers to a pathologically slow generic gather on TPU
+    # (~13 ms/layer measured); a [L, W] one-hot contraction is exact
+    # (single 1.0 per row) and rides the MXU
+    oh = (jnp.arange(W)[None, None, :]
+          == o[:, :, None]).astype(k_caches[0].dtype)     # [B, L, W]
+
+    def scatter(cache, new):
+        vals = jnp.einsum("blw,bwd->bld", oh, new)
+        return jnp.where(in_win, vals.astype(cache.dtype), cache)
+
     new_k, new_v = [], []
     for i, w in enumerate(packed):
-        x_win, kc, vc = fused_window_decoder_layer(
-            x_win, starts, k_caches[i], v_caches[i], k2s[i], v2s[i],
+        x_win, kn, vn = fused_window_decoder_layer(
+            x_win, k_caches[i], v_caches[i], k2s[i], v2s[i],
             tm_big, sm_big, w, num_heads=num_heads, block_b=block_b,
             interpret=interpret)
-        new_k.append(kc)
-        new_v.append(vc)
+        new_k.append(scatter(k_caches[i], kn))
+        new_v.append(scatter(v_caches[i], vn))
     s, b = final_norm
     return _refnorm(x_win, s, b, x_win.dtype), new_k, new_v
 
@@ -637,3 +652,150 @@ def fused_decoder_layer(x, memory, tm_big, sm_big, weights,
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
         interpret=interpret,
     )(x, memory, tm_big, sm_big, *w_list)
+
+
+# ---------------------------------------------------------------------------
+# Fused greedy generator head: logits + log_softmax + argmax + token-logprob
+# + entropy in ONE kernel, streaming over vocab tiles (online max-rescaled
+# accumulators, flash-softmax style).  The unfused path materializes the
+# full [B, T, V] f32 log-probability tensor (~19 MB at B=64, V=9487) in HBM
+# just to take an argmax and two reductions; this kernel never materializes
+# it — per vocab tile it updates running (max, sumexp, sum p~*logit, argmax)
+# stats and emits only the [B, T] ids / token-logprobs / entropies the
+# decode loops actually consume (reference Generator
+# TransformerModel.py:1312-1319 + the greedy branch of sample_next_word,
+# AttModel.py:33-49).  Greedy ids are EXACTLY the unfused argmax (the
+# logits are computed with the same dot + bf16-round + bias arithmetic as
+# nn.Dense(dtype) followed by .astype(f32), and the running argmax uses
+# strict-greater updates = first-maximum semantics).
+# ---------------------------------------------------------------------------
+
+
+def _head_kernel(x_ref, w_ref, b_ref, ids_ref, lp_ref, ent_ref, lpp_ref,
+                 m_sc, s_sc, t_sc, av_sc, ai_sc, p0_sc, *, n_vt: int,
+                 vt: int, cast_bf16: bool, pad_id: int):
+    j = pl.program_id(1)
+    N = x_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_sc[:] = jnp.full_like(m_sc, -jnp.inf)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        t_sc[:] = jnp.zeros_like(t_sc)
+        av_sc[:] = jnp.full_like(av_sc, -jnp.inf)
+        ai_sc[:] = jnp.zeros_like(ai_sc)
+
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if cast_bf16:
+        # replicate nn.Dense(dtype=bf16): matmul result rounds to bf16,
+        # bias adds in bf16, THEN the cast to f32 (Generator.logits)
+        logits = (acc.astype(jnp.bfloat16)
+                  + b_ref[0].astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        logits = acc + b_ref[0].astype(jnp.float32)
+
+    tile_max = jnp.max(logits, axis=-1, keepdims=True)            # [N, 1]
+    tile_arg = jnp.argmax(logits, axis=-1, keepdims=True)         # [N, 1]
+    m_old = m_sc[:]
+    m_new = jnp.maximum(m_old, tile_max)
+    # exp(-inf - -inf) guards: m_new is finite once any tile is seen
+    scale = jnp.exp(m_old - m_new)
+    e = jnp.exp(logits - m_new)                                   # [N, Vt]
+    s_sc[:] = s_sc[:] * scale + jnp.sum(e, -1, keepdims=True)
+    t_sc[:] = t_sc[:] * scale + jnp.sum(e * logits, -1, keepdims=True)
+    m_sc[:] = m_new
+    upd = tile_max > av_sc[:]                                     # strict
+    ai_sc[:] = jnp.where(upd, tile_arg.astype(jnp.int32) + j * vt, ai_sc[:])
+    av_sc[:] = jnp.where(upd, tile_max, av_sc[:])
+
+    @pl.when(j == pad_id // vt)
+    def _grab_pad():
+        # logit at the fixed pad column (the NA fill's masked tail rows
+        # store seq=PAD, so eval's token-logprob there is lp[:, pad_id])
+        p0_sc[:] = logits[:, pad_id % vt:pad_id % vt + 1]
+
+    @pl.when(j == n_vt - 1)
+    def _emit():
+        logz = m_sc[:] + jnp.log(s_sc[:])
+        ids_ref[:] = ai_sc[:]
+        lp_ref[:] = av_sc[:] - logz
+        ent_ref[:] = logz - t_sc[:] / s_sc[:]
+        lpp_ref[:] = p0_sc[:] - logz
+
+
+@functools.partial(jax.jit, static_argnames=("pad_id", "interpret"))
+def fused_greedy_head(h, w, b, pad_id: int = 0, interpret: bool = False):
+    """Greedy sampling head: h [B, T, D] -> (ids, tok_logprobs, entropy,
+    pad_logprobs), each [B, T].  w [D, V] / b [V] are the generator's Dense
+    parameters (f32, as stored); vocab is padded to the 512-wide tile
+    inside.  ``pad_logprobs`` is lp[:, :, pad_id] (the token-logprob eval
+    stores for masked rows whose seq is PAD).
+
+    Equivalent to ``lp = log_softmax(Dense(h)); ids = argmax(lp);
+    tok_lp = lp[ids]; ent = -sum(exp(lp) * lp)`` without materializing
+    [B, T, V]."""
+    B, T, D = h.shape
+    N = B * T
+    V = w.shape[1]
+    # 2048-wide vocab tiles: per-grid-step fixed cost (accumulator updates,
+    # MXU ramp) dominates at 512 (19 steps measured 73 us; 5 steps ~flat
+    # with the matmul floor)
+    VT = 2048
+    n_vt = -(-V // VT)
+    Vp = n_vt * VT
+    cast_bf16 = h.dtype == jnp.bfloat16
+    wp = jnp.zeros((D, Vp), h.dtype).at[:, :V].set(w.astype(h.dtype))
+    # bias kept 2-D [1, Vp]: 1-D inputs get vendor-variable XLA layouts
+    # (T(1024) vs Mosaic's T(512)) and fail layout verification
+    bp = jnp.full((1, Vp), MASK_FILL, jnp.float32).at[0, :V].set(
+        b.astype(jnp.float32))
+    x = h.reshape(N, D)
+    # Row blocks capped at 256: the in-kernel f32 [NB, VT] intermediates
+    # (logits, e) cost NB*VT*4 bytes each — at NB=1280/VT=2048 that is
+    # 2x10 MB and blows the 16 MB scoped-VMEM stack; 256 rows keep the
+    # whole working set ~10 MB incl. double-buffered weight tiles.
+    if N <= 256:
+        NB, Np = N, N
+    else:
+        NB = next((c for c in (256, 128, 64, 32, 16, 8)
+                   if N % c == 0), 256)
+        Np = -(-N // NB) * NB
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+
+    grid = (Np // NB, n_vt)
+    ids, lp, ent, lpp = pl.pallas_call(
+        functools.partial(_head_kernel, n_vt=n_vt, vt=VT,
+                          cast_bf16=cast_bf16, pad_id=pad_id),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NB, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, VT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((NB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NB, 1), jnp.float32),
+            pltpu.VMEM((NB, 1), jnp.float32),
+            pltpu.VMEM((NB, 1), jnp.float32),
+            pltpu.VMEM((NB, 1), jnp.float32),
+            pltpu.VMEM((NB, 1), jnp.int32),
+            pltpu.VMEM((NB, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, wp, bp)
+    return (ids[:N].reshape(B, T), lp[:N].reshape(B, T),
+            ent[:N].reshape(B, T), lpp[:N].reshape(B, T))

@@ -166,7 +166,12 @@ def test_meteor_stem_stage_and_known_bias():
     # stem stage: inflection differences still match
     assert meteor("dogs running", ["dog runs"]) == pytest.approx(
         1.0 - 0.5 * (1 / 2) ** 3, abs=1e-9)
-    # KNOWN BIAS vs official METEOR: no synonym stage, so synonym pairs
-    # score 0 where the java scorer (WordNet stage) would match them
-    assert meteor("happy", ["glad"]) == 0.0
+    # synonym stage (embedded table stand-in for WordNet): common caption
+    # synsets match, stem-insensitively
+    assert meteor("happy", ["glad"]) == pytest.approx(0.5, abs=1e-9)
+    assert meteor("a man on a bicycle", ["a guy on a bike"]) == \
+        pytest.approx(1.0 - 0.5 * (1 / 5) ** 3, abs=1e-9)
+    # KNOWN BIAS vs official METEOR: the embedded table is far smaller
+    # than WordNet, so out-of-table synonyms still score 0
+    assert meteor("physician", ["doctor"]) == 0.0
     assert meteor("", ["anything"]) == 0.0

@@ -257,3 +257,51 @@ def test_nnaic_decode_fused_fill_matches_unfused():
         np.testing.assert_allclose(np.asarray(base[key]),
                                    np.asarray(fused[key]),
                                rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_greedy_head_matches_unfused(dtype):
+    """ops/pallas_decoder_layer.fused_greedy_head: ids EXACTLY equal the
+    unfused argmax(log_softmax(Dense(h))); token-logprob and entropy agree
+    to fp tolerance (reference Generator TransformerModel.py:1312-1319)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boficap_tpu.ops.pallas_decoder_layer import fused_greedy_head
+
+    rng = np.random.RandomState(3)
+    B, T, D, V = 4, 5, 128, 1000   # V NOT a multiple of the 512 tile
+    dt = jnp.dtype(dtype)
+    h = jnp.asarray(rng.randn(B, T, D), dt)
+    w = jnp.asarray(rng.randn(D, V).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(V).astype(np.float32) * 0.01)
+
+    # unfused oracle with the same bf16 rounding Dense(dtype) applies
+    if dt == jnp.bfloat16:
+        logits = (jnp.dot(h, w.astype(dt),
+                          preferred_element_type=jnp.float32).astype(dt)
+                  + b.astype(dt)).astype(jnp.float32)
+    else:
+        logits = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    want_ids = jnp.argmax(lp, -1)
+    want_tok = jnp.take_along_axis(lp, want_ids[..., None], -1)[..., 0]
+    want_ent = -jnp.sum(jnp.exp(lp) * lp, -1)
+
+    ids, tok, ent, lpp = fused_greedy_head(h, w, b, pad_id=7,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want_ids))
+    np.testing.assert_allclose(np.asarray(lpp), np.asarray(lp[..., 7]),
+                               atol=2e-2 if dtype == "bfloat16" else 1e-4,
+                               rtol=1e-4)
+    # bf16: the interpret-mode CPU matmul tiles the per-tile dot
+    # differently from the full-width oracle dot, which can flip the
+    # bf16 logit rounding by one ulp (~8e-3 at these magnitudes); on the
+    # TPU MXU the K-accumulation order is fixed and the paths agree
+    # exactly (asserted by the decode-equivalence tests on device)
+    tol = 2e-2 if dtype == "bfloat16" else 1e-4
+    np.testing.assert_allclose(np.asarray(tok), np.asarray(want_tok),
+                               atol=tol, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ent), np.asarray(want_ent),
+                               atol=1e-3, rtol=1e-3)
