@@ -52,17 +52,36 @@ def _fused_ctx(model, params, role: str):
                                 model.dtype, model.num_heads)
 
 
+def _use_stacked(model, interpret: bool) -> bool:
+    """Whole-stack megakernels (ops/pallas_stack) need the weight blob to
+    fit one VMEM scratch — bf16 only on real hardware (an f32 blob is
+    ~16 MB) and a 128-aligned lane dim for Mosaic; interpret mode has no
+    such limits."""
+    return interpret or (model.dtype == jnp.bfloat16
+                         and model.d_model % 128 == 0)
+
+
 def fused_encode(model, params, att_feats, att_masks,
-                 interpret: bool = False):
+                 interpret: bool = False, stacked: Optional[bool] = None):
     """``BoFiCap.encode`` with the encoder stack routed through the pallas
-    fused encoder layer (ops/pallas_decoder_layer) — inference only,
-    numerically equivalent (tested).  att_embed stays on the flax path."""
+    fused encoder path — inference only, numerically equivalent (tested).
+    att_embed stays on the flax path.  ``stacked`` routes through the
+    single-kernel whole-stack variant (ops/pallas_stack) instead of one
+    kernel per layer; default on where it fits (bf16 / interpret)."""
     from ..ops.pallas_decoder_layer import (fused_encoder_forward,
                                             pack_encoder_weights)
     x = model.apply(params, att_feats, True, method="embed_att")
     src_mask = None if att_masks is None else att_masks.astype(bool)
     packed, fnorm = pack_encoder_weights(params["params"]["encoder"],
                                          model.dtype, model.num_heads)
+    if stacked is None:
+        stacked = _use_stacked(model, interpret)
+    if stacked:
+        from ..ops.pallas_stack import (fused_encoder_stack_forward,
+                                        pack_stack)
+        return fused_encoder_stack_forward(
+            x, src_mask, pack_stack(packed, "enc"), fnorm,
+            num_heads=model.num_heads, interpret=interpret)
     return fused_encoder_forward(x, src_mask, packed, fnorm,
                                  num_heads=model.num_heads,
                                  interpret=interpret)
@@ -149,7 +168,8 @@ def bound_plan(model, params, memory, src_mask, n_steps: int, L: int
 def na_decode(model, params, rng, memory, src_mask, *,
               sample_method: str = "greedy", temperature: float = 1.0,
               max_steps: Optional[int] = None, fused_fill: bool = False,
-              fused_interpret: bool = False) -> Dict[str, Any]:
+              fused_interpret: bool = False,
+              stacked: Optional[bool] = None) -> Dict[str, Any]:
     """Bound (length/syn while_loop) then fill (one parallel decode).
 
     ``fused_fill`` routes the fill's decoder stack through the pallas
@@ -187,9 +207,18 @@ def na_decode(model, params, rng, memory, src_mask, *,
 
         x = model.apply(params, method=embed)
         packed, fnorm = _fused_ctx(model, params, "NA")
-        h = fused_decoder_forward(x, memory, na_mask, src_mask, packed,
-                                  fnorm, num_heads=model.num_heads,
-                                  interpret=fused_interpret)
+        if stacked is None:
+            stacked = _use_stacked(model, fused_interpret)
+        if stacked:
+            from ..ops.pallas_stack import (fused_decoder_stack_forward,
+                                            pack_stack)
+            h = fused_decoder_stack_forward(
+                x, memory, na_mask, src_mask, pack_stack(packed, "dec"),
+                fnorm, num_heads=model.num_heads, interpret=fused_interpret)
+        else:
+            h = fused_decoder_forward(x, memory, na_mask, src_mask, packed,
+                                      fnorm, num_heads=model.num_heads,
+                                      interpret=fused_interpret)
         if sample_method == "greedy" and (B * L >= 256
                                           or fused_interpret):
             # streaming head: never materializes [B, L, V] (see
@@ -274,7 +303,8 @@ def sa_decode(model, params, rng, memory, src_mask, *,
               sample_method: str = "greedy", temperature: float = 1.0,
               max_steps: Optional[int] = None,
               predictor_use_syn: bool = False, fused_fill: bool = False,
-              fused_interpret: bool = False) -> Dict[str, Any]:
+              fused_interpret: bool = False,
+              stacked: Optional[bool] = None) -> Dict[str, Any]:
     """Semi-autoregressive decode: one predictor + one decoder pass per
     PHRASE (reference core_SAIC, TransformerModel.py:1878-1986).
 
@@ -313,8 +343,14 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         from ..ops.pallas_decoder_layer import (_block_diag_one,
                                                 fused_window_decoder_forward,
                                                 project_cross_kv)
-        k2s, v2s = project_cross_kv(fctx[0], memory)
+        if stacked is None:
+            stacked = _use_stacked(model, fused_interpret)
+        k2_l, v2_l = project_cross_kv(fctx[0], memory)
+        k2s, v2s = jnp.stack(k2_l), jnp.stack(v2_l)       # [NL, B, R, D]
         n_layers = len(fctx[0])
+        if stacked:
+            from ..ops.pallas_stack import pack_stack
+            fctx_st = pack_stack(fctx[0], "win")
         W_SMALL = min(8, L)
         src_b = (src_mask if src_mask is not None
                  else jnp.ones(memory.shape[:2], bool))
@@ -399,10 +435,25 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                 q_mask = jnp.concatenate([m_cache, m_win], axis=-1)
                 tm_big = _block_diag_one(q_mask, G_blk)
                 sm_big = sm_bigs[W]
-                h_win, kc_new, vc_new = fused_window_decoder_forward(
-                    x_win, w_start, list(s["kc"]), list(s["vc"]), k2s, v2s,
-                    tm_big, sm_big, fctx[0], fctx[1],
-                    num_heads=model.num_heads, interpret=fused_interpret)
+                if stacked:
+                    from ..ops.pallas_stack import fused_window_decoder_stack
+                    # the scatter one-hot is ohw's transpose: row p of
+                    # [B, L, W] has a single 1.0 at window column p-start
+                    h_win, kc_new, vc_new = fused_window_decoder_stack(
+                        x_win, jnp.transpose(ohw_f, (0, 2, 1)),
+                        s["kc"], s["vc"], k2s, v2s, tm_big, sm_big,
+                        fctx_st, fctx[1], num_heads=model.num_heads,
+                        interpret=fused_interpret)
+                else:
+                    h_win, kc_l, vc_l = fused_window_decoder_forward(
+                        x_win, w_start,
+                        [s["kc"][j] for j in range(n_layers)],
+                        [s["vc"][j] for j in range(n_layers)],
+                        list(k2s), list(v2s), tm_big, sm_big,
+                        fctx[0], fctx[1], num_heads=model.num_heads,
+                        interpret=fused_interpret)
+                    kc_new = jnp.stack(kc_l)
+                    vc_new = jnp.stack(vc_l)
                 if sample_method == "greedy" and (B * W >= 256
                                                   or fused_interpret):
                     from ..ops.pallas_decoder_layer import fused_greedy_head
@@ -424,7 +475,7 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                                    ).astype(jnp.int32)
                 tok_f = jnp.einsum("bwl,bw->bl", ohl, tok_win)
                 ent_f = jnp.einsum("bwl,bw->bl", ohl, ent_win)
-                return ids_f, tok_f, ent_f, tuple(kc_new), tuple(vc_new)
+                return ids_f, tok_f, ent_f, kc_new, vc_new
 
             if W_SMALL < L:
                 ids, tok_r, ent_r, kc, vc = jax.lax.cond(
@@ -481,11 +532,12 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         "rng": rng,
     }
     if fused_fill:
+        # stacked [NL, B, L, D] per-layer self-attn K/V caches: one array
+        # keeps the while_loop carry flat and lets the stacked megakernel
+        # alias input->output buffers
         D = memory.shape[-1]
-        zeros = lambda: tuple(jnp.zeros((B, L, D), model.dtype)
-                              for _ in range(n_layers))
-        init["kc"] = zeros()
-        init["vc"] = zeros()
+        init["kc"] = jnp.zeros((n_layers, B, L, D), model.dtype)
+        init["vc"] = jnp.zeros((n_layers, B, L, D), model.dtype)
     s = jax.lax.while_loop(cond, body, init)
     return {"seq": s["seq"][:, 1:-1], "tok_logprobs": s["tok_lp"],
             "entropy": s["ent"], "phrase_num": s["phrase_num"],
@@ -559,8 +611,8 @@ def uic_s_ar_decode(model, params, rng, memory, src_mask, *,
 
 def nnaic_decode(model, params, rng, memory, src_mask, *,
                  sample_method: str = "greedy", temperature: float = 1.0,
-                 fused_fill: bool = False, fused_interpret: bool = False
-                 ) -> Dict[str, Any]:
+                 fused_fill: bool = False, fused_interpret: bool = False,
+                 stacked: Optional[bool] = None) -> Dict[str, Any]:
     """Naive NA decode (reference core_NNAIC, TransformerModel.py:1806-1822):
     predict one whole-caption length, then one parallel decode over bos
     inputs with the length as a key-padding mask."""
@@ -579,9 +631,18 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
         x = model.apply(params, method=embed)
         packed, fnorm = _fused_ctx(model, params, "A")
         mask3 = jnp.broadcast_to(keep[:, None, :], (B, L, L))
-        h = fused_decoder_forward(x, memory, mask3, src_mask, packed, fnorm,
-                                  num_heads=model.num_heads,
-                                  interpret=fused_interpret)
+        if stacked is None:
+            stacked = _use_stacked(model, fused_interpret)
+        if stacked:
+            from ..ops.pallas_stack import (fused_decoder_stack_forward,
+                                            pack_stack)
+            h = fused_decoder_stack_forward(
+                x, memory, mask3, src_mask, pack_stack(packed, "dec"),
+                fnorm, num_heads=model.num_heads, interpret=fused_interpret)
+        else:
+            h = fused_decoder_forward(x, memory, mask3, src_mask, packed,
+                                      fnorm, num_heads=model.num_heads,
+                                      interpret=fused_interpret)
         if sample_method == "greedy" and (B * L >= 256
                                       or fused_interpret):
             from ..ops.pallas_decoder_layer import fused_greedy_head

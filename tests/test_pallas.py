@@ -97,11 +97,13 @@ def test_fused_decoder_layer_matches_unfused():
                                    rtol=rtol, atol=atol)
 
 
-def test_na_decode_fused_fill_matches_unfused():
+@pytest.mark.parametrize("stacked", [False, True])
+def test_na_decode_fused_fill_matches_unfused(stacked):
     """na_decode(fused_fill=True) routes the fill through the pallas decoder
-    megakernel; sequences must be identical and logprobs close.  f32 model:
-    the kernel's (equivalent but reordered) accumulation makes bf16 argmax
-    ties unstable — dtype drift is covered by the layer-level test."""
+    megakernel (per-layer or whole-stack); sequences must be identical and
+    logprobs close.  f32 model: the kernel's (equivalent but reordered)
+    accumulation makes bf16 argmax ties unstable — dtype drift is covered by
+    the layer-level test."""
     import jax.numpy as jnp
     from boficap_tpu.decode import bound_fill as bf
     from boficap_tpu.models.boficap import build_model
@@ -124,7 +126,8 @@ def test_na_decode_fused_fill_matches_unfused():
     base = bf.na_decode(model, params, jax.random.PRNGKey(0), memory,
                         src_mask)
     fused = bf.na_decode(model, params, jax.random.PRNGKey(0), memory,
-                         src_mask, fused_fill=True, fused_interpret=True)
+                         src_mask, fused_fill=True, fused_interpret=True,
+                         stacked=stacked)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
     for key in ("tok_logprobs", "entropy"):
@@ -133,9 +136,11 @@ def test_na_decode_fused_fill_matches_unfused():
                                rtol=2e-3, atol=2e-4)
 
 
-def test_fused_encoder_matches_unfused():
+@pytest.mark.parametrize("stacked", [False, True])
+def test_fused_encoder_matches_unfused(stacked):
     """fused_encode vs BoFiCap.encode (interpret mode): the encoder variant
-    of the fused layer (self-attn + ffn, block-diag batched)."""
+    of the fused layer (self-attn + ffn, block-diag batched), per-layer and
+    whole-stack."""
     import jax.numpy as jnp
     from boficap_tpu.decode.bound_fill import fused_encode
     from boficap_tpu.models.boficap import build_model
@@ -157,15 +162,18 @@ def test_fused_encoder_matches_unfused():
             deterministic=True)
         want = model.apply(params, att, am, deterministic=True,
                            method="encode")
-        got = fused_encode(model, params, att, am, interpret=True)
+        got = fused_encode(model, params, att, am, interpret=True,
+                           stacked=stacked)
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32),
                                    rtol=rtol, atol=atol)
 
 
-def test_sa_decode_fused_fill_matches_unfused():
+@pytest.mark.parametrize("stacked", [False, True])
+def test_sa_decode_fused_fill_matches_unfused(stacked):
     """sa_decode(fused_fill=True): per-phrase fused decoder passes inside
-    the while_loop (weights packed once outside).  f32 model (see NA test)."""
+    the while_loop (weights packed once outside), per-layer or whole-stack
+    with in-kernel K/V cache scatter.  f32 model (see NA test)."""
     import jax.numpy as jnp
     from boficap_tpu.decode import bound_fill as bf
     from boficap_tpu.models.boficap import build_model
@@ -188,7 +196,8 @@ def test_sa_decode_fused_fill_matches_unfused():
     base = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
                         src_mask)
     fused = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
-                         src_mask, fused_fill=True, fused_interpret=True)
+                         src_mask, fused_fill=True, fused_interpret=True,
+                         stacked=stacked)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
     for key in ("tok_logprobs", "entropy"):
@@ -225,7 +234,8 @@ def test_attention_capture():
                                atol=2e-2)  # probs stored in bf16
 
 
-def test_nnaic_decode_fused_fill_matches_unfused():
+@pytest.mark.parametrize("stacked", [False, True])
+def test_nnaic_decode_fused_fill_matches_unfused(stacked):
     """nnaic_decode(fused_fill=True): the naive-NA single parallel fill
     through the fused decoder stack (f32 model; see NA test)."""
     import jax.numpy as jnp
@@ -250,7 +260,8 @@ def test_nnaic_decode_fused_fill_matches_unfused():
     base = bf.nnaic_decode(model, params, jax.random.PRNGKey(0), memory,
                            src_mask)
     fused = bf.nnaic_decode(model, params, jax.random.PRNGKey(0), memory,
-                            src_mask, fused_fill=True, fused_interpret=True)
+                            src_mask, fused_fill=True, fused_interpret=True,
+                            stacked=stacked)
     np.testing.assert_array_equal(np.asarray(base["seq"]),
                                   np.asarray(fused["seq"]))
     for key in ("tok_logprobs", "entropy"):
