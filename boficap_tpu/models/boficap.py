@@ -333,7 +333,7 @@ class BoFiCap(nn.Module):
         (one-hot of each slot's absolute position — a [W, L] @ [L, d]
         matmul instead of a TPU-hostile row gather).  Inference only (no
         dropout); used by the windowed SA fill (decode/bound_fill.py)."""
-        from .layers import sinusoid_table
+        from .layers import sinusoid_np
         w = self.word_embed(word_seq)
         s = self.syn_embed(syn_seq)
         if self.decoder_input_mode == "add":
@@ -345,7 +345,7 @@ class BoFiCap(nn.Module):
                 jnp.concatenate([w, s], axis=-1)))
             x = g * w + (1 - g) * s
         L = pos_onehot.shape[-1]
-        pe = sinusoid_table(self.posenc.max_len, self.d_model)[:L]
+        pe = jnp.asarray(sinusoid_np(self.posenc.max_len, self.d_model)[:L])
         rows = jnp.einsum("bwl,ld->bwd", pos_onehot.astype(jnp.float32), pe)
         return x + rows.astype(x.dtype)
 

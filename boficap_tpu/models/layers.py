@@ -14,6 +14,7 @@ reference's annotated-transformer pieces (captioning/models/TransformerModel.py:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -354,14 +355,30 @@ class TokenEmbed(nn.Module):
         return emb * math.sqrt(self.d_model)
 
 
-def sinusoid_table(max_len: int, d_model: int) -> jnp.ndarray:
-    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
-    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
-                       * -(math.log(10000.0) / d_model))
-    pe = jnp.zeros((max_len, d_model), dtype=jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
-    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+@functools.lru_cache(maxsize=16)
+def sinusoid_np(max_len: int, d_model: int) -> "np.ndarray":
+    """Host-built sinusoid table.  Building it on HOST matters: a traced
+    jnp construction is NOT constant-folded by XLA (the [5000, 512] scatter
+    build re-executed ~0.7 ms/decode inside the SA while_loop, measured);
+    a numpy array embeds as a literal the compiler hoists once."""
+    import numpy as np
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                      * -(math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
     return pe
+
+
+def sinusoid_table(max_len: int, d_model: int) -> jnp.ndarray:
+    return jnp.asarray(sinusoid_np(max_len, d_model))
+
+
+# rows embedded for a TRACED offset (KV-cached AR steps): caption positions
+# never approach this, and it keeps the program constant at 1 MB instead of
+# the full max_len table
+_PE_DYN_ROWS = 512
 
 
 class PositionalEncoding(nn.Module):
@@ -376,10 +393,17 @@ class PositionalEncoding(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, offset: int = 0):
-        pe = sinusoid_table(self.max_len, self.d_model)
+    def __call__(self, x, deterministic: bool = True, offset=0):
+        import numpy as np
         L = x.shape[-2]
-        x = x + jax.lax.dynamic_slice_in_dim(pe, offset, L, axis=0).astype(x.dtype)
+        if isinstance(offset, (int, np.integer)):
+            pe = jnp.asarray(
+                sinusoid_np(self.max_len, self.d_model)[offset:offset + L])
+        else:  # traced offset (ar_step position inside a while_loop)
+            rows = min(self.max_len, _PE_DYN_ROWS)
+            table = jnp.asarray(sinusoid_np(self.max_len, self.d_model)[:rows])
+            pe = jax.lax.dynamic_slice_in_dim(table, offset, L, axis=0)
+        x = x + pe.astype(x.dtype)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
