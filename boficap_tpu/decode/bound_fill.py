@@ -355,13 +355,23 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         src_b = (src_mask if src_mask is not None
                  else jnp.ones(memory.shape[:2], bool))
         # the cross-attention mask never changes across rounds — build the
-        # block-diagonal expansion ONCE per decode for both window widths
-        G_blk = _math.gcd(B, 8)
+        # block-diagonal expansion ONCE per decode for both window widths.
+        # The batch-block size G must match the fill kernel's exactly (the
+        # kernel indexes mask blocks of G rows per grid step), and it is
+        # chosen PER WIDTH: the narrow window fits VMEM at the larger
+        # swept-best block, the wide (W=L) fallback only compiles at 8
+        # (v5e sweep, BENCH_NOTES.md).
+        from ..ops.pallas_stack import WIN_BLOCK_B, WIN_WIDE_BLOCK_B
+        G_small = _math.gcd(B, WIN_BLOCK_B)
+        G_wide = _math.gcd(B, WIN_WIDE_BLOCK_B)
         R = memory.shape[1]
+
+        def _G_of(W):
+            return G_small if W == W_SMALL else G_wide
 
         def _sm_big(W):
             sm3 = jnp.broadcast_to(src_b[:, None, :], (B, W, R))
-            return _block_diag_one(sm3, G_blk)
+            return _block_diag_one(sm3, _G_of(W))
 
         sm_bigs = {W_SMALL: _sm_big(W_SMALL), L: _sm_big(L)}
 
@@ -432,26 +442,40 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                               & (key_pos < (w_start + W)[:, None, None]))
                 m_cache = (key_pos < vis) & ~in_win_col           # [B, W, L]
                 m_win = idx[:, None, :] < vis                     # [B, W, W]
-                q_mask = jnp.concatenate([m_cache, m_win], axis=-1)
-                tm_big = _block_diag_one(q_mask, G_blk)
+                G_blk = _G_of(W)
                 sm_big = sm_bigs[W]
-                if stacked:
+                if stacked and W == L:
+                    # wide round: the window covers every position, the
+                    # cache keys are all masked and the scatter one-hot is
+                    # the identity — the no-cache wide kernel drops both
+                    # (self-attn key width W, not L+W; BENCH_NOTES.md)
+                    from ..ops.pallas_stack import fused_window_wide_stack
+                    tm_big = _block_diag_one(m_win, G_blk)
+                    h_win, kc_new, vc_new = fused_window_wide_stack(
+                        x_win, k2s, v2s, tm_big, sm_big,
+                        fctx_st, fctx[1], num_heads=model.num_heads,
+                        block_b=G_blk, interpret=fused_interpret)
+                elif stacked:
                     from ..ops.pallas_stack import fused_window_decoder_stack
+                    tm_big = _block_diag_one(
+                        jnp.concatenate([m_cache, m_win], axis=-1), G_blk)
                     # the scatter one-hot is ohw's transpose: row p of
                     # [B, L, W] has a single 1.0 at window column p-start
                     h_win, kc_new, vc_new = fused_window_decoder_stack(
                         x_win, jnp.transpose(ohw_f, (0, 2, 1)),
                         s["kc"], s["vc"], k2s, v2s, tm_big, sm_big,
                         fctx_st, fctx[1], num_heads=model.num_heads,
-                        interpret=fused_interpret)
+                        block_b=G_blk, interpret=fused_interpret)
                 else:
+                    tm_big = _block_diag_one(
+                        jnp.concatenate([m_cache, m_win], axis=-1), G_blk)
                     h_win, kc_l, vc_l = fused_window_decoder_forward(
                         x_win, w_start,
                         [s["kc"][j] for j in range(n_layers)],
                         [s["vc"][j] for j in range(n_layers)],
                         list(k2s), list(v2s), tm_big, sm_big,
                         fctx[0], fctx[1], num_heads=model.num_heads,
-                        interpret=fused_interpret)
+                        block_b=G_blk, interpret=fused_interpret)
                     kc_new = jnp.stack(kc_l)
                     vc_new = jnp.stack(vc_l)
                 if sample_method == "greedy" and (B * W >= 256

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -60,6 +61,19 @@ from .pallas_decoder_layer import MASK_FILL, _refnorm
 
 D_LANE = 512  # production blob lane width == d_model (Mosaic wants the
               # last dim 128-aligned on hardware; interpret mode is free)
+
+# Batch-block size G per grid step (grid = (n_layers, B // G)).  The fixed
+# per-grid-step cost dominates at small G (B=64, G=8 -> 48 steps of only
+# G*W rows each), but the block-diagonal attention's wasted score FLOPs
+# grow linearly with G, and the kernel's VMEM footprint (weight blob +
+# activations + block-diagonal masks + FFN intermediate) must stay under
+# ~16 MB.  Swept on v5e at B=64, d=512 with bf16 masks (BENCH_NOTES.md):
+# the narrow window is flat across 8/16 (~0.47-0.49 ms) and worse at 32;
+# the wide (W=L) variant only fits at 8.  Env overrides for re-sweeps.
+WIN_BLOCK_B = int(os.environ.get("BOFICAP_WIN_BLOCK_B", "16"))
+WIN_WIDE_BLOCK_B = int(os.environ.get("BOFICAP_WIN_WIDE_BLOCK_B", "8"))
+DEC_BLOCK_B = int(os.environ.get("BOFICAP_DEC_BLOCK_B", "8"))
+ENC_BLOCK_B = int(os.environ.get("BOFICAP_ENC_BLOCK_B", "8"))
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +149,8 @@ def _sliced_mha(x, n_q, kv_src, wbuf, b512, qk, kk, vk, ok, bq_i, bk_i, bv_i,
     v_all = (jnp.dot(kv_src, _wslice(wbuf, vk, D),
                      preferred_element_type=jnp.float32)
              .astype(dtype) + b512[bv_i])
-    ctxs = []
+    mask = mask != 0          # masks ride VMEM as bf16 0/1 (half the s32
+    ctxs = []                 # footprint Mosaic gives bool inputs)
     for h in range(H):
         q = q_all[:, h * Dh:(h + 1) * Dh]
         k = k_all[:, h * Dh:(h + 1) * Dh]
@@ -266,6 +281,8 @@ def _dec_stack_call(x, memory, tm_big, sm_big, blob, b512, b2048,
     d_ff = b2048.shape[-1]
     r_self, r_cross, rows = _layout("dec", D, d_ff)
     G = math.gcd(B, block_b)
+    tm_big = tm_big.astype(jnp.bfloat16)    # 0/1; halves the mask VMEM
+    sm_big = sm_big.astype(jnp.bfloat16)
 
     def il(l, i):
         return (jnp.where(l == 0, i, 0), 0, 0)
@@ -305,12 +322,15 @@ def _dec_stack_call(x, memory, tm_big, sm_big, blob, b512, b2048,
 
 
 def fused_decoder_stack_forward(x, memory, tgt_mask, src_mask, stacked,
-                                final_norm, num_heads: int, block_b: int = 8,
+                                final_norm, num_heads: int,
+                                block_b: int = None,
                                 interpret: bool = False):
     """Whole Decoder stack in one kernel + final RefLayerNorm.  Drop-in for
     pallas_decoder_layer.fused_decoder_forward given ``stacked`` from
     ``pack_stack(packed, 'dec')``."""
     from .pallas_decoder_layer import _block_diag_masks
+    if block_b is None:
+        block_b = DEC_BLOCK_B
     if src_mask is None:
         src_mask = jnp.ones(memory.shape[:2], bool)
     B = x.shape[0]
@@ -380,6 +400,7 @@ def _enc_stack_call(x, m_big, blob, b512, b2048, num_heads: int,
     d_ff = b2048.shape[-1]
     r_self, r_cross, rows = _layout("enc", D, d_ff)
     G = math.gcd(B, block_b)
+    m_big = m_big.astype(jnp.bfloat16)      # 0/1; halves the mask VMEM
 
     def il(l, i):
         return (jnp.where(l == 0, i, 0), 0, 0)
@@ -414,10 +435,12 @@ def _enc_stack_call(x, m_big, blob, b512, b2048, num_heads: int,
 
 
 def fused_encoder_stack_forward(x, src_mask, stacked, final_norm,
-                                num_heads: int, block_b: int = 8,
+                                num_heads: int, block_b: int = None,
                                 interpret: bool = False):
     """Whole Encoder stack in one kernel + final RefLayerNorm."""
     from .pallas_decoder_layer import _block_diag_masks
+    if block_b is None:
+        block_b = ENC_BLOCK_B
     B, R, _ = x.shape
     if src_mask is None:
         src_mask = jnp.ones((B, R), bool)
@@ -483,18 +506,20 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
 
     # in-kernel cache scatter: oh [G*L, G*W] has EXACTLY one 1.0 per
     # in-window row, so cache*(1-rowsum) + oh@new is an exact replacement
+    # (oh rides VMEM as bf16: 0/1 and one-term sums are exact in any dtype)
     oh = oh_ref[0]
     rs = jnp.sum(oh, axis=1, keepdims=True)               # [G*L, 1] 0/1
     kc_flat = kc_ref[0].reshape(G * L, D)
     vc_flat = vc_ref[0].reshape(G * L, D)
-    k_scat = jnp.dot(oh, k_new.astype(jnp.float32),
+    oh_d = oh.astype(k_new.dtype)          # 0/1: exact in any dtype
+    k_scat = jnp.dot(oh_d, k_new,
                      preferred_element_type=jnp.float32).astype(dtype)
-    v_scat = jnp.dot(oh, v_new.astype(jnp.float32),
+    v_scat = jnp.dot(oh_d, v_new,
                      preferred_element_type=jnp.float32).astype(dtype)
     one = jnp.ones((), jnp.float32)
-    kco_ref[0] = (kc_flat * (one - rs).astype(dtype)
+    kco_ref[0] = (kc_flat * (one - rs.astype(jnp.float32)).astype(dtype)
                   + k_scat).reshape(G, L, D)
-    vco_ref[0] = (vc_flat * (one - rs).astype(dtype)
+    vco_ref[0] = (vc_flat * (one - rs.astype(jnp.float32)).astype(dtype)
                   + v_scat).reshape(G, L, D)
 
     k_all = jnp.concatenate(
@@ -503,7 +528,7 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
         [vc_ref[0], v_new.reshape(G, W, D)], axis=1).reshape(G * Lk, D)
 
     fill = _blockfill(N, G * Lk, W, Lk)
-    tm = tm_ref[0]
+    tm = tm_ref[0] != 0                    # bf16 0/1 in VMEM
     ctxs = []
     for h in range(H):
         q = q_all[:, h * Dh:(h + 1) * Dh]
@@ -532,7 +557,7 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
     k2_all = k2_ref[0].reshape(G * R, D)
     v2_all = v2_ref[0].reshape(G * R, D)
     fill2 = _blockfill(N, G * R, W, R)
-    sm = sm_ref[0]
+    sm = sm_ref[0] != 0
     ctxs2 = []
     for h in range(H):
         q = q2_all[:, h * Dh:(h + 1) * Dh]
@@ -573,6 +598,8 @@ def _win_stack_call(x_win, k_caches, v_caches, k2s, v2s, tm_big, sm_big,
     d_ff = b2048.shape[-1]
     r_self, r_cross, rows = _layout("win", D, d_ff)
     G = math.gcd(B, block_b)
+    tm_big = tm_big.astype(jnp.bfloat16)    # 0/1; halves the mask VMEM
+    sm_big = sm_big.astype(jnp.bfloat16)
 
     def il(l, i):
         return (jnp.where(l == 0, i, 0), 0, 0)
@@ -629,6 +656,192 @@ def _win_stack_call(x_win, k_caches, v_caches, k2s, v2s, tm_big, sm_big,
       b512, b2048, blob)
 
 
+def _win_wide_stack_kernel(x_ref, k2_ref, v2_ref, tm_ref, sm_ref,
+                           b512_ref, b2048_ref, blob_ref,
+                           o_ref, kco_ref, vco_ref, xc_ref, wbuf, sems, *,
+                           num_heads: int, n_layers: int, d_ff: int,
+                           r_self: int, r_cross: int, rows: int):
+    """Wide (W == L) window round: the window covers every position, so the
+    K/V cache would be fully masked — this variant drops the cache keys
+    (self-attn key width W, not L+W) and emits the fresh K/V directly as the
+    new caches (the scatter one-hot is the identity at w_start == 0)."""
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    G, W, D = x_ref.shape
+    R = k2_ref.shape[2]
+    dtype = x_ref.dtype
+    H = num_heads
+    Dh = D // H
+    N = G * W
+    scale = 1.0 / math.sqrt(Dh)
+
+    dmas = _WeightDMAs(blob_ref, wbuf, sems, l, r_self, r_cross, rows)
+
+    @pl.when(i == 0)
+    def _fetch_weights():
+        dmas.start_all()
+        dmas.wait(0)
+
+    @pl.when(l == 0)
+    def _load_x():
+        xc_ref[pl.ds(i * G, G)] = x_ref[:]
+
+    x = xc_ref[pl.ds(i * G, G)].reshape(N, D)
+    b512 = b512_ref[0]
+    b2048 = b2048_ref[0]
+
+    n0 = _refnorm(x, b512[6], b512[7], dtype)
+    q_all = (jnp.dot(n0, _wslice(wbuf, 0, D),
+                     preferred_element_type=jnp.float32)
+             .astype(dtype) + b512[0])
+    k_new = (jnp.dot(n0, _wslice(wbuf, 1, D),
+                     preferred_element_type=jnp.float32)
+             .astype(dtype) + b512[1])
+    v_new = (jnp.dot(n0, _wslice(wbuf, 2, D),
+                     preferred_element_type=jnp.float32)
+             .astype(dtype) + b512[2])
+    kco_ref[0] = k_new.reshape(G, W, D)
+    vco_ref[0] = v_new.reshape(G, W, D)
+
+    fill = _blockfill(N, N, W, W)
+    tm = tm_ref[0] != 0
+    ctxs = []
+    for h in range(H):
+        q = q_all[:, h * Dh:(h + 1) * Dh]
+        k = k_new[:, h * Dh:(h + 1) * Dh]
+        v = v_new[:, h * Dh:(h + 1) * Dh]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(tm, sc, fill)
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
+                    .astype(dtype))
+    att = jnp.dot(jnp.concatenate(ctxs, axis=-1), _wslice(wbuf, 3, D),
+                  preferred_element_type=jnp.float32)
+    x = x + (att.astype(dtype) + b512[3])
+
+    @pl.when(i == 0)
+    def _wait_cross():
+        dmas.wait(1)
+
+    n1 = _refnorm(x, b512[8], b512[9], dtype)
+    q2_all = (jnp.dot(n1, _wslice(wbuf, 4, D),
+                      preferred_element_type=jnp.float32)
+              .astype(dtype) + b512[4])
+    k2_all = k2_ref[0].reshape(G * R, D)
+    v2_all = v2_ref[0].reshape(G * R, D)
+    fill2 = _blockfill(N, G * R, W, R)
+    sm = sm_ref[0] != 0
+    ctxs2 = []
+    for h in range(H):
+        q = q2_all[:, h * Dh:(h + 1) * Dh]
+        k = k2_all[:, h * Dh:(h + 1) * Dh]
+        v = v2_all[:, h * Dh:(h + 1) * Dh]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(sm, sc, fill2)
+        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
+        ctxs2.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
+                     .astype(dtype))
+    att2 = jnp.dot(jnp.concatenate(ctxs2, axis=-1), _wslice(wbuf, 5, D),
+                   preferred_element_type=jnp.float32)
+    x = x + (att2.astype(dtype) + b512[5])
+
+    @pl.when(i == 0)
+    def _wait_ffn():
+        dmas.wait(2)
+
+    x = _sliced_ffn(x, wbuf, b512, b2048, r_cross, 10, 11, 12, dtype, d_ff)
+
+    xc_ref[pl.ds(i * G, G)] = x.reshape(G, W, D)
+
+    @pl.when(l == n_layers - 1)
+    def _emit():
+        o_ref[:] = x.reshape(G, W, D)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_b", "interpret"))
+def _win_wide_stack_call(x_win, k2s, v2s, tm_big, sm_big,
+                         blob, b512, b2048, num_heads: int,
+                         block_b: int = 8, interpret: bool = False):
+    B, W, D = x_win.shape
+    NL = blob.shape[0]
+    R = k2s.shape[2]
+    d_ff = b2048.shape[-1]
+    r_self, r_cross, rows = _layout("win", D, d_ff)
+    G = math.gcd(B, block_b)
+    tm_big = tm_big.astype(jnp.bfloat16)
+    sm_big = sm_big.astype(jnp.bfloat16)
+
+    def il(l, i):
+        return (jnp.where(l == 0, i, 0), 0, 0)
+
+    def ii(l, i):
+        return (i, 0, 0)
+
+    def ili(l, i):
+        return (l, i, 0, 0)
+
+    def im(l, i):
+        return (i, 0, 0)
+
+    def ll(l, i):
+        return (l, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_win_wide_stack_kernel, num_heads=num_heads,
+                          n_layers=NL, d_ff=d_ff, r_self=r_self,
+                          r_cross=r_cross, rows=rows),
+        grid=(NL, B // G),
+        in_specs=[
+            pl.BlockSpec((G, W, D), il, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, R, D), ili, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, R, D), ili, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * W, G * W), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * W, G * R), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b512.shape[1], D), ll, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_ff), ll, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, W, D), ii, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, W, D), ili, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, W, D), ili, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, D), x_win.dtype),
+            jax.ShapeDtypeStruct((NL, B, W, D), x_win.dtype),
+            jax.ShapeDtypeStruct((NL, B, W, D), x_win.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, W, D), x_win.dtype),
+            pltpu.VMEM((rows, D), blob.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(x_win, k2s, v2s, tm_big, sm_big, b512, b2048, blob)
+
+
+def fused_window_wide_stack(x_win, k2s, v2s, tgt_mask_big, sm_big, stacked,
+                            final_norm, num_heads: int, block_b: int = None,
+                            interpret: bool = False):
+    """Wide (W == L) SA fill round: whole windowed decoder stack in one
+    kernel with NO cache keys; the fresh per-layer K/V come back as the new
+    caches (exactly what the general kernel's identity-one-hot scatter
+    produces at w_start == 0, without the 2x self-attn key width)."""
+    if block_b is None:
+        block_b = WIN_WIDE_BLOCK_B
+    h, kc, vc = _win_wide_stack_call(
+        x_win, k2s, v2s, tgt_mask_big, sm_big,
+        stacked["blob"], stacked["b512"], stacked["b2048"],
+        num_heads=num_heads, block_b=block_b, interpret=interpret)
+    s, b = final_norm
+    return _refnorm(h, s, b, h.dtype), kc, vc
+
+
 def _block_diag_f32(m3, G: int):
     """[B, Lq, Lk] f32 -> [B//G, G*Lq, G*Lk] block-diagonal (f32 analogue of
     pallas_decoder_layer._block_diag_one)."""
@@ -642,7 +855,7 @@ def _block_diag_f32(m3, G: int):
 
 def fused_window_decoder_stack(x_win, oh_lw, k_caches, v_caches, k2s, v2s,
                                tm_big, sm_big, stacked, final_norm,
-                               num_heads: int, block_b: int = 8,
+                               num_heads: int, block_b: int = None,
                                interpret: bool = False):
     """One SA fill ROUND: the whole windowed decoder stack in one kernel,
     cache scatter included.
@@ -656,9 +869,11 @@ def fused_window_decoder_stack(x_win, oh_lw, k_caches, v_caches, k2s, v2s,
 
     Returns (h_win [B, W, D] after final norm, new k_caches, new v_caches).
     """
+    if block_b is None:
+        block_b = WIN_BLOCK_B
     B = x_win.shape[0]
     G = math.gcd(B, block_b)
-    oh_big = _block_diag_f32(oh_lw.astype(jnp.float32), G)
+    oh_big = _block_diag_f32(oh_lw.astype(jnp.bfloat16), G)
     h, kc, vc = _win_stack_call(
         x_win, k_caches, v_caches, k2s, v2s, tm_big, sm_big, oh_big,
         stacked["blob"], stacked["b512"], stacked["b2048"],

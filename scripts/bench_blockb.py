@@ -2,7 +2,9 @@
 
 Times the 6-layer fused decoder stack (full width), the windowed decoder
 stack (W=8 and W=L), and the 6-layer fused encoder stack at
-block_b in {8, 16, 32}, B=64, with bench.py's pipelined protocol.
+block_b in {8, 16, 32}, B=64, with bench.py's pipelined protocol — both the
+per-layer kernel family (ops/pallas_decoder_layer) and the whole-stack
+megakernels (ops/pallas_stack, names suffixed ``_st``).
 Run: python scripts/bench_blockb.py
 """
 
@@ -21,6 +23,7 @@ from boficap_tpu.config import default_config, finalize  # noqa: E402
 from boficap_tpu.decode import bound_fill as bf  # noqa: E402
 from boficap_tpu.models.boficap import build_model  # noqa: E402
 from boficap_tpu.ops import pallas_decoder_layer as pdl  # noqa: E402
+from boficap_tpu.ops import pallas_stack as pst  # noqa: E402
 
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 GS = tuple(int(g) for g in
@@ -108,6 +111,52 @@ def main():
         x_enc = model.apply(params, att, True, method="embed_att")
         return f, (x_enc, src)
 
+    # ---- whole-stack megakernel variants (ops/pallas_stack) ----
+    st_dec = pst.pack_stack(packed_na, "dec")
+    st_win = pst.pack_stack(packed_sa, "win")
+    packed_e2, fnorm_e2 = pdl.pack_encoder_weights(
+        params["params"]["encoder"], model.dtype, model.num_heads)
+    st_enc = pst.pack_stack(packed_e2, "enc")
+    k2st, v2st = jnp.stack(k2s), jnp.stack(v2s)
+
+    def dec_stack_st(g):
+        @jax.jit
+        def f(memory, src_mask):
+            x = jnp.ones((B, L, D), model.dtype)
+            mask = jnp.ones((B, L, L), bool)
+            return pst.fused_decoder_stack_forward(
+                x, memory, mask, src_mask, st_dec, fnorm,
+                num_heads=model.num_heads, block_b=g
+            ).astype(jnp.float32).sum(-1)
+        return f, (memory, src)
+
+    def win_stack_st(g, W):
+        kc = jnp.zeros((6, B, L, D), model.dtype)
+        vc = jnp.zeros((6, B, L, D), model.dtype)
+
+        @jax.jit
+        def f(memory, src_mask):
+            x = jnp.ones((B, W, D), model.dtype)
+            q_mask = jnp.ones((B, W, L + W), bool)
+            G = math.gcd(B, g)
+            tm_big, sm_big = pdl._block_diag_masks(q_mask, src_mask, G)
+            oh = jnp.zeros((B, L, W), jnp.float32)
+            h, _, _ = pst.fused_window_decoder_stack(
+                x, oh, kc, vc, k2st, v2st, tm_big, sm_big,
+                st_win, fnorm_sa, num_heads=model.num_heads, block_b=g)
+            return h.astype(jnp.float32).sum(-1)
+        return f, (memory, src)
+
+    def enc_stack_st(g):
+        @jax.jit
+        def f(att_e, src_mask):
+            return pst.fused_encoder_stack_forward(
+                att_e, src_mask, st_enc, (fnorm_e2[0], fnorm_e2[1]),
+                num_heads=model.num_heads, block_b=g
+            ).astype(jnp.float32).sum(-1)
+        x_enc = model.apply(params, att, True, method="embed_att")
+        return f, (x_enc, src)
+
     bench.RTT_S = bench._measure_rtt()
     print(f"RTT {bench.RTT_S * 1000:.2f} ms", flush=True)
 
@@ -117,6 +166,10 @@ def main():
         jobs.append((f"win_w8_g{g}", *win_stack(g, 8)))
         jobs.append((f"win_wL_g{g}", *win_stack(g, L)))
         jobs.append((f"enc_g{g}", *enc_stack(g)))
+        jobs.append((f"dec_full_g{g}_st", *dec_stack_st(g)))
+        jobs.append((f"win_w8_g{g}_st", *win_stack_st(g, 8)))
+        jobs.append((f"win_wL_g{g}_st", *win_stack_st(g, L)))
+        jobs.append((f"enc_g{g}_st", *enc_stack_st(g)))
     for name, fn, args in jobs:
         try:
             bench._fetch(fn(*args))

@@ -72,6 +72,54 @@ def main():
         print(f"{name}: {t * 1000:7.3f} ms/batch ({BATCH / t:9.0f} img/s)",
               flush=True)
 
+    if os.environ.get("BENCH_VERIFY"):
+        # NA (one fill pass, same reduction shapes) must be bit-identical to
+        # the unfused flax path.  SA's K/V-cached fill reorders the softmax
+        # key reductions (cache ++ window vs position order), so under the
+        # bench's RANDOM-INIT weights (near-uniform logits, every token a
+        # near-tie at lp ~ -log V) a few argmaxes flip and then cascade
+        # through later rounds; the check accepts a divergence only when the
+        # two chosen tokens' logprobs are within a near-tie margin at each
+        # sample's FIRST differing position (measured: gaps ~0.008).  With
+        # trained weights ties are rare and the sequences agree.
+        @jax.jit
+        def na_ref(memory, src_mask, rng):
+            return bf.na_decode(model, params, rng, memory, src_mask,
+                                max_steps=6)["seq"]
+
+        @jax.jit
+        def sa_ref(memory, src_mask, rng):
+            out = bf.sa_decode(model, params, rng, memory, src_mask,
+                               max_steps=6)
+            return out["seq"], out["tok_logprobs"]
+
+        @jax.jit
+        def sa_fused_lp(memory, src_mask, rng):
+            out = bf.sa_decode(model, params, rng, memory, src_mask,
+                               max_steps=6, fused_fill=True)
+            return out["seq"], out["tok_logprobs"]
+
+        x = np.asarray(na_full(memory, src, bench.KEY))
+        y = np.asarray(na_ref(memory, src, bench.KEY))
+        print(f"na seq fused == unfused: {np.array_equal(x, y)}", flush=True)
+
+        (xs, xlp), (ys, ylp) = (sa_fused_lp(memory, src, bench.KEY),
+                                sa_ref(memory, src, bench.KEY))
+        xs, xlp = np.asarray(xs), np.asarray(xlp)
+        ys, ylp = np.asarray(ys), np.asarray(ylp)
+        if np.array_equal(xs, ys):
+            print("sa seq fused == unfused: True", flush=True)
+        else:
+            gaps = []
+            for b in range(xs.shape[0]):
+                d = np.nonzero(xs[b] != ys[b])[0]
+                if len(d):
+                    gaps.append(abs(xlp[b, d[0]] - ylp[b, d[0]]))
+            worst = max(gaps)
+            print(f"sa seq fused == unfused: ties-only={worst < 0.05} "
+                  f"(diverged {len(gaps)}/{xs.shape[0]} samples, worst "
+                  f"first-divergence logprob gap {worst:.4f})", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -316,3 +316,107 @@ def test_fused_greedy_head_matches_unfused(dtype):
                                atol=tol, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ent), np.asarray(want_ent),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_sa_decode_stacked_nondefault_block_b(monkeypatch):
+    """The windowed-stack batch-block size (pallas_stack.WIN_BLOCK_B) is a
+    perf tunable — decoded sequences must be invariant to it.  sa_decode
+    builds its block-diagonal masks from the same constant the kernel
+    blocks on, so a mismatch would fail loudly; this pins the agreement at
+    a non-default size (G=2 vs the B=4 default gcd(4,8)=4)."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.ops import pallas_stack as pst
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("UIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=4, seed=23)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(23)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    src_mask = am.astype(bool)
+    base = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                        src_mask)
+    monkeypatch.setattr(pst, "WIN_BLOCK_B", 2)
+    fused = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                         src_mask, fused_fill=True, fused_interpret=True,
+                         stacked=True)
+    np.testing.assert_array_equal(np.asarray(base["seq"]),
+                                  np.asarray(fused["seq"]))
+
+
+def test_window_wide_stack_matches_general_stack():
+    """fused_window_wide_stack (no cache keys, direct K/V emit) must equal
+    the general windowed stack at W == L with the identity scatter one-hot,
+    w_start == 0, and a fully-masked cache — the exact configuration every
+    wide SA round has."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.ops.pallas_decoder_layer import (_block_diag_one,
+                                                      project_cross_kv)
+    from boficap_tpu.ops import pallas_stack as pst
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("UIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=4, seed=31)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(31)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+
+    B, L, D = 4, model.max_length, model.d_model
+    G = 2
+    packed, fnorm = bf._fused_ctx(model, params, "SA")
+    stacked = pst.pack_stack(packed, "win")
+    k2_l, v2_l = project_cross_kv(packed, memory)
+    k2s, v2s = jnp.stack(k2_l), jnp.stack(v2_l)
+    NL = len(packed)
+
+    rng = np.random.RandomState(7)
+    x_win = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    vis = jnp.asarray(rng.randint(1, L + 1, size=(B,)))
+    m_win = (jnp.arange(L)[None, None, :]
+             < vis[:, None, None]) & jnp.ones((B, L, L), bool)
+    src_b = am.astype(bool)
+    R = memory.shape[1]
+    sm_big = _block_diag_one(
+        jnp.broadcast_to(src_b[:, None, :], (B, L, R)), G)
+
+    # general kernel: cache keys fully masked, identity one-hot
+    m_cache = jnp.zeros((B, L, L), bool)
+    tm_gen = _block_diag_one(jnp.concatenate([m_cache, m_win], -1), G)
+    oh_lw = jnp.eye(L, dtype=jnp.float32)[None].repeat(B, 0)
+    kc = jnp.asarray(rng.randn(NL, B, L, D).astype(np.float32))
+    vc = jnp.asarray(rng.randn(NL, B, L, D).astype(np.float32))
+    h_gen, kc_gen, vc_gen = pst.fused_window_decoder_stack(
+        x_win, oh_lw, kc, vc, k2s, v2s, tm_gen, sm_big, stacked, fnorm,
+        num_heads=model.num_heads, block_b=G, interpret=True)
+
+    tm_wide = _block_diag_one(m_win, G)
+    h_w, kc_w, vc_w = pst.fused_window_wide_stack(
+        x_win, k2s, v2s, tm_wide, sm_big, stacked, fnorm,
+        num_heads=model.num_heads, block_b=G, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_gen),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kc_w), np.asarray(kc_gen),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vc_w), np.asarray(vc_gen),
+                               rtol=1e-5, atol=1e-5)
