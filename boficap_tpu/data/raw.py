@@ -7,6 +7,13 @@ resnet_utils.myResnet) to make fc(2048) + 14x14x2048 att features.  This
 environment ships neither torchvision nor pretrained CNN weights (no
 network egress), so the extractor is pluggable:
 
+  * ``flax_resnet`` — the TPU-native ResNet-101 trunk
+    (models/resnet.py): the reference's modified architecture (ceil-mode
+    stem pool, stride-on-conv1 stages) re-expressed in flax/XLA, batched at
+    a static 448x448 input, torch-parity-tested.  Loads a torchvision
+    ``resnet101`` state_dict from ``$BOFICAP_CNN_WEIGHTS`` (or the
+    ``weights`` arg) when one exists; random He-init otherwise (warned —
+    untrained features),
   * ``resnet``  — torchvision ResNet-101 when installed (weights from the
     torch hub cache), reproducing the reference's ceil-mode/stride tweaks'
     OUTPUT contract (fc = pooled features, att = 14x14 grid),
@@ -42,6 +49,44 @@ def patch_extractor(grid: int = 14, dim: int = 2048):
                 feat = np.concatenate([m, s])
                 att[i, j] = np.tile(feat, dim // len(feat) + 1)[:dim]
         return att.mean((0, 1)), att
+
+    return extract
+
+
+def flax_resnet_extractor(weights: Optional[str] = None, size: int = 448):
+    """TPU-native ResNet-101 features (models/resnet.py).  ``weights``: a
+    torch ``resnet101`` state-dict .pth (defaults to $BOFICAP_CNN_WEIGHTS);
+    without one the trunk is random-init (untrained features, warned).
+    Images are bilinearly resized to ``size`` x ``size`` — at 448 the
+    layer4 map is natively 14x14, so the adaptive att pool is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.resnet import (init_resnet_params,
+                                 load_torch_resnet_state, normalize_images,
+                                 resnet_features)
+
+    weights = weights or os.environ.get("BOFICAP_CNN_WEIGHTS", "")
+    if weights:
+        import torch
+        sd = torch.load(weights, map_location="cpu")
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v
+              for k, v in sd.items()}
+        params = load_torch_resnet_state(sd)
+    else:
+        print("flax ResNet-101 extractor: no $BOFICAP_CNN_WEIGHTS state "
+              "dict — using RANDOM weights (untrained features)")
+        params = init_resnet_params(jax.random.PRNGKey(0))
+
+    feats = jax.jit(resnet_features)
+
+    def extract(img: np.ndarray):
+        x = jax.image.resize(jnp.asarray(img, jnp.float32),
+                             (size, size, 3), "bilinear")
+        x = jnp.asarray(normalize_images(np.asarray(x)))
+        fc, att = feats(params, x[None])
+        return (np.asarray(fc[0]),
+                np.asarray(att[0]).reshape(14, 14, -1))
 
     return extract
 
@@ -84,12 +129,19 @@ class DataLoaderRaw:
         self.folder = image_folder
         self.batch_size = batch_size
         if extractor is None:
-            try:
-                extractor = resnet_extractor()
-            except Exception:
-                print("torchvision/resnet unavailable; using the untrained "
-                      "patch extractor (features are NOT CNN features)")
-                extractor = patch_extractor()
+            if os.environ.get("BOFICAP_CNN_WEIGHTS"):
+                extractor = flax_resnet_extractor()
+            else:
+                try:
+                    extractor = resnet_extractor()
+                except Exception:
+                    try:
+                        extractor = flax_resnet_extractor()
+                    except Exception:
+                        print("no CNN extractor available; using the "
+                              "untrained patch extractor (features are NOT "
+                              "CNN features)")
+                        extractor = patch_extractor()
         self.extract = extractor
 
         if coco_json:

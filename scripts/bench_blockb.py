@@ -147,6 +147,19 @@ def main():
             return h.astype(jnp.float32).sum(-1)
         return f, (memory, src)
 
+    def win_wide_st(g):
+        @jax.jit
+        def f(memory, src_mask):
+            x = jnp.ones((B, L, D), model.dtype)
+            G = math.gcd(B, g)
+            q_mask = jnp.ones((B, L, L), bool)
+            tm_big, sm_big = pdl._block_diag_masks(q_mask, src_mask, G)
+            h, _, _ = pst.fused_window_wide_stack(
+                x, k2st, v2st, tm_big, sm_big, st_win, fnorm_sa,
+                num_heads=model.num_heads, block_b=g)
+            return h.astype(jnp.float32).sum(-1)
+        return f, (memory, src)
+
     def enc_stack_st(g):
         @jax.jit
         def f(att_e, src_mask):
@@ -169,6 +182,7 @@ def main():
         jobs.append((f"dec_full_g{g}_st", *dec_stack_st(g)))
         jobs.append((f"win_w8_g{g}_st", *win_stack_st(g, 8)))
         jobs.append((f"win_wL_g{g}_st", *win_stack_st(g, L)))
+        jobs.append((f"win_wide_g{g}_st", *win_wide_st(g)))
         jobs.append((f"enc_g{g}_st", *enc_stack_st(g)))
     for name, fn, args in jobs:
         try:
