@@ -290,8 +290,9 @@ def main():
             "pallas_fused_fill": FUSED,
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),
-            "note_batch_scaling": "NA 62k img/s, 19.8x decode-only / 11.7x "
-                                  "incl-encode at B=256 (BENCH_BATCH env "
+            "note_batch_scaling": "NA 66.5k img/s at B=256 (per-layer "
+                                  "kernel family; the whole-stack kernels "
+                                  "serve B<=128 — BENCH_BATCH env "
                                   "overrides; see BENCH_NOTES.md)",
             "timing_protocol": "pipelined-N-dispatch, pre-built rng keys, "
                                "min of 3 repeats, single value-fetch sync, "

@@ -52,13 +52,17 @@ def _fused_ctx(model, params, role: str):
                                 model.dtype, model.num_heads)
 
 
-def _use_stacked(model, interpret: bool) -> bool:
-    """Whole-stack megakernels (ops/pallas_stack) need the weight blob to
-    fit one VMEM scratch — bf16 only on real hardware (an f32 blob is
-    ~16 MB) and a 128-aligned lane dim for Mosaic; interpret mode has no
-    such limits."""
+def _use_stacked(model, interpret: bool, batch: int = 0) -> bool:
+    """Whole-stack megakernels (ops/pallas_stack) need the weight blob AND
+    the persistent cross-layer activation scratch to fit VMEM together —
+    bf16 only on real hardware (an f32 blob is ~16 MB), a 128-aligned lane
+    dim for Mosaic, and batch <= 128 (the activation scratch is [B, L, D]:
+    at B=256 the decoder stack is 44 KB over the 16 MB scoped limit —
+    larger batches route through the per-layer kernel family instead);
+    interpret mode has no such limits."""
     return interpret or (model.dtype == jnp.bfloat16
-                         and model.d_model % 128 == 0)
+                         and model.d_model % 128 == 0
+                         and batch <= 128)
 
 
 def fused_encode(model, params, att_feats, att_masks,
@@ -75,7 +79,7 @@ def fused_encode(model, params, att_feats, att_masks,
     packed, fnorm = pack_encoder_weights(params["params"]["encoder"],
                                          model.dtype, model.num_heads)
     if stacked is None:
-        stacked = _use_stacked(model, interpret)
+        stacked = _use_stacked(model, interpret, att_feats.shape[0])
     if stacked:
         from ..ops.pallas_stack import (fused_encoder_stack_forward,
                                         pack_stack)
@@ -208,7 +212,7 @@ def na_decode(model, params, rng, memory, src_mask, *,
         x = model.apply(params, method=embed)
         packed, fnorm = _fused_ctx(model, params, "NA")
         if stacked is None:
-            stacked = _use_stacked(model, fused_interpret)
+            stacked = _use_stacked(model, fused_interpret, B)
         if stacked:
             from ..ops.pallas_stack import (fused_decoder_stack_forward,
                                             pack_stack)
@@ -344,7 +348,7 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                                                 fused_window_decoder_forward,
                                                 project_cross_kv)
         if stacked is None:
-            stacked = _use_stacked(model, fused_interpret)
+            stacked = _use_stacked(model, fused_interpret, B)
         k2_l, v2_l = project_cross_kv(fctx[0], memory)
         k2s, v2s = jnp.stack(k2_l), jnp.stack(v2_l)       # [NL, B, R, D]
         n_layers = len(fctx[0])
@@ -362,8 +366,11 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         # swept-best block, the wide (W=L) fallback only compiles at 8
         # (v5e sweep, BENCH_NOTES.md).
         from ..ops.pallas_stack import WIN_BLOCK_B, WIN_WIDE_BLOCK_B
-        G_small = _math.gcd(B, WIN_BLOCK_B)
-        G_wide = _math.gcd(B, WIN_WIDE_BLOCK_B)
+        # large batches run the per-layer kernel family (see _use_stacked)
+        # and only compile at the smaller batch block (Mosaic's scoped-VMEM
+        # accounting grows with grid length; G=16 fits at B=64, not B=256)
+        G_small = _math.gcd(B, WIN_BLOCK_B if B <= 128 else 8)
+        G_wide = _math.gcd(B, WIN_WIDE_BLOCK_B if B <= 128 else 8)
         R = memory.shape[1]
 
         def _G_of(W):
@@ -656,7 +663,7 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
         packed, fnorm = _fused_ctx(model, params, "A")
         mask3 = jnp.broadcast_to(keep[:, None, :], (B, L, L))
         if stacked is None:
-            stacked = _use_stacked(model, fused_interpret)
+            stacked = _use_stacked(model, fused_interpret, B)
         if stacked:
             from ..ops.pallas_stack import (fused_decoder_stack_forward,
                                             pack_stack)

@@ -241,7 +241,11 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0,
     metrics (the TPU stand-in for the reference's NaN guards,
     CaptionModel.py:422-424 / TransformerModel.py:1956-1958)."""
 
-    @partial(jax.jit, static_argnames=("drop_worst", "ss_prob"))
+    # the incoming state is donated: params + opt_state update in place on
+    # device instead of allocating a second ~3x-params HBM footprint per
+    # step (no-op on CPU, where the tests that reread the old state run)
+    @partial(jax.jit, static_argnames=("drop_worst", "ss_prob"),
+             donate_argnums=(0,))
     def step(state: TrainState, att_feats, att_masks, labels, phrase_num,
              phrase_length, phrase_syn, masks, rng, glat_p,
              drop_worst: float = 0.0, ss_prob: float = 0.0, extra=None):
@@ -452,7 +456,7 @@ def make_rl_step(model: BoFiCap, tx, cfg):
     rl_kl = cfg.get("rl_kl", False)
     w = cfg.get("structure_loss_weight", 1.0)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))   # in-place state, like xe_step
     def step(state: TrainState, rng, att_feats, att_masks, samples, scores):
         def lf(params):
             lps = rl_rescore(model, params, rng, att_feats, att_masks,

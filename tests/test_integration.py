@@ -186,14 +186,15 @@ def test_dp_tp_step_matches_single_device():
             put(batch["masks"]), rng, None)
         return float(np.asarray(metrics["loss"])), new_state.params
 
-    # single device
-    state1 = create_state(params, tx)
+    # single device (xe_step donates its state, so give each run its own
+    # copy of the param buffers)
+    state1 = create_state(jax.tree_util.tree_map(jnp.copy, params), tx)
     loss_ref, params_ref = run(state1, jnp.asarray)
 
     # dp=4 x tp=2
     devs = np.array(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devs, ("data", "model"))
-    state2 = create_state(params, tx)
+    state2 = create_state(jax.tree_util.tree_map(jnp.copy, params), tx)
     ps = shard_params(state2.params, mesh)
     os_ = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())),

@@ -117,11 +117,12 @@ def test_rl_stage_end_to_end():
     rand_scores = {k: jnp.asarray(
         np.random.RandomState(3).rand(cfg.batch_size, n).astype(np.float32))
         for k in fake}
-    p0 = jax.tree_util.tree_leaves(state.params)
+    # rl_step donates its state: snapshot params before stepping
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     state2, metrics = rl_step(state, jax.random.PRNGKey(1), att, am,
                               fake, rand_scores)
     assert np.isfinite(float(metrics["loss"]))
-    diff = sum(float(jnp.abs(a - b).sum()) for a, b in
+    diff = sum(float(jnp.abs(jnp.asarray(a) - b).sum()) for a, b in
                zip(p0, jax.tree_util.tree_leaves(state2.params)))
     assert diff > 0
 
@@ -202,11 +203,12 @@ def test_ss_sa_scheduled_sampling_step():
     cfg, data, model, tx, state = setup("UIC")
     step_fn = steps_mod.make_xe_step(model, tx)
     batch = data.get_batch("train")
+    # xe_step donates its state: snapshot params before stepping
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     state2, m = steps_mod.run_xe_step(step_fn, state, batch,
                                       jax.random.PRNGKey(0), ss_prob=0.25)
     assert np.isfinite(float(m["loss"]))
-    p0 = jax.tree_util.tree_leaves(state.params)
-    diff = sum(float(jnp.abs(a - b).sum()) for a, b in
+    diff = sum(float(jnp.abs(jnp.asarray(a) - b).sum()) for a, b in
                zip(p0, jax.tree_util.tree_leaves(state2.params)))
     assert diff > 0
 

@@ -348,13 +348,18 @@ def train(opt):
                                     append="best")
                     print(f"new best val score {best_val_score:.4f}")
     except (RuntimeError, KeyboardInterrupt):
-        # crash-save (train.py:365-370)
+        # crash-save (train.py:365-370).  The train steps donate the state
+        # buffers; an exception thrown mid-step can leave ``state`` pointing
+        # at donated storage, so the save itself is best-effort.
         print("Save ckpt on exception ...")
         infos.update(iter=iteration, epoch=epoch,
                      loader_state_dict=loader.state_dict(),
                      best_val_score=best_val_score, opt=dict(opt))
-        save_checkpoint(opt, state, infos, dict(histories))
-        print("Save ckpt done.")
+        try:
+            save_checkpoint(opt, state, infos, dict(histories))
+            print("Save ckpt done.")
+        except RuntimeError as e:
+            print(f"crash-save failed (donated state buffers?): {e}")
         stack_trace = traceback.format_exc()
         print(stack_trace)
         raise
