@@ -420,3 +420,19 @@ def test_window_wide_stack_matches_general_stack():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vc_w), np.asarray(vc_gen),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_use_stacked_batch_guard():
+    """Whole-stack kernels only serve batches <= 128 on hardware (the
+    [B, L, D] activation scratch overflows scoped VMEM at B=256 —
+    BENCH_NOTES); interpret mode is unrestricted."""
+    import types
+    from boficap_tpu.decode.bound_fill import _use_stacked
+    import jax.numpy as jnp
+    bf16_model = types.SimpleNamespace(dtype=jnp.bfloat16, d_model=512)
+    f32_model = types.SimpleNamespace(dtype=jnp.float32, d_model=512)
+    assert _use_stacked(bf16_model, False, 64)
+    assert _use_stacked(bf16_model, False, 128)
+    assert not _use_stacked(bf16_model, False, 256)
+    assert not _use_stacked(f32_model, False, 64)
+    assert _use_stacked(f32_model, True, 256)      # interpret: no limits
