@@ -35,9 +35,10 @@ def run_one(name, set_cfgs):
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     dt = time.time() - t0
-    tail = (p.stdout + p.stderr)[-4000:]
-    losses = re.findall(r"loss[ =:]+([0-9.]+)", tail)
-    vals = re.findall(r"val\[(\w+)\]", tail)
+    full = p.stdout + p.stderr
+    tail = full[-4000:]
+    losses = re.findall(r"loss ([0-9.]+) step", full)
+    vals = re.findall(r"val\[(\w+)\]", full)
     ok = (p.returncode == 0
           and os.path.exists(os.path.join(out_dir, "model.ckpt")))
     print(f"{name:<10} {'OK' if ok else 'FAIL':<5} {dt:6.1f}s "
