@@ -58,33 +58,44 @@ def flax_resnet_extractor(weights: Optional[str] = None, size: int = 448):
     torch ``resnet101`` state-dict .pth (defaults to $BOFICAP_CNN_WEIGHTS);
     without one the trunk is random-init (untrained features, warned).
     Images are bilinearly resized to ``size`` x ``size`` — at 448 the
-    layer4 map is natively 14x14, so the adaptive att pool is exact."""
+    layer4 map is natively 14x14, so the adaptive att pool is exact.
+    Resize + ImageNet normalization + forward run as ONE jit program per
+    input shape: the image is uploaded once, nothing round-trips to host."""
     import jax
     import jax.numpy as jnp
 
-    from ..models.resnet import (init_resnet_params,
-                                 load_torch_resnet_state, normalize_images,
-                                 resnet_features)
+    from ..models.resnet import (IMAGENET_MEAN, IMAGENET_STD,
+                                 init_resnet_params,
+                                 load_torch_resnet_state, resnet_features)
 
     weights = weights or os.environ.get("BOFICAP_CNN_WEIGHTS", "")
     if weights:
-        import torch
-        sd = torch.load(weights, map_location="cpu")
-        sd = {k: v.numpy() if hasattr(v, "numpy") else v
-              for k, v in sd.items()}
-        params = load_torch_resnet_state(sd)
+        try:
+            import torch
+            sd = torch.load(weights, map_location="cpu")
+            sd = {k: v.numpy() if hasattr(v, "numpy") else v
+                  for k, v in sd.items()}
+            params = load_torch_resnet_state(sd)
+        except Exception as e:
+            raise RuntimeError(
+                f"BOFICAP_CNN_WEIGHTS={weights!r} could not be loaded as a "
+                f"torchvision resnet101 state dict: {e}") from e
     else:
         print("flax ResNet-101 extractor: no $BOFICAP_CNN_WEIGHTS state "
               "dict — using RANDOM weights (untrained features)")
         params = init_resnet_params(jax.random.PRNGKey(0))
 
-    feats = jax.jit(resnet_features)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def feats(params, img):                    # img [H, W, 3] in [0, 1]
+        x = jax.image.resize(img, (size, size, 3), "bilinear")
+        x = (x - mean) / std
+        return resnet_features(params, x[None])
 
     def extract(img: np.ndarray):
-        x = jax.image.resize(jnp.asarray(img, jnp.float32),
-                             (size, size, 3), "bilinear")
-        x = jnp.asarray(normalize_images(np.asarray(x)))
-        fc, att = feats(params, x[None])
+        fc, att = feats(params, jnp.asarray(img, jnp.float32))
         return (np.asarray(fc[0]),
                 np.asarray(att[0]).reshape(14, 14, -1))
 
@@ -130,17 +141,24 @@ class DataLoaderRaw:
         self.batch_size = batch_size
         if extractor is None:
             if os.environ.get("BOFICAP_CNN_WEIGHTS"):
+                # explicitly configured: surface load errors, don't degrade
                 extractor = flax_resnet_extractor()
             else:
                 try:
                     extractor = resnet_extractor()
                 except Exception:
-                    try:
+                    import jax
+                    if jax.default_backend() != "cpu":
+                        # accelerator present: the random-weight flax trunk
+                        # is fast and exercises the real CNN path
                         extractor = flax_resnet_extractor()
-                    except Exception:
-                        print("no CNN extractor available; using the "
-                              "untrained patch extractor (features are NOT "
-                              "CNN features)")
+                    else:
+                        # CPU-only host: a random-weight ResNet-101 forward
+                        # per image is pointlessly slow for equally
+                        # untrained features
+                        print("torchvision unavailable and no accelerator; "
+                              "using the untrained patch extractor "
+                              "(features are NOT CNN features)")
                         extractor = patch_extractor()
         self.extract = extractor
 

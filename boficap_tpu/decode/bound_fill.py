@@ -366,11 +366,12 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         # swept-best block, the wide (W=L) fallback only compiles at 8
         # (v5e sweep, BENCH_NOTES.md).
         from ..ops.pallas_stack import WIN_BLOCK_B, WIN_WIDE_BLOCK_B
-        # large batches run the per-layer kernel family (see _use_stacked)
-        # and only compile at the smaller batch block (Mosaic's scoped-VMEM
-        # accounting grows with grid length; G=16 fits at B=64, not B=256)
-        G_small = _math.gcd(B, WIN_BLOCK_B if B <= 128 else 8)
-        G_wide = _math.gcd(B, WIN_WIDE_BLOCK_B if B <= 128 else 8)
+        # WIN_BLOCK_B was swept for the whole-STACK kernels; the per-layer
+        # family (non-stacked: f32 models, unaligned d_model, or B > 128 —
+        # see _use_stacked) holds all layer weights in VMEM per grid step
+        # and only compiles/was validated at the smaller block of 8
+        G_small = _math.gcd(B, WIN_BLOCK_B if stacked else 8)
+        G_wide = _math.gcd(B, WIN_WIDE_BLOCK_B if stacked else 8)
         R = memory.shape[1]
 
         def _G_of(W):

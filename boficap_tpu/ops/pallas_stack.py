@@ -132,26 +132,15 @@ def _wslice(wbuf, k: int, d_model: int):
     return wbuf[k * d_model:(k + 1) * d_model, :]
 
 
-def _sliced_mha(x, n_q, kv_src, wbuf, b512, qk, kk, vk, ok, bq_i, bk_i, bv_i,
-                bo_i, mask, fill, dtype, num_heads):
-    """Multi-head attention reading projections from the blob scratch.
-    Same arithmetic as pallas_decoder_layer._mha.  Returns x + attn + bo."""
-    D = x.shape[1]
-    H = num_heads
-    Dh = D // H
+def _heads_ctx(q_all, k_all, v_all, mask, fill, dtype, num_heads: int):
+    """Per-head block-diagonal-batched attention over pre-projected
+    activations; returns the concatenated head contexts [N, D].  Masks ride
+    VMEM as bf16 0/1 (half the s32 footprint Mosaic gives bool inputs)."""
+    Dh = q_all.shape[1] // num_heads
     scale = 1.0 / math.sqrt(Dh)
-    q_all = (jnp.dot(n_q, _wslice(wbuf, qk, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[bq_i])
-    k_all = (jnp.dot(kv_src, _wslice(wbuf, kk, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[bk_i])
-    v_all = (jnp.dot(kv_src, _wslice(wbuf, vk, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[bv_i])
-    mask = mask != 0          # masks ride VMEM as bf16 0/1 (half the s32
-    ctxs = []                 # footprint Mosaic gives bool inputs)
-    for h in range(H):
+    mask = mask != 0
+    ctxs = []
+    for h in range(num_heads):
         q = q_all[:, h * Dh:(h + 1) * Dh]
         k = k_all[:, h * Dh:(h + 1) * Dh]
         v = v_all[:, h * Dh:(h + 1) * Dh]
@@ -162,7 +151,27 @@ def _sliced_mha(x, n_q, kv_src, wbuf, b512, qk, kk, vk, ok, bq_i, bk_i, bv_i,
         p = jax.nn.softmax(sc, axis=-1).astype(dtype)
         ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
                     .astype(dtype))
-    att = jnp.dot(jnp.concatenate(ctxs, axis=-1), _wslice(wbuf, ok, D),
+    return jnp.concatenate(ctxs, axis=-1)
+
+
+def _proj(x, wbuf, k: int, b512, b_i, dtype):
+    """x @ blob-matrix k + bias row b_i, rounded like nn.Dense(dtype)."""
+    D = x.shape[1]
+    return (jnp.dot(x, _wslice(wbuf, k, D),
+                    preferred_element_type=jnp.float32)
+            .astype(dtype) + b512[b_i])
+
+
+def _sliced_mha(x, n_q, kv_src, wbuf, b512, qk, kk, vk, ok, bq_i, bk_i, bv_i,
+                bo_i, mask, fill, dtype, num_heads):
+    """Multi-head attention reading projections from the blob scratch.
+    Same arithmetic as pallas_decoder_layer._mha.  Returns x + attn + bo."""
+    D = x.shape[1]
+    q_all = _proj(n_q, wbuf, qk, b512, bq_i, dtype)
+    k_all = _proj(kv_src, wbuf, kk, b512, bk_i, dtype)
+    v_all = _proj(kv_src, wbuf, vk, b512, bv_i, dtype)
+    ctx = _heads_ctx(q_all, k_all, v_all, mask, fill, dtype, num_heads)
+    att = jnp.dot(ctx, _wslice(wbuf, ok, D),
                   preferred_element_type=jnp.float32)
     return x + (att.astype(dtype) + b512[bo_i])
 
@@ -472,10 +481,8 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
     R = k2_ref.shape[2]
     dtype = x_ref.dtype
     H = num_heads
-    Dh = D // H
     Lk = L + W
     N = G * W
-    scale = 1.0 / math.sqrt(Dh)
 
     dmas = _WeightDMAs(blob_ref, wbuf, sems, l, r_self, r_cross, rows)
 
@@ -494,15 +501,9 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
 
     # ---- self-attention: keys = cache ++ fresh window (cf. _win_kernel)
     n0 = _refnorm(x, b512[6], b512[7], dtype)
-    q_all = (jnp.dot(n0, _wslice(wbuf, 0, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[0])
-    k_new = (jnp.dot(n0, _wslice(wbuf, 1, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[1])
-    v_new = (jnp.dot(n0, _wslice(wbuf, 2, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[2])
+    q_all = _proj(n0, wbuf, 0, b512, 0, dtype)
+    k_new = _proj(n0, wbuf, 1, b512, 1, dtype)
+    v_new = _proj(n0, wbuf, 2, b512, 2, dtype)
 
     # in-kernel cache scatter: oh [G*L, G*W] has EXACTLY one 1.0 per
     # in-window row, so cache*(1-rowsum) + oh@new is an exact replacement
@@ -527,21 +528,9 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
     v_all = jnp.concatenate(
         [vc_ref[0], v_new.reshape(G, W, D)], axis=1).reshape(G * Lk, D)
 
-    fill = _blockfill(N, G * Lk, W, Lk)
-    tm = tm_ref[0] != 0                    # bf16 0/1 in VMEM
-    ctxs = []
-    for h in range(H):
-        q = q_all[:, h * Dh:(h + 1) * Dh]
-        k = k_all[:, h * Dh:(h + 1) * Dh]
-        v = v_all[:, h * Dh:(h + 1) * Dh]
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        sc = jnp.where(tm, sc, fill)
-        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
-        ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
-                    .astype(dtype))
-    att = jnp.dot(jnp.concatenate(ctxs, axis=-1), _wslice(wbuf, 3, D),
+    ctx = _heads_ctx(q_all, k_all, v_all, tm_ref[0],
+                     _blockfill(N, G * Lk, W, Lk), dtype, H)
+    att = jnp.dot(ctx, _wslice(wbuf, 3, D),
                   preferred_element_type=jnp.float32)
     x = x + (att.astype(dtype) + b512[3])
 
@@ -551,26 +540,11 @@ def _win_stack_kernel(x_ref, kc_ref, vc_ref, k2_ref, v2_ref, tm_ref, sm_ref,
 
     # ---- cross-attention (pre-projected K/V)
     n1 = _refnorm(x, b512[8], b512[9], dtype)
-    q2_all = (jnp.dot(n1, _wslice(wbuf, 4, D),
-                      preferred_element_type=jnp.float32)
-              .astype(dtype) + b512[4])
-    k2_all = k2_ref[0].reshape(G * R, D)
-    v2_all = v2_ref[0].reshape(G * R, D)
-    fill2 = _blockfill(N, G * R, W, R)
-    sm = sm_ref[0] != 0
-    ctxs2 = []
-    for h in range(H):
-        q = q2_all[:, h * Dh:(h + 1) * Dh]
-        k = k2_all[:, h * Dh:(h + 1) * Dh]
-        v = v2_all[:, h * Dh:(h + 1) * Dh]
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        sc = jnp.where(sm, sc, fill2)
-        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
-        ctxs2.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
-                     .astype(dtype))
-    att2 = jnp.dot(jnp.concatenate(ctxs2, axis=-1), _wslice(wbuf, 5, D),
+    q2_all = _proj(n1, wbuf, 4, b512, 4, dtype)
+    ctx2 = _heads_ctx(q2_all, k2_ref[0].reshape(G * R, D),
+                      v2_ref[0].reshape(G * R, D), sm_ref[0],
+                      _blockfill(N, G * R, W, R), dtype, H)
+    att2 = jnp.dot(ctx2, _wslice(wbuf, 5, D),
                    preferred_element_type=jnp.float32)
     x = x + (att2.astype(dtype) + b512[5])
 
@@ -671,9 +645,7 @@ def _win_wide_stack_kernel(x_ref, k2_ref, v2_ref, tm_ref, sm_ref,
     R = k2_ref.shape[2]
     dtype = x_ref.dtype
     H = num_heads
-    Dh = D // H
     N = G * W
-    scale = 1.0 / math.sqrt(Dh)
 
     dmas = _WeightDMAs(blob_ref, wbuf, sems, l, r_self, r_cross, rows)
 
@@ -691,33 +663,15 @@ def _win_wide_stack_kernel(x_ref, k2_ref, v2_ref, tm_ref, sm_ref,
     b2048 = b2048_ref[0]
 
     n0 = _refnorm(x, b512[6], b512[7], dtype)
-    q_all = (jnp.dot(n0, _wslice(wbuf, 0, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[0])
-    k_new = (jnp.dot(n0, _wslice(wbuf, 1, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[1])
-    v_new = (jnp.dot(n0, _wslice(wbuf, 2, D),
-                     preferred_element_type=jnp.float32)
-             .astype(dtype) + b512[2])
+    q_all = _proj(n0, wbuf, 0, b512, 0, dtype)
+    k_new = _proj(n0, wbuf, 1, b512, 1, dtype)
+    v_new = _proj(n0, wbuf, 2, b512, 2, dtype)
     kco_ref[0] = k_new.reshape(G, W, D)
     vco_ref[0] = v_new.reshape(G, W, D)
 
-    fill = _blockfill(N, N, W, W)
-    tm = tm_ref[0] != 0
-    ctxs = []
-    for h in range(H):
-        q = q_all[:, h * Dh:(h + 1) * Dh]
-        k = k_new[:, h * Dh:(h + 1) * Dh]
-        v = v_new[:, h * Dh:(h + 1) * Dh]
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        sc = jnp.where(tm, sc, fill)
-        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
-        ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
-                    .astype(dtype))
-    att = jnp.dot(jnp.concatenate(ctxs, axis=-1), _wslice(wbuf, 3, D),
+    ctx = _heads_ctx(q_all, k_new, v_new, tm_ref[0],
+                     _blockfill(N, N, W, W), dtype, H)
+    att = jnp.dot(ctx, _wslice(wbuf, 3, D),
                   preferred_element_type=jnp.float32)
     x = x + (att.astype(dtype) + b512[3])
 
@@ -726,26 +680,11 @@ def _win_wide_stack_kernel(x_ref, k2_ref, v2_ref, tm_ref, sm_ref,
         dmas.wait(1)
 
     n1 = _refnorm(x, b512[8], b512[9], dtype)
-    q2_all = (jnp.dot(n1, _wslice(wbuf, 4, D),
-                      preferred_element_type=jnp.float32)
-              .astype(dtype) + b512[4])
-    k2_all = k2_ref[0].reshape(G * R, D)
-    v2_all = v2_ref[0].reshape(G * R, D)
-    fill2 = _blockfill(N, G * R, W, R)
-    sm = sm_ref[0] != 0
-    ctxs2 = []
-    for h in range(H):
-        q = q2_all[:, h * Dh:(h + 1) * Dh]
-        k = k2_all[:, h * Dh:(h + 1) * Dh]
-        v = v2_all[:, h * Dh:(h + 1) * Dh]
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        sc = jnp.where(sm, sc, fill2)
-        p = jax.nn.softmax(sc, axis=-1).astype(dtype)
-        ctxs2.append(jnp.dot(p, v, preferred_element_type=jnp.float32)
-                     .astype(dtype))
-    att2 = jnp.dot(jnp.concatenate(ctxs2, axis=-1), _wslice(wbuf, 5, D),
+    q2_all = _proj(n1, wbuf, 4, b512, 4, dtype)
+    ctx2 = _heads_ctx(q2_all, k2_ref[0].reshape(G * R, D),
+                      v2_ref[0].reshape(G * R, D), sm_ref[0],
+                      _blockfill(N, G * R, W, R), dtype, H)
+    att2 = jnp.dot(ctx2, _wslice(wbuf, 5, D),
                    preferred_element_type=jnp.float32)
     x = x + (att2.astype(dtype) + b512[5])
 

@@ -40,20 +40,33 @@ def create_state(params, tx) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=0)
 
 
+def _atomic_write(path: str, data: bytes):
+    """Serialize-then-rename so a failure mid-save (e.g. reading donated
+    device buffers after a crash mid-step) can never truncate an existing
+    good checkpoint file."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(cfg, state: TrainState, infos: Dict, histories: Dict,
                     append: str = ""):
     app = ("_" + str(append)) if append else ""
     path = cfg.checkpoint_path
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, f"model{app}.ckpt"), "wb") as f:
-        f.write(serialization.to_bytes(state.params))
-    with open(os.path.join(path, f"optimizer{app}.ckpt"), "wb") as f:
-        f.write(serialization.to_bytes(
-            jax.tree_util.tree_map(np.asarray, state.opt_state)))
-    with open(os.path.join(path, f"infos_{cfg.id}{app}.pkl"), "wb") as f:
-        pickle.dump(infos, f)
-    with open(os.path.join(path, f"histories_{cfg.id}{app}.pkl"), "wb") as f:
-        pickle.dump(histories, f)
+    # materialize EVERY payload before touching any file: the train steps
+    # donate their state, so state.params can be unreadable after a crash
+    # mid-step — fail here, with the old files intact
+    payloads = [
+        (f"model{app}.ckpt", serialization.to_bytes(state.params)),
+        (f"optimizer{app}.ckpt", serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, state.opt_state))),
+        (f"infos_{cfg.id}{app}.pkl", pickle.dumps(infos)),
+        (f"histories_{cfg.id}{app}.pkl", pickle.dumps(histories)),
+    ]
+    for name, data in payloads:
+        _atomic_write(os.path.join(path, name), data)
 
 
 def load_params(path: str, template) -> Any:

@@ -519,7 +519,7 @@ def make_scst_step(model: BoFiCap, tx, cfg):
     via RewardCriterion (loss_wrapper.py:66-82)."""
     sample_n = cfg.get("train_sample_n", 5)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))   # in-place state, like xe_step
     def step(state: TrainState, rng, att_feats, att_masks, samples, rewards):
         def lf(params):
             lps = rl_rescore(model, params, rng, att_feats, att_masks,

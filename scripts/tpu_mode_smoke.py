@@ -33,7 +33,16 @@ def run_one(name, set_cfgs):
            "--id", f"msmoke_{name}", "--checkpoint_path", out_dir,
            "--set_cfgs"] + set_cfgs
     t0 = time.time()
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1200)
+    except subprocess.TimeoutExpired as e:
+        print(f"{name:<10} FAIL  {time.time() - t0:6.1f}s (timeout)",
+              flush=True)
+        tail = ((e.stdout or b"").decode(errors="replace")
+                if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        print(tail[-800:], flush=True)
+        return False
     dt = time.time() - t0
     full = p.stdout + p.stderr
     tail = full[-4000:]

@@ -108,10 +108,11 @@ def test_lstm_classic_scst_step():
     assert set(samples) == {"sample", "greedy"}
     rewards = steps_mod.rl_host_scores(samples, batch["gts"], cfg,
                                        classic_scst=True)["scst_reward"]
-    p0 = jax.tree_util.tree_leaves(state.params)
+    # scst_step donates its state: snapshot params before stepping
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     state2, metrics = scst_step(state, jax.random.PRNGKey(1), att, am,
                                 samples, jnp.asarray(rewards))
     assert np.isfinite(float(metrics["loss"]))
-    diff = sum(float(jnp.abs(a - b).sum()) for a, b in
+    diff = sum(float(jnp.abs(jnp.asarray(a) - b).sum()) for a, b in
                zip(p0, jax.tree_util.tree_leaves(state2.params)))
     assert diff > 0
