@@ -177,6 +177,24 @@ def add_eval_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--image_folder", type=str, default="")
     parser.add_argument("--image_root", type=str, default="")
     parser.add_argument("--split", type=str, default="test")
+    # sampling options (reference add_eval_sample_opts, opts.py:359-382)
+    parser.add_argument("--max_length", type=int, default=20)
+    parser.add_argument("--group_size", type=int, default=1)
+    parser.add_argument("--diversity_lambda", type=float, default=0.5)
+    parser.add_argument("--decoding_constraint", type=int, default=0)
+    parser.add_argument("--block_trigrams", type=int, default=0)
+    parser.add_argument("--suppress_UNK", type=int, default=1)
+    # diversity options (reference add_diversity_opts, opts.py:349-356)
+    parser.add_argument("--sample_n_method", type=str, default="sample")
+    parser.add_argument("--eval_oracle", type=int, default=1)
+    parser.add_argument("--verbose_loss", type=int, default=0)
+    # eval-time dataset overrides (reference add_eval_options, opts.py:327-340)
+    parser.add_argument("--input_json", type=str, default="")
+    parser.add_argument("--input_label_h5", type=str, default="")
+    parser.add_argument("--input_fc_dir", type=str, default="")
+    parser.add_argument("--input_att_dir", type=str, default="")
+    parser.add_argument("--input_box_dir", type=str, default="")
+    parser.add_argument("--cnn_model", type=str, default="resnet101")
     parser.add_argument("--coco_json", type=str, default="")
     parser.add_argument("--KD_file", type=str, default="")
     parser.add_argument("--inference_mode", type=str, default="")

@@ -88,6 +88,13 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     beam_size = eval_kwargs.get("beam_size", 1)
     sample_method = eval_kwargs.get("sample_method", "greedy")
     temperature = eval_kwargs.get("temperature", 1.0)
+    group_size = int(eval_kwargs.get("group_size", 1) or 1)
+    diversity_lambda = float(eval_kwargs.get("diversity_lambda", 0.5) or 0.5)
+    decoding_constraint = bool(eval_kwargs.get("decoding_constraint", 0))
+    block_trigrams = bool(eval_kwargs.get("block_trigrams", 0))
+    # reference beam_search suppresses UNK only when the top vocab id IS UNK
+    # (CaptionModel.py:171-173); eval_split stashes the resolved index
+    suppress_unk_idx = eval_kwargs.get("_suppress_unk_idx")
     fused = _resolve_pallas_fill(eval_kwargs.get("use_pallas_fill", "auto"),
                                  model)
 
@@ -114,13 +121,23 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     def dec_ar(memory, src_mask, rng):
         return ar_mod.ar_sample(model, params, rng, memory, src_mask,
                                 sample_method=sample_method,
-                                temperature=temperature)
+                                temperature=temperature,
+                                decoding_constraint=decoding_constraint,
+                                block_trigrams=block_trigrams)
 
     @jax.jit
     def dec_beam(memory, src_mask):
+        if group_size > 1:
+            # diverse beam search (reference beam_search with group_size>1)
+            return ar_mod.ar_diverse_beam_search(
+                model, params, memory, src_mask, beam_size=beam_size,
+                group_size=group_size, diversity_lambda=diversity_lambda,
+                length_penalty=eval_kwargs.get("length_penalty", ""),
+                suppress_unk_idx=suppress_unk_idx)
         return ar_mod.ar_beam_search(
             model, params, memory, src_mask, beam_size=beam_size,
-            length_penalty=eval_kwargs.get("length_penalty", ""))
+            length_penalty=eval_kwargs.get("length_penalty", ""),
+            suppress_unk_idx=suppress_unk_idx)
 
     @jax.jit
     def dec_nnaic(memory, src_mask, rng):
@@ -216,6 +233,14 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     remove_bad = bool(eval_kwargs.get("remove_bad_endings", 0))
     KD_file = eval_kwargs.get("KD_file", "")
     branch = _branch_for(train_mode, inference_mode)
+
+    # reference CaptionModel.py:171-173: beam search knocks the top vocab id
+    # down by 1000 iff suppress_UNK is on AND that id decodes to 'UNK'
+    if eval_kwargs.get("suppress_UNK", 0) and hasattr(model, "tgt_vocab"):
+        top = str(int(model.tgt_vocab) - 1)
+        if getattr(loader, "ix_to_word", {}).get(top) == "UNK":
+            eval_kwargs = dict(eval_kwargs,
+                               _suppress_unk_idx=int(model.tgt_vocab) - 1)
 
     dec = make_decoders(model, params, eval_kwargs)
     verbose_loss = eval_kwargs.get("verbose_loss", 1)

@@ -101,3 +101,29 @@ def test_corpus_config_loads_and_constructs(rel):
     assert cfg.batch_size > 0 and cfg.max_length > 0
     model = models_setup(cfg, vocab_size=100)
     assert model is not None
+
+
+def test_eval_cli_accepts_reference_flag_surface():
+    """The eval CLI must accept every flag the reference's eval parser
+    exposes (tools/eval.py:26-43 + opts.py add_eval_options /
+    add_diversity_opts / add_eval_sample_opts) — callers drive it with
+    reference command lines verbatim."""
+    from tools.eval import parse_eval_opt
+    args = parse_eval_opt([
+        "--model", "m.ckpt", "--infos_path", "i.pkl",
+        "--beam_size", "4", "--group_size", "2",
+        "--diversity_lambda", "0.3", "--length_penalty", "wu_0.9",
+        "--decoding_constraint", "1", "--block_trigrams", "1",
+        "--suppress_UNK", "1", "--max_length", "20",
+        "--sample_n", "4", "--sample_n_method", "dbs", "--eval_oracle", "1",
+        "--verbose_loss", "1", "--cnn_model", "resnet101",
+        "--input_json", "x.json", "--input_label_h5", "x.h5",
+        "--input_fc_dir", "fc", "--input_att_dir", "att",
+        "--input_box_dir", "box", "--coco_json", "c.json",
+        "--image_folder", "", "--image_root", "", "--dump_images", "0",
+        "--dump_json", "0", "--dump_path", "0", "--split", "test",
+        "--KD_file", "", "--inference_mode", "SAIC",
+        "--only_lang_eval", "0", "--force", "1", "--device", "cpu",
+    ])
+    assert args.group_size == 2 and args.diversity_lambda == 0.3
+    assert args.sample_n_method == "dbs" and args.suppress_UNK == 1

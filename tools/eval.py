@@ -66,14 +66,21 @@ def main(argv=None):
     with open(args.infos_path, "rb") as f:
         infos = pickle.load(f)
 
-    # merge: CLI > saved train opts > defaults (tools/eval.py:53-61)
+    # merge: CLI > saved train opts > defaults (tools/eval.py:53-61).
+    # ``replace`` keys follow the reference's rule (tools/eval.py:53):
+    # a truthy CLI value wins, otherwise the checkpoint's saved value stays.
+    replace = ("input_fc_dir", "input_att_dir", "input_box_dir",
+               "input_label_h5", "input_json", "batch_size", "id")
     opt = default_config()
     opt.merge_from_dict(infos.get("opt", {}))
     for k, v in vars(args).items():
-        if v is not None and (k not in opt or v != 0 or k in
-                              ("language_eval", "verbose")):
-            if k in ("model", "infos_path", "cfg"):
-                continue
+        if k in ("model", "infos_path", "cfg"):
+            continue
+        if k in replace:
+            if v:
+                opt[k] = v
+        elif v is not None and (k not in opt or v != 0 or k in
+                                ("language_eval", "verbose")):
             opt[k] = v
     if not opt.get("id"):
         opt.id = infos.get("opt", {}).get("id", "model")
@@ -81,6 +88,8 @@ def main(argv=None):
 
     eval_kwargs = dict(opt)
     eval_kwargs.update(vars(args))
+    for k in replace + ("id",):
+        eval_kwargs[k] = opt.get(k)      # merged value, not the raw CLI ""
     eval_kwargs["num_images"] = args.num_images
 
     # cached-result short circuit (tools/eval.py:65-97)
