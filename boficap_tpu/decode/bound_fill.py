@@ -308,7 +308,8 @@ def sa_decode(model, params, rng, memory, src_mask, *,
               max_steps: Optional[int] = None,
               predictor_use_syn: bool = False, fused_fill: bool = False,
               fused_interpret: bool = False,
-              stacked: Optional[bool] = None) -> Dict[str, Any]:
+              stacked: Optional[bool] = None,
+              window: int = 8) -> Dict[str, Any]:
     """Semi-autoregressive decode: one predictor + one decoder pass per
     PHRASE (reference core_SAIC, TransformerModel.py:1878-1986).
 
@@ -318,6 +319,11 @@ def sa_decode(model, params, rng, memory, src_mask, *,
 
     ``fused_fill`` routes each per-phrase decoder pass through the pallas
     fused decoder layer (weights packed once, outside the while_loop).
+
+    ``window``: width of the narrow (K/V-cached) fill window; a round whose
+    new slot exceeds it falls back to the wide (W = L) no-cache round.
+    ``window >= max_length`` removes the narrow branch (and its ``lax.cond``)
+    entirely — every round re-decodes all positions, like the reference.
 
     Returns {'seq': [B, L], 'tok_logprobs': [B, L], 'entropy': [B, L],
     'phrase_num': [B], 'phrase_length': [B, L], 'phrase_syn': [B, L]}.
@@ -355,7 +361,7 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         if stacked:
             from ..ops.pallas_stack import pack_stack
             fctx_st = pack_stack(fctx[0], "win")
-        W_SMALL = min(8, L)
+        W_SMALL = min(window, L)
         src_b = (src_mask if src_mask is not None
                  else jnp.ones(memory.shape[:2], bool))
         # the cross-attention mask never changes across rounds — build the
@@ -375,13 +381,13 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         R = memory.shape[1]
 
         def _G_of(W):
-            return G_small if W == W_SMALL else G_wide
+            return G_wide if W == L else G_small
 
         def _sm_big(W):
             sm3 = jnp.broadcast_to(src_b[:, None, :], (B, W, R))
             return _block_diag_one(sm3, _G_of(W))
 
-        sm_bigs = {W_SMALL: _sm_big(W_SMALL), L: _sm_big(L)}
+        sm_bigs = {W: _sm_big(W) for W in {W_SMALL, L}}
 
     def cond(s):
         return (s["i"] <= n_steps) & jnp.any(~s["finished"])
@@ -419,37 +425,53 @@ def sa_decode(model, params, rng, memory, src_mask, *,
         cache_upd = {}
         if fused_fill:
             def windowed_fill(W: int):
-                w_start = jnp.clip(start_dec, 0, L - W)
-                idx = w_start[:, None] + jnp.arange(W)[None, :]   # [B, W]
-                # one-hot matmul gathers (exact: single 1 per row) — TPU
-                # generic gathers over the 512-wide dim are pathologically
-                # slow inside the loop (see fused_window_decoder_forward)
-                ohw = (jnp.arange(L)[None, None, :]
-                       == idx[:, :, None])                        # [B, W, L]
-                ohw_f = ohw.astype(jnp.float32)
-                # embed ONLY the window slots (word ids < 2^24 exact in f32)
-                w_ids = jnp.einsum(
-                    "bwl,bl->bw", ohw_f,
-                    extend_word[:, 1:-1].astype(jnp.float32)
-                ).astype(jnp.int32)
-                s_ids = jnp.einsum(
-                    "bwl,bl->bw", ohw_f,
-                    extend_syn[:, 1:-1].astype(jnp.float32)
-                ).astype(jnp.int32)
-                x_win = model.apply(params, w_ids, s_ids, ohw_f, "sa",
-                                    method="mix_inputs_window")
-                vis_rows = jnp.einsum(
-                    "bwl,bl->bw", ohw_f,
-                    vis_dec.astype(jnp.float32)).astype(jnp.int32)
-                # keys = cache columns (0..L-1) ++ fresh window columns:
-                # cache copies of in-window positions are stale -> masked,
-                # the window columns carry those positions instead
-                key_pos = jnp.arange(L)[None, None, :]
-                vis = vis_rows[:, :, None]
-                in_win_col = ((key_pos >= w_start[:, None, None])
-                              & (key_pos < (w_start + W)[:, None, None]))
-                m_cache = (key_pos < vis) & ~in_win_col           # [B, W, L]
-                m_win = idx[:, None, :] < vis                     # [B, W, W]
+                wide = W == L
+                if wide:
+                    # the window covers every position, so w_start == 0 and
+                    # the gather/scatter one-hots are the identity — use the
+                    # frame tensors directly (no einsums, no mix_inputs
+                    # gather; the [B, W(=L)] window IS the [B, L] frame)
+                    w_start = jnp.zeros((B,), jnp.int32)
+                    w_ids = extend_word[:, 1:-1]
+                    s_ids = extend_syn[:, 1:-1]
+                    x_win = model.apply(params, w_ids, s_ids, "sa", True,
+                                        method="_mix_inputs")
+                    vis_rows = vis_dec
+                    ohw_f = None
+                    m_cache = jnp.zeros((B, W, L), bool)  # all cache masked
+                    m_win = tgt_mask
+                else:
+                    w_start = jnp.clip(start_dec, 0, L - W)
+                    idx = w_start[:, None] + jnp.arange(W)[None, :]  # [B, W]
+                    # one-hot matmul gathers (exact: single 1 per row) — TPU
+                    # generic gathers over the 512-wide dim are pathologically
+                    # slow inside the loop (see fused_window_decoder_forward)
+                    ohw = (jnp.arange(L)[None, None, :]
+                           == idx[:, :, None])                    # [B, W, L]
+                    ohw_f = ohw.astype(jnp.float32)
+                    # embed ONLY the window slots (ids < 2^24 exact in f32)
+                    w_ids = jnp.einsum(
+                        "bwl,bl->bw", ohw_f,
+                        extend_word[:, 1:-1].astype(jnp.float32)
+                    ).astype(jnp.int32)
+                    s_ids = jnp.einsum(
+                        "bwl,bl->bw", ohw_f,
+                        extend_syn[:, 1:-1].astype(jnp.float32)
+                    ).astype(jnp.int32)
+                    x_win = model.apply(params, w_ids, s_ids, ohw_f, "sa",
+                                        method="mix_inputs_window")
+                    vis_rows = jnp.einsum(
+                        "bwl,bl->bw", ohw_f,
+                        vis_dec.astype(jnp.float32)).astype(jnp.int32)
+                    # keys = cache columns (0..L-1) ++ fresh window columns:
+                    # cache copies of in-window positions are stale -> masked,
+                    # the window columns carry those positions instead
+                    key_pos = jnp.arange(L)[None, None, :]
+                    vis = vis_rows[:, :, None]
+                    in_win_col = ((key_pos >= w_start[:, None, None])
+                                  & (key_pos < (w_start + W)[:, None, None]))
+                    m_cache = (key_pos < vis) & ~in_win_col       # [B, W, L]
+                    m_win = idx[:, None, :] < vis                 # [B, W, W]
                 G_blk = _G_of(W)
                 sm_big = sm_bigs[W]
                 if stacked and W == L:
@@ -498,6 +520,9 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                     ids_win, _ = sample_next_word(skey, lp_win,
                                                   sample_method, temperature)
                     tok_win, ent_win = _tok_entropy(lp_win, ids_win)
+                if wide:
+                    # window rows ARE the frame rows — no realignment
+                    return ids_win, tok_win, ent_win, kc_new, vc_new
                 # re-align window rows to the full decoder frame via the
                 # transposed one-hot (rows outside the window become 0,
                 # masked by in_dec below); word ids < 2^24 are exact in f32

@@ -58,15 +58,27 @@ def main():
                            max_steps=6, fused_fill=True)
         return out["seq"]
 
-    @jax.jit
-    def sa_full(memory, src_mask, rng):
-        out = bf.sa_decode(model, params, rng, memory, src_mask,
-                           max_steps=6, fused_fill=True)
-        return out["seq"]
+    def make_sa(window):
+        @jax.jit
+        def sa_full(memory, src_mask, rng):
+            out = bf.sa_decode(model, params, rng, memory, src_mask,
+                               max_steps=6, fused_fill=True, window=window)
+            return out["seq"]
+        return sa_full
+
+    sa_full = make_sa(8)
+
+    # BENCH_SA_WINDOWS=8,20 sweeps the narrow-window width (20 = all-wide,
+    # no lax.cond); default measures the production window only
+    windows = [int(w) for w in
+               os.environ.get("BENCH_SA_WINDOWS", "8").split(",")]
 
     bench.RTT_S = bench._measure_rtt()
     print(f"RTT {bench.RTT_S * 1000:.2f} ms", flush=True)
-    for name, fn in (("na_full", na_full), ("sa_full", sa_full)):
+    cases = [("na_full", na_full)] + [
+        (f"sa_full_w{w}", make_sa(w) if w != 8 else sa_full)
+        for w in windows]
+    for name, fn in cases:
         bench._fetch(fn(memory, src, bench.KEY))
         t = bench.timed(fn, memory, src)
         print(f"{name}: {t * 1000:7.3f} ms/batch ({BATCH / t:9.0f} img/s)",

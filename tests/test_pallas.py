@@ -206,6 +206,45 @@ def test_sa_decode_fused_fill_matches_unfused(stacked):
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("stacked", [False, True])
+def test_sa_decode_window_width_invariance(stacked):
+    """The narrow-window width is a perf tunable; decoded sequences must be
+    invariant to it.  window >= max_length removes the narrow branch (every
+    round is the wide no-cache fill — the identity short-circuit path)."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("UIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=4, seed=29)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(29)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    src_mask = am.astype(bool)
+    base = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                        src_mask)
+    for window in (4, model.max_length, model.max_length + 7):
+        got = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                           src_mask, fused_fill=True, fused_interpret=True,
+                           stacked=stacked, window=window)
+        np.testing.assert_array_equal(np.asarray(base["seq"]),
+                                      np.asarray(got["seq"]),
+                                      err_msg=f"window={window}")
+        np.testing.assert_allclose(np.asarray(base["tok_logprobs"]),
+                                   np.asarray(got["tok_logprobs"]),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"window={window}")
+
+
 def test_attention_capture():
     """glo-equivalent attention-map capture via flax intermediates."""
     import jax.numpy as jnp
