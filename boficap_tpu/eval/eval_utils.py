@@ -385,6 +385,14 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     lang_stats = None
     if lang_eval_flag:
         lang_stats = language_eval(predictions, gts_words)
+        if n_predictions:
+            # multi-sample block of the reference's language_eval
+            # (eval_utils.py:105-121; its eval_multi module is not shipped
+            # there — see eval/multi_metrics.py)
+            from .multi_metrics import multi_sample_eval
+            lang_stats.update(multi_sample_eval(
+                n_predictions, gts_words,
+                eval_oracle=bool(eval_kwargs.get("eval_oracle", 1))))
 
     if KD_file and seq_kd:
         os.makedirs("KD_dataset", exist_ok=True)

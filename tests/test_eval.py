@@ -175,3 +175,48 @@ def test_meteor_stem_stage_and_known_bias():
     # than WordNet, so out-of-table synonyms still score 0
     assert meteor("physician", ["doctor"]) == 0.0
     assert meteor("", ["anything"]) == 0.0
+
+
+def test_multi_sample_metrics():
+    """eval/multi_metrics: the reference language_eval's preds_n block
+    (eval_utils.py:105-121) — its eval_multi module is absent from the
+    reference fork; ours implements the intended metrics from scratch."""
+    from boficap_tpu.eval.multi_metrics import (div_stats, multi_sample_eval,
+                                                oracle, self_cider)
+
+    # div stats on hand-checkable groups
+    preds_same = [{"image_id": 1, "caption": "a cat sat on the mat"},
+                  {"image_id": 1, "caption": "a cat sat on the mat"}]
+    d = div_stats(preds_same)
+    # 2 identical 6-word captions: 6 distinct unigrams / 12 total
+    assert d["div1"] == pytest.approx(0.5)
+    assert d["div2"] == pytest.approx(0.5)
+    preds_diff = [{"image_id": 1, "caption": "a cat sat on the mat"},
+                  {"image_id": 1, "caption": "two dogs run in green grass"}]
+    d2 = div_stats(preds_diff)
+    assert d2["div1"] == pytest.approx(1.0)    # fully distinct words
+    assert d2["mBLEU_4"] < d["mBLEU_4"]        # lower mBLEU = more diverse
+
+    # oracle: the exact-match candidate sets the per-image max
+    gts = {1: ["a cat sat on the mat", "the cat is sitting on a mat"]}
+    cands = [{"image_id": 1, "caption": "a cat sat on the mat"},
+             {"image_id": 1, "caption": "a dog"}]
+    o = oracle(cands, gts)
+    from boficap_tpu.eval.metrics import language_eval
+    exact_only = language_eval([cands[0]], gts)
+    assert o["oracle_CIDEr"] >= exact_only["CIDEr"] - 1e-9
+    assert o["oracle_ROUGE_L"] == pytest.approx(1.0)
+
+    # self-CIDEr diversity: identical samples -> ~0, distinct -> positive.
+    # A second image gives the corpus df pool >1 document (a 1-document
+    # pool makes every idf = log(1/df) <= 0 degenerate).
+    bg = [{"image_id": 9, "caption": "boats float near a long wooden pier"},
+          {"image_id": 9, "caption": "a red train waits at the station"}]
+    sc_same = self_cider(preds_same + bg)["self_cider"]
+    sc_diff = self_cider(preds_diff + bg)["self_cider"]
+    assert sc_diff > sc_same
+
+    out = multi_sample_eval(preds_diff, gts)
+    assert out["allspice"] is None             # java SPICE absent, not faked
+    assert {"div1", "div2", "mBLEU_4", "oracle_CIDEr",
+            "self_cider"} <= set(out)
