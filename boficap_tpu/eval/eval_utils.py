@@ -179,7 +179,8 @@ def sample_n_captions(model, params, memory, src_mask, rng,
     eval_utils.py:671-722): 'bs' = all beams of an n-wide beam search,
     'dbs' = diverse beam search with n groups, otherwise repeated sampling
     ('sample'/'gumbel'/'topK').  Returns ids [B, n, L]."""
-    from ..decode.ar import ar_beam_search, ar_diverse_beam_search
+    from ..decode.ar import (ar_beam_search, ar_diverse_beam_search,
+                             ar_diverse_sample)
     n = int(eval_kwargs.get("sample_n", 1))
     method = eval_kwargs.get("sample_n_method", "sample")
     temperature = eval_kwargs.get("temperature", 1.0)
@@ -189,6 +190,15 @@ def sample_n_captions(model, params, memory, src_mask, rng,
     if method == "dbs":
         out = ar_diverse_beam_search(
             model, params, memory, src_mask, beam_size=n, group_size=n,
+            diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5))
+        return np.asarray(out["seq"])
+    if method.startswith("d"):
+        # dgreedy / dsample / dtopk / dtopp (reference eval_split_n's else
+        # branch, eval_utils.py:713-719): group-diverse sampling with
+        # group_size = n and the method name's 'd' stripped
+        out = ar_diverse_sample(
+            model, params, rng, memory, src_mask, group_size=n,
+            sample_method=method[1:], temperature=temperature,
             diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5))
         return np.asarray(out["seq"])
     mem = jnp.repeat(memory, n, axis=0)

@@ -70,11 +70,11 @@ def test_sample_n_eval():
     memory = model.apply(state.params, att, am, deterministic=True,
                          method="encode")
     src = am.astype(bool)
-    for method in ("sample", "bs"):
+    for method in ("sample", "bs", "dbs", "dgreedy", "dsample", "dtop0.8"):
         ids = sample_n_captions(model, state.params, memory, src,
                                 jax.random.PRNGKey(0),
                                 {"sample_n": 3, "sample_n_method": method})
-        assert ids.shape == (att.shape[0], 3, 20)
+        assert ids.shape == (att.shape[0], 3, 20), method
 
 
 def test_meteor_approx():
