@@ -102,13 +102,15 @@ def flax_resnet_extractor(weights: Optional[str] = None, size: int = 448):
     return extract
 
 
-def resnet_extractor():
-    """torchvision ResNet-101 matching the reference's myResnet contract
-    (resnet_utils.py:10-26: fc = global pool, att = 14x14 adaptive grid)."""
+def resnet_extractor(cnn_model: str = "resnet101"):
+    """torchvision ResNet matching the reference's myResnet contract
+    (resnet_utils.py:10-26: fc = global pool, att = 14x14 adaptive grid).
+    ``cnn_model``: resnet101 (default) or resnet152, like the reference's
+    --cnn_model flag (tools/eval.py:28-29)."""
     import torch
     import torchvision
 
-    cnn = torchvision.models.resnet101(weights="IMAGENET1K_V1")
+    cnn = getattr(torchvision.models, cnn_model)(weights="IMAGENET1K_V1")
     cnn.eval()
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
@@ -136,7 +138,8 @@ class DataLoaderRaw:
     """get_batch over a folder of images (reference dataloaderraw.py)."""
 
     def __init__(self, image_folder: str, batch_size: int = 10,
-                 extractor: Optional[Callable] = None, coco_json: str = ""):
+                 extractor: Optional[Callable] = None, coco_json: str = "",
+                 cnn_model: str = "resnet101"):
         self.folder = image_folder
         self.batch_size = batch_size
         if extractor is None:
@@ -145,7 +148,7 @@ class DataLoaderRaw:
                 extractor = flax_resnet_extractor()
             else:
                 try:
-                    extractor = resnet_extractor()
+                    extractor = resnet_extractor(cnn_model)
                 except Exception:
                     import jax
                     if jax.default_backend() != "cpu":

@@ -112,7 +112,8 @@ def main(argv=None):
         loader = DataLoaderRaw(
             args.image_folder,
             batch_size=int(opt.get("batch_size", 10) or 10),
-            coco_json=args.coco_json or "")
+            coco_json=args.coco_json or "",
+            cnn_model=getattr(args, "cnn_model", "resnet101"))
         loader.ix_to_word = infos["vocab"]
         loader.vocab_size = len(infos["vocab"])
         loader.seq_length = int(opt.get("max_length", 20) or 20)
