@@ -33,7 +33,13 @@ import os
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 N_WARMUP = 1
 N_ITERS = 48   # RTT varies 28-53 ms between fetches; spread it thin
-N_REPEATS = 3  # report min over repeats (tunnel latency swings run to run)
+# report min over repeats: the tunnel's dispatch latency swings 2-3x from
+# run to run and the minimum is the standard estimator for a noisy timing
+# floor.  5 repeats (was 3) tightens the floor estimate for the
+# latency-bound paths (NA decode, B=1 caption), whose single-run spread
+# was moving the headline ratio by ~5% between bench invocations; each
+# extra repeat costs ~N_ITERS x t + one RTT, a few seconds total.
+N_REPEATS = 5
 PAPER_NA_VS_AR_SPEEDUP = 9.22  # BASELINE.md (external paper claim)
 
 
