@@ -1,0 +1,260 @@
+"""Production serving layer: request batching + bucketed decode programs.
+
+The reference has no serving story (its inference surface is the eval CLI,
+tools/eval.py); this module is the TPU-native serving shape the framework is
+built for: requests (precomputed region features, the reference's own input
+contract) are queued, coalesced into batches, padded up to a SIZE BUCKET so
+the number of compiled programs stays bounded, and decoded by one jit'd
+encode+bound+fill program per bucket.  Batch padding is exact: every
+per-sample path (encoder rows, attention with per-sample masks, RefLayerNorm)
+is independent across the batch dimension, so a request's caption does not
+depend on its batchmates (asserted in tests/test_serve.py).
+
+Design points (BENCH_NOTES.md):
+  * buckets are powers of two up to ``max_batch`` — each bucket compiles
+    once (persistent compile cache applies) and B <= 128 rides the
+    whole-stack pallas kernels, larger the per-layer family;
+  * the fused (pallas) and unfused programs swap rank with tunnel/launch
+    weather at small batches; ``route='auto'`` measures both at warmup and
+    keeps the winner per bucket (exactly what bench.py reports as min);
+  * the RTT/dispatch overhead amortizes across the pipeline — the worker
+    never blocks on a fetch while more requests wait.
+
+Decode modes: 'NAIC' (bound + parallel fill — the product's signature path),
+'SAIC', 'AIC' (KV-cached autoregressive).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode import ar as ar_mod
+from .decode import bound_fill as bf
+from .eval.eval_utils import decode_sequence
+
+
+def _buckets(max_batch: int) -> List[int]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    return out + [max_batch]
+
+
+@dataclass
+class _Request:
+    att: np.ndarray                      # [R, feat]
+    att_mask: Optional[np.ndarray]       # [R] or None
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+    error: Optional[BaseException] = None
+    t_submit: float = 0.0
+
+
+class CaptionServer:
+    """In-process caption server over a jit'd encode+decode program family.
+
+    >>> srv = CaptionServer(model, params, ix_to_word)
+    >>> fut = srv.submit(att_feats)           # returns a waitable handle
+    >>> print(fut.caption())
+    """
+
+    def __init__(self, model, params, ix_to_word: Dict[str, str], *,
+                 mode: str = "NAIC", max_batch: int = 64,
+                 max_wait_ms: float = 2.0, max_steps: Optional[int] = None,
+                 route: str = "auto", warm: bool = False,
+                 max_regions: Optional[int] = None):
+        assert mode in ("NAIC", "SAIC", "AIC"), mode
+        from .models.boficap import DECODER_ROLES
+        role = {"NAIC": "NA", "SAIC": "SA", "AIC": "A"}[mode]
+        roles = DECODER_ROLES.get(getattr(model, "train_mode", ""), {})
+        if role not in roles:
+            raise ValueError(
+                f"mode={mode} needs a '{role}' decoder role; train_mode="
+                f"{model.train_mode} has {sorted(roles)}")
+        self.model = model
+        self.params = params
+        self.ix_to_word = ix_to_word
+        self.mode = mode
+        self.max_steps = max_steps
+        # fixed region width of the deployment's feature store (36 for the
+        # standard bottom-up features); model.max_boxes is only the NNAIC
+        # length-head flatten cap, not the per-image region count
+        self.R = int(max_regions or model.max_boxes)
+        self.buckets = _buckets(max_batch)
+        self.max_wait_s = max_wait_ms / 1e3
+        self.route = route
+        self._programs: Dict[tuple, Any] = {}
+        self._rng = jax.random.PRNGKey(0)
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._lat_ms: List[float] = []
+        self._n_done = 0
+        self._lock = threading.Lock()
+        if warm:
+            for b in self.buckets:
+                self._program(b)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ---- program construction -------------------------------------------
+
+    def _make(self, bucket: int, fused: bool):
+        model, params = self.model, self.params
+        mode, max_steps = self.mode, self.max_steps
+
+        @jax.jit
+        def program(att, am, rng):
+            if fused:
+                memory = bf.fused_encode(model, params, att, am)
+            else:
+                memory = model.apply(params, att, am, deterministic=True,
+                                     method="encode")
+            src = am.astype(bool)
+            if mode == "NAIC":
+                return bf.na_decode(model, params, rng, memory, src,
+                                    max_steps=max_steps, fused_fill=fused)
+            if mode == "SAIC":
+                return bf.sa_decode(model, params, rng, memory, src,
+                                    max_steps=max_steps, fused_fill=fused)
+            return ar_mod.ar_sample(model, params, rng, memory, src,
+                                    max_steps=max_steps)
+
+        return program
+
+    def _fusable(self) -> bool:
+        return (jax.default_backend() == "tpu"
+                and self.model.d_model % 128 == 0
+                and self.model.d_ff % 128 == 0)
+
+    def _program(self, bucket: int):
+        key = (bucket,)
+        if key in self._programs:
+            return self._programs[key]
+        R = self.R
+        feat = self.model.att_feat_size
+        att = jnp.zeros((bucket, R, feat), jnp.float32)
+        am = jnp.ones((bucket, R), jnp.float32)
+        cands = [(False, self._make(bucket, False))]
+        if self._fusable():
+            cands.append((True, self._make(bucket, True)))
+        best, best_t = None, float("inf")
+        for fused, prog in cands:
+            if self.route == "unfused" and fused:
+                continue
+            if self.route == "fused" and not fused and len(cands) > 1:
+                continue
+            out = prog(att, am, self._rng)            # compile + warm
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            jax.block_until_ready(prog(att, am, self._rng))
+            dt = time.perf_counter() - t0
+            if dt < best_t:
+                best, best_t = prog, dt
+        self._programs[key] = best
+        return best
+
+    # ---- request path ----------------------------------------------------
+
+    def submit(self, att: np.ndarray,
+               att_mask: Optional[np.ndarray] = None) -> "_Future":
+        """att [R, feat] (or fewer than R regions: padded + masked)."""
+        att = np.asarray(att, np.float32)
+        R = self.R
+        if att.shape[0] < R:
+            mask = np.zeros(R, np.float32)
+            mask[:att.shape[0]] = 1.0
+            att = np.pad(att, ((0, R - att.shape[0]), (0, 0)))
+            if att_mask is None:
+                att_mask = mask
+        req = _Request(att=att, att_mask=att_mask, t_submit=time.perf_counter())
+        self._q.put(req)
+        return _Future(req, self)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(batch) < self.buckets[-1]:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                self._decode_batch(batch)
+            except BaseException as e:                # surfaced per request
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+    def _decode_batch(self, batch: List[_Request]):
+        n = len(batch)
+        bucket = next(b for b in self.buckets if b >= n)
+        prog = self._program(bucket)
+        R = self.R
+        att = np.zeros((bucket, R, batch[0].att.shape[-1]), np.float32)
+        am = np.zeros((bucket, R), np.float32)
+        for i, r in enumerate(batch):
+            att[i] = r.att
+            am[i] = 1.0 if r.att_mask is None else r.att_mask
+        am[n:, 0] = 1.0          # pad rows: one live region keeps masks sane
+        self._rng, k = jax.random.split(self._rng)
+        out = prog(jnp.asarray(att), jnp.asarray(am), k)
+        seq = np.asarray(out["seq"])[:n]
+        sents = decode_sequence(self.ix_to_word, seq)
+        t_done = time.perf_counter()
+        with self._lock:
+            for i, r in enumerate(batch):
+                r.result = {"caption": sents[i], "seq": seq[i],
+                            "batch": n, "bucket": bucket}
+                self._lat_ms.append((t_done - r.t_submit) * 1e3)
+                self._n_done += 1
+                r.event.set()
+
+    # ---- admin -----------------------------------------------------------
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            lat = sorted(self._lat_ms)
+            n = self._n_done
+        if not lat:
+            return {"n": 0}
+        return {"n": n,
+                "p50_ms": lat[len(lat) // 2],
+                "p95_ms": lat[min(len(lat) - 1, int(len(lat) * 0.95))],
+                "max_ms": lat[-1]}
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+
+class _Future:
+    def __init__(self, req: _Request, srv: CaptionServer):
+        self._req = req
+        self._srv = srv
+
+    def wait(self, timeout: Optional[float] = None) -> Dict[str, Any]:
+        if not self._req.event.wait(timeout):
+            raise TimeoutError("caption request timed out")
+        if self._req.error is not None:
+            raise self._req.error
+        return self._req.result
+
+    def caption(self, timeout: Optional[float] = None) -> str:
+        return self.wait(timeout)["caption"]
