@@ -212,3 +212,29 @@ def test_dp_tp_step_matches_single_device():
     for a, b in zip(flat_ref, flat_sh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_serve_cli_from_checkpoint(tmp_path):
+    """tools/serve.py build_server: checkpoint + infos -> a live
+    CaptionServer that captions feature arrays (the serving deployment
+    path, end to end from a trained artifact)."""
+    from tools.serve import build_server, parse_args
+    from tools.train import train
+    cfg = train_cfg(tmp_path)
+    train(cfg)
+    args = parse_args([
+        "--model", os.path.join(cfg.checkpoint_path, "model_best.ckpt"),
+        "--infos_path", os.path.join(cfg.checkpoint_path,
+                                     f"infos_{cfg.id}_best.pkl"),
+        "--mode", "NAIC", "--max_batch", "4", "--warm", "0",
+        "--max_regions", "9",
+    ])
+    srv = build_server(args)
+    try:
+        feats = np.random.RandomState(3).randn(9, 2048).astype(np.float32)
+        out = srv.submit(feats).wait(timeout=300)
+        assert isinstance(out["caption"], str)
+        assert srv.stats()["n"] == 1
+    finally:
+        srv.close()

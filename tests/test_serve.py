@@ -113,3 +113,52 @@ def test_serve_error_surfacing():
             srv.submit(att[0]).wait(timeout=60)
     finally:
         srv.close()
+
+
+def test_serve_http_endpoint():
+    """tools/serve.py HTTP front: concurrent POST /caption requests batch
+    through one CaptionServer; GET /stats reports latencies."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from boficap_tpu.serve import CaptionServer
+    from tools.serve import make_http_server
+
+    model, params, ix_to_word, att, am = _setup()
+    srv = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=4,
+                        max_wait_ms=30.0, max_regions=att.shape[1])
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, obj):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        with ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(
+                lambda i: post("/caption", {"features": att[i].tolist()}),
+                range(3)))
+        assert all(isinstance(o["caption"], str) for o in outs)
+        assert all(isinstance(o["seq"], list) for o in outs)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["n"] == 3
+
+        # malformed request -> structured 400, server stays up
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/caption", {"features": [1, 2, 3]})
+        assert ei.value.code == 400
+        assert post("/shutdown", {})["ok"] is True
+    finally:
+        httpd.shutdown()
+        srv.close()
