@@ -71,7 +71,7 @@ class CaptionServer:
                  mode: str = "NAIC", max_batch: int = 64,
                  max_wait_ms: float = 2.0, max_steps: Optional[int] = None,
                  route: str = "auto", warm: bool = False,
-                 max_regions: Optional[int] = None):
+                 max_regions: Optional[int] = None, mesh=None):
         assert mode in ("NAIC", "SAIC", "AIC"), mode
         from .models.boficap import DECODER_ROLES
         role = {"NAIC": "NA", "SAIC": "SA", "AIC": "A"}[mode]
@@ -89,7 +89,23 @@ class CaptionServer:
         # standard bottom-up features); model.max_boxes is only the NNAIC
         # length-head flatten cap, not the per-image region count
         self.R = int(max_regions or model.max_boxes)
-        self.buckets = _buckets(max_batch)
+        # multi-chip data parallelism: params replicate over the mesh,
+        # request batches shard over its 'data' axis (the same single-
+        # program pattern the training loop and __graft_entry__ dryrun
+        # use); buckets then start at the device count so every shard is
+        # non-empty.
+        self.mesh = mesh
+        self._in_shard = None
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+            n_dev = mesh.devices.size
+            if max_batch % n_dev:
+                raise ValueError(f"max_batch {max_batch} must be a multiple "
+                                 f"of the mesh size {n_dev}")
+            self.params = jax.device_put(self.params, replicated(mesh))
+            self._in_shard = batch_sharding(mesh)
+        self.buckets = [b for b in _buckets(max_batch)
+                        if mesh is None or b % mesh.devices.size == 0]
         self.max_wait_s = max_wait_ms / 1e3
         self.route = route
         self._programs: Dict[tuple, Any] = {}
@@ -143,6 +159,9 @@ class CaptionServer:
         feat = self.model.att_feat_size
         att = jnp.zeros((bucket, R, feat), jnp.float32)
         am = jnp.ones((bucket, R), jnp.float32)
+        if self._in_shard is not None:
+            att = jax.device_put(att, self._in_shard)
+            am = jax.device_put(am, self._in_shard)
         cands = [(False, self._make(bucket, False))]
         if self._fusable():
             cands.append((True, self._make(bucket, True)))
@@ -214,7 +233,11 @@ class CaptionServer:
             am[i] = 1.0 if r.att_mask is None else r.att_mask
         am[n:, 0] = 1.0          # pad rows: one live region keeps masks sane
         self._rng, k = jax.random.split(self._rng)
-        out = prog(jnp.asarray(att), jnp.asarray(am), k)
+        att_j, am_j = jnp.asarray(att), jnp.asarray(am)
+        if self._in_shard is not None:
+            att_j = jax.device_put(att_j, self._in_shard)
+            am_j = jax.device_put(am_j, self._in_shard)
+        out = prog(att_j, am_j, k)
         seq = np.asarray(out["seq"])[:n]
         sents = decode_sequence(self.ix_to_word, seq)
         t_done = time.perf_counter()

@@ -162,3 +162,33 @@ def test_serve_http_endpoint():
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_serve_mesh_sharded_equals_single_device():
+    """Data-parallel serving: a CaptionServer on a 4-device 'data' mesh
+    returns the same captions as the single-device server (params
+    replicated, request batches sharded — the training loop's pattern)."""
+    from boficap_tpu.parallel.mesh import make_mesh
+    from boficap_tpu.serve import CaptionServer
+    model, params, ix_to_word, att, am = _setup()
+    kw = dict(mode="NAIC", max_batch=4, max_wait_ms=30.0,
+              max_regions=att.shape[1])
+    srv1 = CaptionServer(model, params, ix_to_word, **kw)
+    try:
+        want = [srv1.submit(att[i], am[i]).wait(timeout=120)["caption"]
+                for i in range(att.shape[0])]
+    finally:
+        srv1.close()
+    mesh = make_mesh(4)
+    srvN = CaptionServer(model, params, ix_to_word, mesh=mesh, **kw)
+    try:
+        futs = [srvN.submit(att[i], am[i]) for i in range(att.shape[0])]
+        got = [f.wait(timeout=120)["caption"] for f in futs]
+        # every bucket is a multiple of the mesh size
+        assert all(b % 4 == 0 for b in srvN.buckets)
+        assert got == want
+    finally:
+        srvN.close()
+    with pytest.raises(ValueError):
+        CaptionServer(model, params, ix_to_word, mesh=mesh, mode="NAIC",
+                      max_batch=6, max_regions=att.shape[1])
