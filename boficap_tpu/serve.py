@@ -71,7 +71,8 @@ class CaptionServer:
                  mode: str = "NAIC", max_batch: int = 64,
                  max_wait_ms: float = 2.0, max_steps: Optional[int] = None,
                  route: str = "auto", warm: bool = False,
-                 max_regions: Optional[int] = None, mesh=None):
+                 max_regions: Optional[int] = None, mesh=None,
+                 feature_dtype: str = "float32"):
         assert mode in ("NAIC", "SAIC", "AIC"), mode
         from .models.boficap import DECODER_ROLES
         role = {"NAIC": "NA", "SAIC": "SA", "AIC": "A"}[mode]
@@ -108,9 +109,14 @@ class CaptionServer:
                         if mesh is None or b % mesh.devices.size == 0]
         self.max_wait_s = max_wait_ms / 1e3
         self.route = route
+        # feature transport dtype: 'bfloat16' halves host->device upload
+        # bytes (the serving bottleneck over thin links) at the cost of
+        # quantizing the input features; 'float32' is bit-exact transport
+        self.feat_dtype = jnp.dtype(feature_dtype)
         self._programs: Dict[tuple, Any] = {}
         self._rng = jax.random.PRNGKey(0)
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._done_q: "queue.Queue[tuple]" = queue.Queue()
         self._stop = threading.Event()
         self._lat_ms: List[float] = []
         self._n_done = 0
@@ -120,6 +126,8 @@ class CaptionServer:
                 self._program(b)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._completer = threading.Thread(target=self._complete, daemon=True)
+        self._completer.start()
 
     # ---- program construction -------------------------------------------
 
@@ -157,7 +165,7 @@ class CaptionServer:
             return self._programs[key]
         R = self.R
         feat = self.model.att_feat_size
-        att = jnp.zeros((bucket, R, feat), jnp.float32)
+        att = jnp.zeros((bucket, R, feat), self.feat_dtype)
         am = jnp.ones((bucket, R), jnp.float32)
         if self._in_shard is not None:
             att = jax.device_put(att, self._in_shard)
@@ -186,7 +194,7 @@ class CaptionServer:
     def submit(self, att: np.ndarray,
                att_mask: Optional[np.ndarray] = None) -> "_Future":
         """att [R, feat] (or fewer than R regions: padded + masked)."""
-        att = np.asarray(att, np.float32)
+        att = np.asarray(att, self.feat_dtype)
         R = self.R
         if att.shape[0] < R:
             mask = np.zeros(R, np.float32)
@@ -199,6 +207,11 @@ class CaptionServer:
         return _Future(req, self)
 
     def _run(self):
+        """Dispatch loop: batch -> upload -> async program dispatch.  The
+        blocking result fetch happens on the COMPLETION thread so the next
+        batch's host->device feature upload overlaps the in-flight decode
+        (the upload dominates over thin links — e.g. the dev tunnel; see
+        scripts/tpu_serve_smoke.py)."""
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.05)
@@ -215,18 +228,18 @@ class CaptionServer:
                 except queue.Empty:
                     break
             try:
-                self._decode_batch(batch)
+                self._dispatch_batch(batch)
             except BaseException as e:                # surfaced per request
                 for r in batch:
                     r.error = e
                     r.event.set()
 
-    def _decode_batch(self, batch: List[_Request]):
+    def _dispatch_batch(self, batch: List[_Request]):
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         prog = self._program(bucket)
         R = self.R
-        att = np.zeros((bucket, R, batch[0].att.shape[-1]), np.float32)
+        att = np.zeros((bucket, R, batch[0].att.shape[-1]), self.feat_dtype)
         am = np.zeros((bucket, R), np.float32)
         for i, r in enumerate(batch):
             att[i] = r.att
@@ -237,17 +250,32 @@ class CaptionServer:
         if self._in_shard is not None:
             att_j = jax.device_put(att_j, self._in_shard)
             am_j = jax.device_put(am_j, self._in_shard)
-        out = prog(att_j, am_j, k)
-        seq = np.asarray(out["seq"])[:n]
-        sents = decode_sequence(self.ix_to_word, seq)
-        t_done = time.perf_counter()
-        with self._lock:
-            for i, r in enumerate(batch):
-                r.result = {"caption": sents[i], "seq": seq[i],
-                            "batch": n, "bucket": bucket}
-                self._lat_ms.append((t_done - r.t_submit) * 1e3)
-                self._n_done += 1
-                r.event.set()
+        out = prog(att_j, am_j, k)     # async dispatch; fetched by completer
+        self._done_q.put((batch, bucket, out))
+
+    def _complete(self):
+        while not self._stop.is_set():
+            try:
+                batch, bucket, out = self._done_q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            n = len(batch)
+            try:
+                seq = np.asarray(out["seq"])[:n]          # blocks: fetch
+                sents = decode_sequence(self.ix_to_word, seq)
+            except BaseException as e:
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+                continue
+            t_done = time.perf_counter()
+            with self._lock:
+                for i, r in enumerate(batch):
+                    r.result = {"caption": sents[i], "seq": seq[i],
+                                "batch": n, "bucket": bucket}
+                    self._lat_ms.append((t_done - r.t_submit) * 1e3)
+                    self._n_done += 1
+                    r.event.set()
 
     # ---- admin -----------------------------------------------------------
 
@@ -265,6 +293,7 @@ class CaptionServer:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        self._completer.join(timeout=5)
 
 
 class _Future:

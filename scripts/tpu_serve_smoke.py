@@ -51,9 +51,16 @@ def main():
     ix_to_word = {str(i): f"w{i}" for i in range(4, 9487 + 4)}
 
     feats = rng.randn(N_REQ, 36, 2048).astype(np.float32)
+    # NOTE on this tunnel: throughput here is bounded by the host->device
+    # FEATURE UPLOAD (B=64 x 36 x 2048 f32 = 19 MB/batch over a ~80 Mbit/s
+    # tunneled link ~= 2 s/batch), not by decode (~1 ms/batch device time).
+    # bf16 transport halves the bytes; the dispatch/completion split
+    # overlaps each batch's upload with the previous decode+fetch.
     srv = CaptionServer(model, params, ix_to_word, mode=MODE, max_batch=64,
                         max_wait_ms=2.0, max_steps=6, max_regions=36,
-                        warm=True)
+                        warm=True,
+                        feature_dtype=os.environ.get("FEAT_DTYPE",
+                                                     "bfloat16"))
     try:
         t0 = time.perf_counter()
         futs = [srv.submit(feats[i]) for i in range(N_REQ)]
