@@ -313,6 +313,11 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             seq_all = np.asarray(out["seq"])           # [B, K, L]
             seq = seq_all[:, 0]
             tok_lp = np.asarray(out["tok_logprobs"])[:, 0]
+            if eval_kwargs.get("verbose_beam"):
+                # reference eval_utils.py:186-190: print every done beam
+                for i in range(seq_all.shape[0]):
+                    print("\n".join(decode_sequence(ix_to_word, seq_all[i])))
+                    print("--" * 10)
         elif branch == "PB_pad":
             out = dec[branch](att, am, k)
             seq = np.asarray(out["seq"])
