@@ -50,7 +50,8 @@ def ar_sample(model, params, rng, memory, src_mask, *,
               suppress_unk_idx: Optional[int] = None,
               max_steps: Optional[int] = None,
               block_trigrams: bool = False,
-              penalty_seqs=None, diversity_lambda: float = 0.5
+              penalty_seqs=None, diversity_lambda: float = 0.5,
+              bad_endings_ix: Optional[tuple] = None
               ) -> Dict[str, Any]:
     """Sample (or greedy-decode) captions autoregressively.
 
@@ -84,6 +85,16 @@ def ar_sample(model, params, rng, memory, src_mask, *,
             method="ar_step")
         if suppress_unk_idx is not None:
             logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
+        if bad_endings_ix:
+            # forbid STOPPING right after a bad-ending word: the reference
+            # sets the stop token's logprob to -inf when the previous word
+            # is in bad_endings (AttModel.py:355-360)
+            bad = jnp.asarray(bad_endings_ix, jnp.int32)
+            prev_bad = (s["it"][:, None] == bad[None, :]).any(-1)
+            stop_cond = (s["pos"] > 0) & prev_bad
+            for t in (PAD, EOS):   # our loop ends on EOS; PAD also
+                logprob = logprob.at[:, t].set(     # terminates the caption
+                    jnp.where(stop_cond, NEG_INF, logprob[:, t]))
         if decoding_constraint:
             # forbid repeating the previous word (AttModel.py:349-352); no-op
             # at pos 0 where "previous" is the bos input
@@ -150,7 +161,8 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
                    length_penalty: str = "",
                    suppress_unk_idx: Optional[int] = None,
                    penalty_seqs=None, diversity_lambda: float = 0.5,
-                   return_all_beams: bool = False) -> Dict[str, Any]:
+                   return_all_beams: bool = False,
+                   bad_endings_ix: Optional[tuple] = None) -> Dict[str, Any]:
     """Batched beam search (reference CaptionModel.beam_search, group_size=1).
 
     Per step: expand K beams to K·V candidates, keep top K by cumulative
@@ -176,6 +188,15 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
             method="ar_step")
         if suppress_unk_idx is not None:
             logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
+        if bad_endings_ix:
+            # reference beam_search CaptionModel.py:169-170: a beam whose
+            # previous word is a bad ending cannot emit the stop token
+            bad = jnp.asarray(bad_endings_ix, jnp.int32)
+            prev_bad = (state["it"][:, None] == bad[None, :]).any(-1)
+            stop_cond = (pos > 0) & prev_bad
+            for t in (PAD, EOS):
+                logprob = logprob.at[:, t].set(
+                    jnp.where(stop_cond, NEG_INF, logprob[:, t]))
         lp = logprob.reshape(B, K, V)
         if penalty_seqs is not None:
             tok = jnp.take_along_axis(

@@ -95,6 +95,7 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
     # reference beam_search suppresses UNK only when the top vocab id IS UNK
     # (CaptionModel.py:171-173); eval_split stashes the resolved index
     suppress_unk_idx = eval_kwargs.get("_suppress_unk_idx")
+    bad_endings_ix = eval_kwargs.get("_bad_endings_ix")
     fused = _resolve_pallas_fill(eval_kwargs.get("use_pallas_fill", "auto"),
                                  model)
 
@@ -123,7 +124,8 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                                 sample_method=sample_method,
                                 temperature=temperature,
                                 decoding_constraint=decoding_constraint,
-                                block_trigrams=block_trigrams)
+                                block_trigrams=block_trigrams,
+                                bad_endings_ix=bad_endings_ix)
 
     @jax.jit
     def dec_beam(memory, src_mask):
@@ -137,7 +139,8 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
         return ar_mod.ar_beam_search(
             model, params, memory, src_mask, beam_size=beam_size,
             length_penalty=eval_kwargs.get("length_penalty", ""),
-            suppress_unk_idx=suppress_unk_idx)
+            suppress_unk_idx=suppress_unk_idx,
+            bad_endings_ix=bad_endings_ix)
 
     @jax.jit
     def dec_nnaic(memory, src_mask, rng):
@@ -251,6 +254,15 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         if getattr(loader, "ix_to_word", {}).get(top) == "UNK":
             eval_kwargs = dict(eval_kwargs,
                                _suppress_unk_idx=int(model.tgt_vocab) - 1)
+    # reference AttModel.py:104 + :355-360 / CaptionModel.py:169-170:
+    # remove_bad_endings forbids STOPPING right after a bad-ending word
+    # during AR sampling and beam search (plus the string-level strip below)
+    if eval_kwargs.get("remove_bad_endings", 0):
+        bad_ix = tuple(sorted(
+            int(k) for k, v in getattr(loader, "ix_to_word", {}).items()
+            if v in BAD_ENDINGS))
+        if bad_ix:
+            eval_kwargs = dict(eval_kwargs, _bad_endings_ix=bad_ix)
 
     dec = make_decoders(model, params, eval_kwargs)
     verbose_loss = eval_kwargs.get("verbose_loss", 1)

@@ -470,3 +470,37 @@ def test_bound_step_cached_matches_uncached():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(fast_syn), np.asarray(ref_syn),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remove_bad_endings_blocks_stop():
+    """remove_bad_endings (reference AttModel.py:355-360, CaptionModel.py:
+    169-170): when the previous word is a bad ending, the stop tokens'
+    logprobs drop to -inf.  With EVERY word id marked bad, greedy AR decode
+    can never terminate — the sequence fills all max_length positions."""
+    import jax.numpy as jnp
+    from boficap_tpu.constants import EOS, PAD
+    from boficap_tpu.decode import ar as ar_mod
+    model, params, memory, src_mask = _setup("AIC", seed=11)
+    all_bad = tuple(range(4, model.tgt_vocab))
+
+    def no_stop_after_word(seq):
+        # wherever the previous token is a word (> 3, i.e. "bad" here),
+        # the next token must not be a stop token (PAD or EOS)
+        prev_word = seq[:, :-1] > 3
+        nxt = seq[:, 1:]
+        assert not (prev_word & np.isin(nxt, [PAD, EOS])).any()
+
+    out = ar_mod.ar_sample(model, params, jax.random.PRNGKey(0), memory,
+                           src_mask, bad_endings_ix=all_bad)
+    no_stop_after_word(np.asarray(out["seq"]))
+
+    base = ar_mod.ar_sample(model, params, jax.random.PRNGKey(0), memory,
+                            src_mask)
+    # the flag changes decode behavior for at least one sample (the
+    # unsuppressed decode stops early somewhere)
+    assert not np.array_equal(np.asarray(base["seq"]),
+                              np.asarray(out["seq"]))
+
+    beam = ar_mod.ar_beam_search(model, params, memory, src_mask,
+                                 beam_size=2, bad_endings_ix=all_bad)
+    no_stop_after_word(np.asarray(beam["seq"])[:, 0])
