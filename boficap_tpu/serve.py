@@ -17,8 +17,12 @@ Design points (BENCH_NOTES.md):
   * the fused (pallas) and unfused programs swap rank with tunnel/launch
     weather at small batches; ``route='auto'`` measures both at warmup and
     keeps the winner per bucket (exactly what bench.py reports as min);
-  * the RTT/dispatch overhead amortizes across the pipeline — the worker
-    never blocks on a fetch while more requests wait.
+  * params ride as jit ARGUMENTS so the compiled programs are weight-free
+    and the persistent compile cache hits across processes/checkpoints;
+  * ``pipeline=True`` overlaps each batch's host->device feature upload
+    with the previous decode's result fetch (separate completion thread);
+    off by default because some RPC-tunneled device clients serialize
+    cross-thread result waits pathologically (see __init__).
 
 Decode modes: 'NAIC' (bound + parallel fill — the product's signature path),
 'SAIC', 'AIC' (KV-cached autoregressive).
@@ -72,7 +76,7 @@ class CaptionServer:
                  max_wait_ms: float = 2.0, max_steps: Optional[int] = None,
                  route: str = "auto", warm: bool = False,
                  max_regions: Optional[int] = None, mesh=None,
-                 feature_dtype: str = "float32"):
+                 feature_dtype: str = "float32", pipeline: bool = False):
         assert mode in ("NAIC", "SAIC", "AIC"), mode
         from .models.boficap import DECODER_ROLES
         role = {"NAIC": "NA", "SAIC": "SA", "AIC": "A"}[mode]
@@ -124,19 +128,32 @@ class CaptionServer:
         if warm:
             for b in self.buckets:
                 self._program(b)
+        # pipeline=True moves the blocking result fetch to a completion
+        # thread so the next batch's feature upload overlaps the in-flight
+        # decode.  Off by default: some RPC-tunneled device clients (the
+        # axon dev tunnel here) degrade pathologically when a result is
+        # awaited from a thread other than the dispatcher (measured: 34 s
+        # per cross-thread fetch vs 0.23 s inline).
+        self.pipeline = pipeline
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
-        self._completer = threading.Thread(target=self._complete, daemon=True)
-        self._completer.start()
+        self._completer = None
+        if pipeline:
+            self._completer = threading.Thread(target=self._complete,
+                                               daemon=True)
+            self._completer.start()
 
     # ---- program construction -------------------------------------------
 
     def _make(self, bucket: int, fused: bool):
-        model, params = self.model, self.params
+        model = self.model
         mode, max_steps = self.mode, self.max_steps
 
+        # params ride as a jit ARGUMENT (not a closure constant): the traced
+        # HLO stays weight-free, so the persistent compile cache hits across
+        # processes/checkpoints and warmup costs seconds, not recompiles
         @jax.jit
-        def program(att, am, rng):
+        def program_p(params, att, am, rng):
             if fused:
                 memory = bf.fused_encode(model, params, att, am)
             else:
@@ -151,6 +168,9 @@ class CaptionServer:
                                     max_steps=max_steps, fused_fill=fused)
             return ar_mod.ar_sample(model, params, rng, memory, src,
                                     max_steps=max_steps)
+
+        def program(att, am, rng):
+            return program_p(self.params, att, am, rng)
 
         return program
 
@@ -250,8 +270,11 @@ class CaptionServer:
         if self._in_shard is not None:
             att_j = jax.device_put(att_j, self._in_shard)
             am_j = jax.device_put(am_j, self._in_shard)
-        out = prog(att_j, am_j, k)     # async dispatch; fetched by completer
-        self._done_q.put((batch, bucket, out))
+        out = prog(att_j, am_j, k)               # async dispatch
+        if self.pipeline:
+            self._done_q.put((batch, bucket, out))   # fetched by completer
+        else:
+            self._finish(batch, bucket, out)
 
     def _complete(self):
         while not self._stop.is_set():
@@ -259,23 +282,26 @@ class CaptionServer:
                 batch, bucket, out = self._done_q.get(timeout=0.05)
             except queue.Empty:
                 continue
-            n = len(batch)
-            try:
-                seq = np.asarray(out["seq"])[:n]          # blocks: fetch
-                sents = decode_sequence(self.ix_to_word, seq)
-            except BaseException as e:
-                for r in batch:
-                    r.error = e
-                    r.event.set()
-                continue
-            t_done = time.perf_counter()
-            with self._lock:
-                for i, r in enumerate(batch):
-                    r.result = {"caption": sents[i], "seq": seq[i],
-                                "batch": n, "bucket": bucket}
-                    self._lat_ms.append((t_done - r.t_submit) * 1e3)
-                    self._n_done += 1
-                    r.event.set()
+            self._finish(batch, bucket, out)
+
+    def _finish(self, batch: List[_Request], bucket: int, out):
+        n = len(batch)
+        try:
+            seq = np.asarray(out["seq"])[:n]              # blocks: fetch
+            sents = decode_sequence(self.ix_to_word, seq)
+        except BaseException as e:
+            for r in batch:
+                r.error = e
+                r.event.set()
+            return
+        t_done = time.perf_counter()
+        with self._lock:
+            for i, r in enumerate(batch):
+                r.result = {"caption": sents[i], "seq": seq[i],
+                            "batch": n, "bucket": bucket}
+                self._lat_ms.append((t_done - r.t_submit) * 1e3)
+                self._n_done += 1
+                r.event.set()
 
     # ---- admin -----------------------------------------------------------
 
@@ -293,7 +319,8 @@ class CaptionServer:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
-        self._completer.join(timeout=5)
+        if self._completer is not None:
+            self._completer.join(timeout=5)
 
 
 class _Future:

@@ -73,6 +73,23 @@ def test_serve_batching_and_padding_exactness(train_mode, mode):
         srv.close()
 
 
+def test_serve_pipelined_completion():
+    """pipeline=True: fetches move to the completion thread; results and
+    stats are identical to the inline path."""
+    from boficap_tpu.serve import CaptionServer
+    model, params, ix_to_word, att, am = _setup()
+    srv = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=4,
+                        max_wait_ms=30.0, max_regions=att.shape[1],
+                        pipeline=True)
+    try:
+        futs = [srv.submit(att[i], am[i]) for i in range(att.shape[0])]
+        outs = [f.wait(timeout=120) for f in futs]
+        assert all(isinstance(o["caption"], str) for o in outs)
+        assert srv.stats()["n"] == att.shape[0]
+    finally:
+        srv.close()
+
+
 def test_serve_buckets_and_region_padding():
     """Requests with fewer regions than max_boxes are padded + masked; odd
     batch sizes round up to the next power-of-two bucket."""
