@@ -177,8 +177,13 @@ def add_eval_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--image_folder", type=str, default="")
     parser.add_argument("--image_root", type=str, default="")
     parser.add_argument("--split", type=str, default="test")
-    # sampling options (reference add_eval_sample_opts, opts.py:359-382)
-    parser.add_argument("--max_length", type=int, default=20)
+    # sampling options (reference add_eval_sample_opts, opts.py:359-382).
+    # max_length defaults to None (= the checkpoint's value), NOT the
+    # reference's 20: max_length sizes model parameters here (the length
+    # heads are Dense(max_length)), so silently overriding a checkpoint
+    # trained at a different length would break loading — an explicit CLI
+    # value still wins.
+    parser.add_argument("--max_length", type=int, default=None)
     parser.add_argument("--group_size", type=int, default=1)
     parser.add_argument("--diversity_lambda", type=float, default=0.5)
     parser.add_argument("--decoding_constraint", type=int, default=0)

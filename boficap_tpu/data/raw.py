@@ -140,6 +140,13 @@ class DataLoaderRaw:
     def __init__(self, image_folder: str, batch_size: int = 10,
                  extractor: Optional[Callable] = None, coco_json: str = "",
                  cnn_model: str = "resnet101"):
+        if cnn_model not in ("resnet101", "resnet152"):
+            # validate BEFORE the try/except fallback chain below, which
+            # would otherwise swallow a typo'd model name and silently
+            # substitute an untrained extractor
+            raise ValueError(
+                f"cnn_model must be resnet101 or resnet152 (reference "
+                f"tools/eval.py:28-29), got {cnn_model!r}")
         self.folder = image_folder
         self.batch_size = batch_size
         if extractor is None:

@@ -263,7 +263,8 @@ def ar_diverse_beam_search(model, params, memory, src_mask, *,
                            beam_size: int, group_size: int,
                            diversity_lambda: float = 0.5,
                            length_penalty: str = "",
-                           suppress_unk_idx: Optional[int] = None
+                           suppress_unk_idx: Optional[int] = None,
+                           bad_endings_ix: Optional[tuple] = None
                            ) -> Dict[str, Any]:
     """Diverse beam search (reference CaptionModel.beam_search with
     group_size > 1, :48-222): beam_size is split into group_size groups of
@@ -285,7 +286,8 @@ def ar_diverse_beam_search(model, params, memory, src_mask, *,
         out = ar_beam_search(
             model, params, memory, src_mask, beam_size=bdash,
             length_penalty=length_penalty, suppress_unk_idx=suppress_unk_idx,
-            penalty_seqs=penalty, diversity_lambda=diversity_lambda)
+            penalty_seqs=penalty, diversity_lambda=diversity_lambda,
+            bad_endings_ix=bad_endings_ix)
         groups.append(out)
         prev = jnp.concatenate([o["seq"] for o in groups], axis=1)
         penalty = prev
@@ -299,7 +301,10 @@ def ar_diverse_beam_search(model, params, memory, src_mask, *,
 
 def ar_diverse_sample(model, params, rng, memory, src_mask, *,
                       group_size: int, diversity_lambda: float = 0.5,
-                      sample_method: str = "greedy", temperature: float = 1.0
+                      sample_method: str = "greedy", temperature: float = 1.0,
+                      decoding_constraint: bool = False,
+                      block_trigrams: bool = False,
+                      bad_endings_ix: Optional[tuple] = None
                       ) -> Dict[str, Any]:
     """Group-diverse sampling (reference AttModel._diverse_sample
     :519-614): group_size sequences per image, each group's logits penalized
@@ -312,7 +317,10 @@ def ar_diverse_sample(model, params, rng, memory, src_mask, *,
         out = ar_sample(model, params, k, memory, src_mask,
                         sample_method=sample_method, temperature=temperature,
                         penalty_seqs=penalty,
-                        diversity_lambda=diversity_lambda)
+                        diversity_lambda=diversity_lambda,
+                        decoding_constraint=decoding_constraint,
+                        block_trigrams=block_trigrams,
+                        bad_endings_ix=bad_endings_ix)
         seqs.append(out["seq"])
         lps.append(out["tok_logprobs"])
         penalty = jnp.stack(seqs, axis=1)

@@ -135,7 +135,8 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                 model, params, memory, src_mask, beam_size=beam_size,
                 group_size=group_size, diversity_lambda=diversity_lambda,
                 length_penalty=eval_kwargs.get("length_penalty", ""),
-                suppress_unk_idx=suppress_unk_idx)
+                suppress_unk_idx=suppress_unk_idx,
+                bad_endings_ix=bad_endings_ix)
         return ar_mod.ar_beam_search(
             model, params, memory, src_mask, beam_size=beam_size,
             length_penalty=eval_kwargs.get("length_penalty", ""),
@@ -198,11 +199,17 @@ def sample_n_captions(model, params, memory, src_mask, rng,
     if method.startswith("d"):
         # dgreedy / dsample / dtopk / dtopp (reference eval_split_n's else
         # branch, eval_utils.py:713-719): group-diverse sampling with
-        # group_size = n and the method name's 'd' stripped
+        # group_size = n and the method name's 'd' stripped; the sampling
+        # constraints apply exactly as in the plain sample path
+        # (reference AttModel.py:563-576)
         out = ar_diverse_sample(
             model, params, rng, memory, src_mask, group_size=n,
             sample_method=method[1:], temperature=temperature,
-            diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5))
+            diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5),
+            decoding_constraint=bool(
+                eval_kwargs.get("decoding_constraint", 0)),
+            block_trigrams=bool(eval_kwargs.get("block_trigrams", 0)),
+            bad_endings_ix=eval_kwargs.get("_bad_endings_ix"))
         return np.asarray(out["seq"])
     mem = jnp.repeat(memory, n, axis=0)
     msk = None if src_mask is None else jnp.repeat(src_mask, n, axis=0)
@@ -406,6 +413,12 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             num_images = ix1
         for _ in range(n - ix1):
             predictions.pop()
+            # keep the multi-sample set aligned with the scored image set:
+            # drop the popped image's sample_n captions too
+            if sample_n > 1 and branch == "AIC":
+                for _ in range(sample_n):
+                    if n_predictions:
+                        n_predictions.pop()
         if num_images >= 0 and n >= num_images:
             break
 

@@ -39,6 +39,12 @@ CASES = [
                    "--sample_method", "sample"]),
     ("dump_attn", ["--inference_mode", "SAIC", "--dump_attention", "1"]),
     ("only_lang", ["--inference_mode", "SAIC", "--only_lang_eval", "1"]),
+    ("sample_n_dg", ["--inference_mode", "AIC", "--sample_n", "3",
+                     "--sample_n_method", "dgreedy"]),
+    ("bad_endings", ["--inference_mode", "AIC", "--beam_size", "2",
+                     "--remove_bad_endings", "1", "--verbose_beam", "1"]),
+    ("constraints", ["--inference_mode", "AIC", "--decoding_constraint", "1",
+                     "--block_trigrams", "1"]),
 ]
 
 
