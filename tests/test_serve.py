@@ -209,3 +209,30 @@ def test_serve_mesh_sharded_equals_single_device():
     with pytest.raises(ValueError):
         CaptionServer(model, params, ix_to_word, mesh=mesh, mode="NAIC",
                       max_batch=6, max_regions=att.shape[1])
+
+
+def test_serve_close_fails_pending_requests():
+    """close() must fail still-queued requests with a clear error, not
+    leave their futures blocking forever."""
+    from boficap_tpu.serve import CaptionServer
+    model, params, ix_to_word, att, am = _setup()
+    srv = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=4,
+                        max_regions=att.shape[1])
+    # stop the worker FIRST so the request stays queued, then close
+    srv._stop.set()
+    srv._worker.join(timeout=10)
+    fut = srv.submit(att[0])
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.wait(timeout=10)
+
+    # invalid shapes fail on the caller at submit time
+    srv2 = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=4,
+                         max_regions=att.shape[1])
+    try:
+        with pytest.raises(ValueError, match="features"):
+            srv2.submit(np.zeros((3,), np.float32))          # not 2-D
+        with pytest.raises(ValueError, match="features"):
+            srv2.submit(np.zeros((att.shape[1] + 1, 2048), np.float32))
+    finally:
+        srv2.close()
