@@ -202,7 +202,8 @@ def add_eval_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--cnn_model", type=str, default="resnet101")
     parser.add_argument("--coco_json", type=str, default="")
     parser.add_argument("--KD_file", type=str, default="")
-    parser.add_argument("--inference_mode", type=str, default="")
+    # reference tools/eval.py:40-41 defaults the eval CLI to SAIC
+    parser.add_argument("--inference_mode", type=str, default="SAIC")
     parser.add_argument("--only_lang_eval", type=int, default=0)
     parser.add_argument("--force", type=int, default=0)
     parser.add_argument("--device", type=str, default="tpu")
