@@ -222,6 +222,8 @@ class CaptionServer:
         Shape errors raise HERE, on the submitting caller — never inside
         the batch worker where they would fail innocent co-batched
         requests."""
+        if self._stop.is_set():
+            raise RuntimeError("CaptionServer is closed")
         att = np.asarray(att, self.feat_dtype)
         R = self.R
         feat = self.model.att_feat_size

@@ -221,10 +221,16 @@ def test_serve_close_fails_pending_requests():
     # stop the worker FIRST so the request stays queued, then close
     srv._stop.set()
     srv._worker.join(timeout=10)
-    fut = srv.submit(att[0])
+    from boficap_tpu.serve import _Future, _Request
+    req = _Request(att=np.asarray(att[0], srv.feat_dtype), att_mask=None)
+    srv._q.put(req)                     # stuck in the queue: worker is gone
+    fut = _Future(req, srv)
     srv.close()
     with pytest.raises(RuntimeError, match="closed"):
         fut.wait(timeout=10)
+    # and submit() on a closed server refuses up front
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(att[0])
 
     # invalid shapes fail on the caller at submit time
     srv2 = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=4,
