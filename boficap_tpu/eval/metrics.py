@@ -85,4 +85,15 @@ def language_eval(predictions: List[dict], gts: Dict,
               if p["caption"].split()[-1:] and
               p["caption"].split()[-1] in bad_endings)
     out["bad_count_rate"] = bad / max(len(predictions), 1)
+
+    # reference eval_utils.py:80-94: mean per-caption perplexity/entropy
+    # folded into the metric dict (absent for decode paths that expose no
+    # per-word logprobs, e.g. PB_pad)
+    ppl = [p["perplexity"] for p in predictions
+           if p.get("perplexity") is not None]
+    ent = [p["entropy"] for p in predictions if p.get("entropy") is not None]
+    if ppl:
+        out["perplexity"] = float(np.mean(ppl))
+    if ent:
+        out["entropy"] = float(np.mean(ent))
     return out
