@@ -43,6 +43,14 @@ def parse_args(argv=None):
                    help="cap decode loop steps (0 = max_length)")
     p.add_argument("--warm", type=int, default=1,
                    help="compile every batch bucket before accepting")
+    p.add_argument("--feature_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="feature transport dtype; bfloat16 halves "
+                        "host->device upload bytes")
+    p.add_argument("--pipeline", type=int, default=0,
+                   help="overlap feature upload with the previous decode's "
+                        "fetch (separate completion thread); keep 0 on "
+                        "RPC-tunneled device clients — see serve.py")
     p.add_argument("--device", type=str, default="")
     return p.parse_args(argv)
 
@@ -89,7 +97,8 @@ def build_server(args):
     return CaptionServer(
         model, params, vocab, mode=args.mode, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, max_regions=R,
-        max_steps=args.max_steps or None, warm=bool(args.warm))
+        max_steps=args.max_steps or None, warm=bool(args.warm),
+        feature_dtype=args.feature_dtype, pipeline=bool(args.pipeline))
 
 
 def make_http_server(srv, host: str, port: int):
