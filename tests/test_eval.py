@@ -220,3 +220,25 @@ def test_multi_sample_metrics():
     assert out["allspice"] is None             # java SPICE absent, not faked
     assert {"div1", "div2", "mBLEU_4", "oracle_CIDEr",
             "self_cider"} <= set(out)
+
+
+def test_eval_split_multi_sample_metrics_and_trim():
+    """sample_n > 1 through eval_split: the multi-sample metric block fires
+    in lang_stats, and n_predictions is trimmed to exactly sample_n entries
+    for EACH scored image (no wrap-around overrun leaking into the
+    diversity/oracle averages)."""
+    cfg, data, model, tx, state = setup("AIC")
+    kwargs = {"split": "val", "num_images": 3, "language_eval": 1,
+              "beam_size": 1, "train_mode": "AIC", "verbose": False,
+              "sample_n": 2, "sample_n_method": "sample"}
+    out = eval_split(model, state.params, data, kwargs, inference_mode="")
+    assert out["n_images"] == 3
+    scored = {p["image_id"] for p in out["predictions"]}
+    n_ids = [p["image_id"] for p in out["n_predictions"]]
+    assert len(out["n_predictions"]) == 3 * 2
+    assert set(n_ids) == scored
+    ls = out["lang_stats"]
+    for k in ("div1", "div2", "oracle_CIDEr", "self_cider", "allspice",
+              "perplexity", "entropy"):
+        assert k in ls, k
+    assert ls["allspice"] is None
