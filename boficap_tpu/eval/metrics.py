@@ -92,8 +92,8 @@ def language_eval(predictions: List[dict], gts: Dict,
     ppl = [p["perplexity"] for p in predictions
            if p.get("perplexity") is not None]
     ent = [p["entropy"] for p in predictions if p.get("entropy") is not None]
-    if ppl:
-        out["perplexity"] = float(np.mean(ppl))
-    if ent:
-        out["entropy"] = float(np.mean(ent))
+    # absent (e.g. PB_pad exposes no per-word logprobs) -> None, matching
+    # the METEOR/SPICE absent-not-faked convention above
+    out["perplexity"] = float(np.mean(ppl)) if ppl else None
+    out["entropy"] = float(np.mean(ent)) if ent else None
     return out

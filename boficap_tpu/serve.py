@@ -222,8 +222,6 @@ class CaptionServer:
         Shape errors raise HERE, on the submitting caller — never inside
         the batch worker where they would fail innocent co-batched
         requests."""
-        if self._stop.is_set():
-            raise RuntimeError("CaptionServer is closed")
         att = np.asarray(att, self.feat_dtype)
         R = self.R
         feat = self.model.att_feat_size
@@ -231,14 +229,28 @@ class CaptionServer:
             raise ValueError(
                 f"features must be [<= {R} regions, {feat}], got "
                 f"{att.shape}")
-        if att.shape[0] < R:
-            mask = np.zeros(R, np.float32)
-            mask[:att.shape[0]] = 1.0
-            att = np.pad(att, ((0, R - att.shape[0]), (0, 0)))
+        n_rows = att.shape[0]
+        if att_mask is not None:
+            att_mask = np.asarray(att_mask, np.float32).reshape(-1)
+            if att_mask.shape[0] == n_rows and n_rows < R:
+                att_mask = np.pad(att_mask, (0, R - n_rows))
+            elif att_mask.shape[0] != R:
+                raise ValueError(
+                    f"att_mask must have {R} (or {n_rows}) entries, got "
+                    f"{att_mask.shape[0]}")
+        if n_rows < R:
+            att = np.pad(att, ((0, R - n_rows), (0, 0)))
             if att_mask is None:
-                att_mask = mask
+                att_mask = np.zeros(R, np.float32)
+                att_mask[:n_rows] = 1.0
         req = _Request(att=att, att_mask=att_mask, t_submit=time.perf_counter())
-        self._q.put(req)
+        # the closed-check and enqueue are atomic under the lock: close()
+        # drains under the same lock after setting _stop, so a request
+        # either raises here or is guaranteed to be drained/served
+        with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("CaptionServer is closed")
+            self._q.put(req)
         return _Future(req, self)
 
     def _run(self):
@@ -332,24 +344,39 @@ class CaptionServer:
                 "max_ms": lat[-1]}
 
     def close(self):
+        """Stop the worker threads and fail every request still queued (or
+        dispatched but unfetched) so no future blocks forever.  The drain is
+        taken under the submit() lock (atomic with its closed-check), and
+        repeats while a slow worker is still alive — a mid-compile
+        _dispatch_batch can outlive the first join timeout and put into
+        _done_q afterwards."""
         self._stop.set()
-        self._worker.join(timeout=5)
+        err = RuntimeError("CaptionServer closed before request completed")
+
+        def drain():
+            for q in (self._q, self._done_q):
+                while True:
+                    try:
+                        item = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    reqs = [item] if isinstance(item, _Request) else item[0]
+                    for r in reqs:
+                        if not r.event.is_set():
+                            r.error = err
+                            r.event.set()
+
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            self._worker.join(timeout=0.5)
+            with self._lock:
+                drain()
+            if not self._worker.is_alive():
+                break
         if self._completer is not None:
             self._completer.join(timeout=5)
-        # fail any request still queued (or dispatched but unfetched) so
-        # no future blocks forever on a server that is gone
-        err = RuntimeError("CaptionServer closed before request completed")
-        for q in (self._q, self._done_q):
-            while True:
-                try:
-                    item = q.get_nowait()
-                except queue.Empty:
-                    break
-                reqs = [item] if isinstance(item, _Request) else item[0]
-                for r in reqs:
-                    if not r.event.is_set():
-                        r.error = err
-                        r.event.set()
+        with self._lock:
+            drain()
 
 
 class _Future:

@@ -242,3 +242,21 @@ def test_serve_close_fails_pending_requests():
             srv2.submit(np.zeros((att.shape[1] + 1, 2048), np.float32))
     finally:
         srv2.close()
+
+
+def test_serve_att_mask_validation_and_padding():
+    """att_mask shape errors raise at submit(); a short mask matching the
+    short region list pads with zeros alongside the features."""
+    from boficap_tpu.serve import CaptionServer
+    model, params, ix_to_word, att, am = _setup()
+    srv = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=2,
+                        max_regions=att.shape[1])
+    try:
+        with pytest.raises(ValueError, match="att_mask"):
+            srv.submit(att[0], np.ones(att.shape[1] + 3, np.float32))
+        # short rows + matching short mask: both pad to R
+        short = att[1][:5]
+        out = srv.submit(short, np.ones(5, np.float32)).wait(timeout=120)
+        assert isinstance(out["caption"], str)
+    finally:
+        srv.close()
