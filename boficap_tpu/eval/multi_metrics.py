@@ -89,6 +89,9 @@ def oracle(preds_n: List[dict], gts: Dict) -> Dict[str, float]:
             bs.append(bleu[3])
         ob.append(max(bs))
         orl.append(max(rouge_l(c, refs) for c in caps))
+    if not oc:              # no scored image had references
+        return {"oracle_CIDEr": None, "oracle_Bleu_4": None,
+                "oracle_ROUGE_L": None}
     return {"oracle_CIDEr": float(np.mean(oc)),
             "oracle_Bleu_4": float(np.mean(ob)),
             "oracle_ROUGE_L": float(np.mean(orl))}
