@@ -310,11 +310,16 @@ def main():
     tstate = create_state(params, tx)
     xe_step = make_xe_step(model, tx)
 
+    # pre-built keys: a fold_in per step would dispatch a SECOND program
+    # per iteration and pay the ~0.8 ms enqueue floor twice (see timed())
+    tkeys = [jax.random.fold_in(KEY, 1000 + i) for i in range(10)]
+    _fetch(tkeys[-1])
+    glat = jnp.float32(0.3)
+
     def run_train(n, st):
         m = None
         for i in range(n):
-            st, m = xe_step(st, *targs, None, jax.random.fold_in(KEY, i),
-                            jnp.float32(0.3))
+            st, m = xe_step(st, *targs, None, tkeys[i % 10], glat)
         return st, m
 
     tstate, m = run_train(1, tstate)                   # compile + warm
