@@ -97,8 +97,15 @@ def main(argv=None):
         cached = eval_utils.load_cached(eval_kwargs)
         if cached is not None:
             from boficap_tpu.eval.metrics import language_eval
-            # re-run only language metrics on the cached predictions
+            # re-run only language metrics on the cached predictions (the
+            # cache carries n_predictions too, like the reference's
+            # .saved_pred pth, eval_utils.py:662)
             stats = language_eval(cached["predictions"], cached["gts_words"])
+            if cached.get("n_predictions"):
+                from boficap_tpu.eval.multi_metrics import multi_sample_eval
+                stats.update(multi_sample_eval(
+                    cached["n_predictions"], cached["gts_words"],
+                    eval_oracle=bool(getattr(args, "eval_oracle", 1))))
             print(stats)
             return stats
         print("no cached predictions; running full eval")
@@ -189,6 +196,7 @@ def main(argv=None):
 
     eval_utils.save_cached(eval_kwargs, {
         "predictions": result["predictions"],
+        "n_predictions": result.get("n_predictions") or [],
         "gts_words": result["gts_words"]})
     if args.dump_json:
         os.makedirs("vis", exist_ok=True)
