@@ -193,21 +193,29 @@ class CaptionServer:
         cands = [(False, self._make(bucket, False))]
         if self._fusable():
             cands.append((True, self._make(bucket, True)))
+        def _sync(out):
+            # force completion with a VALUE fetch: on RPC-tunneled device
+            # clients block_until_ready can return before the device
+            # finishes (BENCH_NOTES.md), which would leave the warm
+            # executions AND the program load queued — the first real
+            # request's fetch then absorbs the whole backlog (measured:
+            # 12s-10min stalls on the first served batch)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+
         best, best_t = None, float("inf")
         for fused, prog in cands:
             if self.route == "unfused" and fused:
                 continue
             if self.route == "fused" and not fused and len(cands) > 1:
                 continue
-            out = prog(att, am, self._rng)            # compile + warm
-            jax.block_until_ready(out)
+            _sync(prog(att, am, self._rng))           # compile + warm + load
             # min over repeats: a single timing sample is noise on tunneled
             # clients (dispatch latency swings 2-3x — BENCH_NOTES.md), and
             # this choice is locked in for the server's lifetime
             dt = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(prog(att, am, self._rng))
+                _sync(prog(att, am, self._rng))
                 dt = min(dt, time.perf_counter() - t0)
             if dt < best_t:
                 best, best_t = prog, dt
