@@ -19,10 +19,10 @@ Design points (BENCH_NOTES.md):
     keeps the winner per bucket (exactly what bench.py reports as min);
   * params ride as jit ARGUMENTS so the compiled programs are weight-free
     and the persistent compile cache hits across processes/checkpoints;
-  * ``pipeline=True`` overlaps each batch's host->device feature upload
-    with the previous decode's result fetch (separate completion thread);
-    off by default because some RPC-tunneled device clients serialize
-    cross-thread result waits pathologically (see __init__).
+  * ``pipeline=True`` (default) overlaps each batch's host->device
+    feature upload with the previous decode's result fetch on a separate
+    completion thread — measured 303 vs 188 captions/s at B=64 on the dev
+    tunnel; ``pipeline=False`` is the conservative single-thread mode.
 
 Decode modes: 'NAIC' (bound + parallel fill — the product's signature path),
 'SAIC', 'AIC' (KV-cached autoregressive).
@@ -76,7 +76,7 @@ class CaptionServer:
                  max_wait_ms: float = 2.0, max_steps: Optional[int] = None,
                  route: str = "auto", warm: bool = False,
                  max_regions: Optional[int] = None, mesh=None,
-                 feature_dtype: str = "float32", pipeline: bool = False):
+                 feature_dtype: str = "float32", pipeline: bool = True):
         assert mode in ("NAIC", "SAIC", "AIC"), mode
         from .models.boficap import DECODER_ROLES
         role = {"NAIC": "NA", "SAIC": "SA", "AIC": "A"}[mode]
@@ -128,12 +128,12 @@ class CaptionServer:
         if warm:
             for b in self.buckets:
                 self._program(b)
-        # pipeline=True moves the blocking result fetch to a completion
-        # thread so the next batch's feature upload overlaps the in-flight
-        # decode.  Off by default: some RPC-tunneled device clients (the
-        # axon dev tunnel here) degrade pathologically when a result is
-        # awaited from a thread other than the dispatcher (measured: 34 s
-        # per cross-thread fetch vs 0.23 s inline).
+        # pipeline=True (default) moves the blocking result fetch to a
+        # completion thread so the next batch's feature upload overlaps the
+        # in-flight decode — measured 303 vs 188 captions/s on the dev
+        # tunnel at B=64.  (An earlier "cross-thread fetch stall" was
+        # actually the unsynced-warmup backlog — see _program._sync;
+        # pipeline=False remains available as the conservative mode.)
         self.pipeline = pipeline
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()

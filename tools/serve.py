@@ -47,10 +47,10 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"],
                    help="feature transport dtype; bfloat16 halves "
                         "host->device upload bytes")
-    p.add_argument("--pipeline", type=int, default=0,
+    p.add_argument("--pipeline", type=int, default=1,
                    help="overlap feature upload with the previous decode's "
-                        "fetch (separate completion thread); keep 0 on "
-                        "RPC-tunneled device clients — see serve.py")
+                        "fetch (separate completion thread); 0 = "
+                        "conservative single-thread mode")
     p.add_argument("--device", type=str, default="")
     return p.parse_args(argv)
 
