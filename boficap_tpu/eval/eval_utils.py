@@ -162,13 +162,14 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                                   sample_method=sample_method,
                                   temperature=temperature)
 
-    def dec_pb(att, am, rng):
-        # host-driven legacy loop (decode/pb.py) — takes raw features.
-        # PB decode exposes no per-word logprobs; entropy/perplexity are
-        # reported ABSENT for it rather than fabricated (the old path
-        # zero-filled a dense logprob tensor, making them meaningless).
-        from ..decode.pb import pb_decode as _pb
-        return _pb(model, params, rng, att, am,
+    from ..decode.pb import pb_decode as _pb
+
+    @jax.jit
+    def dec_pb(memory, src_mask, rng):
+        # one while_loop program (decode/pb.py::pb_decode); returns real
+        # per-word logprobs/entropies like the sibling decoders (the old
+        # host loop reported them absent).
+        return _pb(model, params, rng, memory, src_mask,
                    sample_method=sample_method, temperature=temperature)
 
     return {"encode": encode, "NAIC": dec_na, "SAIC": dec_sa,
@@ -337,10 +338,6 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
                 for i in range(seq_all.shape[0]):
                     print("\n".join(decode_sequence(ix_to_word, seq_all[i])))
                     print("--" * 10)
-        elif branch == "PB_pad":
-            out = dec[branch](att, am, k)
-            seq = np.asarray(out["seq"])
-            tok_lp = None                   # PB: entropy/ppl absent
         else:
             out = dec[branch](memory, src_mask, k)
             seq = np.asarray(out["seq"])
@@ -356,21 +353,17 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             decode_time += dt
             redo = None
 
-        if tok_lp is None:                   # PB_pad: no per-word logprobs
-            entropy = ppl = None
-        else:
-            n_tok = (seq > VOCAB_LOWER).sum(1) + 1
-            ppl = -tok_lp.sum(1) / n_tok
-            entropy = (ent_arr.sum(1) / n_tok if ent_arr is not None
-                       else np.zeros(len(seq)))
+        n_tok = (seq > VOCAB_LOWER).sum(1) + 1
+        ppl = -tok_lp.sum(1) / n_tok
+        entropy = (ent_arr.sum(1) / n_tok if ent_arr is not None
+                   else np.zeros(len(seq)))
 
         sents = decode_sequence(ix_to_word, seq, remove_bad_endings=remove_bad)
         for kk, sent in enumerate(sents):
             img_id = data["infos"][kk]["id"]
             entry = {"image_id": img_id, "caption": sent,
-                     "perplexity": None if ppl is None else float(ppl[kk]),
-                     "entropy": (None if entropy is None
-                                 else float(entropy[kk]))}
+                     "perplexity": float(ppl[kk]),
+                     "entropy": float(entropy[kk])}
             if eval_kwargs.get("dump_path", 0) == 1:
                 # include the source path in the dump
                 # (reference eval_utils.py:198-199)

@@ -420,15 +420,113 @@ def test_decoding_constraint_blocks_repeats():
 
 def test_pb_decode_runs():
     from boficap_tpu.decode.pb import pb_decode
-    from tests.test_model import make_batch
-    model, params, memory, src_mask = _setup("PB_pad", seed=59)
-    batch = make_batch(B=3, seed=59)
-    out = pb_decode(model, params, jax.random.PRNGKey(0),
-                    jnp.asarray(batch["att_feats"][:3]),
-                    jnp.asarray(batch["att_masks"][:3]))
+    model, params, memory, src_mask = _setup("PB_pad", seed=59, B=3)
+    out = jax.jit(lambda m, s, k: pb_decode(model, params, k, m, s))(
+        memory, src_mask, jax.random.PRNGKey(0))
+    out = jax.tree_util.tree_map(np.asarray, out)
     assert out["seq"].shape == (3, L)
     total = out["phrase_length"].sum(-1)
     for b in range(3):
+        assert (out["seq"][b, total[b]:] == 0).all()
+        # real per-word logprobs at generated positions, zero beyond
+        assert (out["tok_logprobs"][b, total[b]:] == 0).all()
+        assert np.isfinite(out["tok_logprobs"][b, :total[b]]).all()
+        if total[b]:
+            assert (out["entropy"][b, :total[b]] > 0).all()
+
+
+def test_pb_decode_jit_matches_host_oracle():
+    """The while_loop PB decode must reproduce the host-driven packed loop
+    bit-exactly under greedy decoding (plan, words, and phrase frame).
+    The oracle pads its packed tensors to the while_loop's static width so
+    both sides see identical reduction orders (see pb_decode_host.pad_to),
+    and the model computes in float32: under the default bfloat16,
+    standalone-jit vs while_loop-inlined programs fuse differently and the
+    ~1e-2 reduction-order noise can flip greedy argmaxes."""
+    from boficap_tpu.decode.pb import pb_decode, pb_decode_host
+    for seed in (59, 7, 23):
+        cfg = tiny_cfg("PB_pad")
+        cfg.dtype = "float32"
+        model = build_model(cfg, V)
+        batch = make_batch(B=4, seed=seed)
+        att = jnp.asarray(batch["att_feats"])
+        am = jnp.asarray(batch["att_masks"])
+        params = model.init(
+            {"params": jax.random.PRNGKey(seed)}, att, am,
+            jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+            jnp.asarray(batch["phrase_length"]),
+            jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+        memory = model.apply(params, att, am, deterministic=True,
+                             method="encode")
+        src_mask = am.astype(bool)
+        host = pb_decode_host(model, params, jax.random.PRNGKey(0),
+                              jnp.asarray(batch["att_feats"][:4]),
+                              jnp.asarray(batch["att_masks"][:4]),
+                              pad_to=2 * (model.max_length + 2))
+        jit = jax.tree_util.tree_map(
+            np.asarray,
+            pb_decode(model, params, jax.random.PRNGKey(0), memory,
+                      src_mask))
+        np.testing.assert_array_equal(jit["seq"], host["seq"])
+        np.testing.assert_array_equal(jit["phrase_num"], host["phrase_num"])
+        np.testing.assert_array_equal(jit["phrase_length"],
+                                      host["phrase_length"])
+
+
+def test_pb_packed_layout_matches_pack_decoder_inputs():
+    """packed_layout's traced prefix-sum/gather math must reproduce the
+    host packer (data/pb_pack.pack_decoder_inputs) bit-exactly on the
+    genuine-width prefix, for random lockstep plans."""
+    from boficap_tpu.decode.pb import packed_layout
+    from boficap_tpu.data.pb_pack import pack_decoder_inputs
+    rng = np.random.RandomState(11)
+    L2 = L + 2
+    for _ in range(12):
+        B = rng.randint(2, 6)
+        pl = np.zeros((B, L2), np.int64)
+        pl[:, 0] = 1
+        pn = np.full(B, 1, np.int64)
+        # lockstep rounds: every (still-alive) sample appends one phrase
+        rounds = rng.randint(1, 5)
+        alive = np.ones(B, bool)
+        for t in range(rounds):
+            n = rng.randint(0, 6, size=B)
+            n = np.where(alive & (pl.sum(1) + n <= L + 1), n, 0)
+            pl[np.arange(B), pn] = np.where(n > 0, n, pl[np.arange(B), pn])
+            pn += (n > 0).astype(np.int64)
+            alive &= n > 0
+        seq = rng.randint(4, 40, size=(B, L2)).astype(np.int64)
+        seq[:, 0] = 1
+        host_ids, host_slot, host_mask = pack_decoder_inputs(seq, pn, pl)
+        Lp = host_ids.shape[1]
+        W = 2 * L2
+        ids, slot, mask, starts = jax.tree_util.tree_map(
+            np.asarray,
+            packed_layout(jnp.asarray(seq), jnp.asarray(pl), L + 1, W))
+        if Lp == 0:
+            assert (ids == 0).all() and not mask.any()
+            continue
+        np.testing.assert_array_equal(ids[:, :Lp], host_ids)
+        assert (ids[:, Lp:] == 0).all()
+        np.testing.assert_array_equal(mask[:, :Lp, :Lp], host_mask)
+        assert not mask[:, :, Lp:].any()     # no key visibility past width
+        # slot comparison only where the host wrote a column id
+        valid = host_mask.any(1)
+        np.testing.assert_array_equal(slot[:, :Lp][valid], host_slot[valid])
+
+
+def test_pb_decode_packed_width_clamp():
+    """A tiny packed-width cap ends generation instead of corrupting the
+    layout: output stays a consistent phrase frame within the cap."""
+    from boficap_tpu.decode.pb import pb_decode
+    model, params, memory, src_mask = _setup("PB_pad", seed=59, B=4)
+    out = jax.tree_util.tree_map(
+        np.asarray,
+        pb_decode(model, params, jax.random.PRNGKey(0), memory, src_mask,
+                  packed_width=4))
+    total = out["phrase_length"].sum(-1)
+    assert (total <= L).all()
+    for b in range(4):
         assert (out["seq"][b, total[b]:] == 0).all()
 
 

@@ -42,6 +42,7 @@ def test_decode_sequence_stops_and_strips():
 @pytest.mark.parametrize("mode,infer,beam", [
     ("UIC", "NAIC", 1), ("UIC", "SAIC", 1),
     ("AIC", "", 1), ("AIC", "", 3),
+    ("PB_pad", "", 1),       # while_loop PB decode: real entropy/ppl
 ])
 def test_eval_split_runs(mode, infer, beam):
     cfg, data, model, tx, state = setup(mode)

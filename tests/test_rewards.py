@@ -154,18 +154,22 @@ def test_native_ciderd_speed():
     for i in range(250):
         cands.append(" ".join(str(x) for x in rng.randint(4, 9500, 9)) + " 0")
         refs_aligned.append(refs[i // 5])
-    native.clear_df()
-    t0 = time.time()
-    native.score(cands, refs_aligned)
-    dt = time.time() - t0
-    # compare against the python scorer on the same inputs (wall-clock
-    # thresholds flake under parallel test load)
+    # min-of-3 on both sides: single-shot wall clocks flake when another
+    # process (e.g. a concurrent TPU CLI run) steals the core mid-timing
+    dt = float("inf")
+    for _ in range(3):
+        native.clear_df()
+        t0 = time.perf_counter()
+        native.score(cands, refs_aligned)
+        dt = min(dt, time.perf_counter() - t0)
     py = CiderD(df="corpus")
     gts = {i: r for i, r in enumerate(refs_aligned)}
     res = [{"image_id": i, "caption": [c]} for i, c in enumerate(cands)]
-    t0 = time.time()
-    py.compute_score(gts, res)
-    dt_py = time.time() - t0
+    dt_py = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        py.compute_score(gts, res)
+        dt_py = min(dt_py, time.perf_counter() - t0)
     assert dt < dt_py / 5, (
         f"native {dt*1000:.1f} ms not >5x faster than python "
         f"{dt_py*1000:.1f} ms")
