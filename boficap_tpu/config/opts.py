@@ -204,6 +204,10 @@ def add_eval_options(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--KD_file", type=str, default="")
     # reference tools/eval.py:40-41 defaults the eval CLI to SAIC
     parser.add_argument("--inference_mode", type=str, default="SAIC")
+    # PB_pad jit decode: static packed-width cap (0 = default 2*(L+2);
+    # L*(L+1)//2 + 1 makes the per-sample overflow clamp unreachable —
+    # decode/pb.py)
+    parser.add_argument("--pb_packed_width", type=int, default=0)
     parser.add_argument("--only_lang_eval", type=int, default=0)
     parser.add_argument("--force", type=int, default=0)
     parser.add_argument("--device", type=str, default="tpu")

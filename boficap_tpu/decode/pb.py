@@ -13,9 +13,14 @@ Two implementations:
   layout therefore lives in a static ``[B, W]`` buffer (W = a packed-width
   cap, default ``2 * (max_length + 2)``) whose column starts/ids are
   computed per round from prefix sums; the copy-init word map is the same
-  closed form as phrase_ops.copy_init_src_indices.  If a round would
-  overflow W the decode clamps: generation ends there (documented deviation;
-  widths beyond ~max_length+2 need pathologically mis-aligned batches).
+  closed form as phrase_ops.copy_init_src_indices.  The clamp is PER
+  SAMPLE: a sample whose planned phrase would spill past W ends generation
+  there; batchmates that fit keep decoding (documented deviation from the
+  unbounded host layout).  The packed width grows with batch size (it sums
+  per-round BATCH maxima), so mis-aligned batches can exceed the default
+  cap; ``packed_width=max_length*(max_length+1)//2 + 1`` is a provable
+  upper bound that makes the clamp unreachable (exposed as the
+  ``pb_packed_width`` eval option).
 
 * ``pb_decode_host`` — the original host-driven loop (jit'd model pieces per
   step, one compile per distinct packed width).  Kept as the test oracle for
@@ -221,9 +226,13 @@ def pb_decode(model, params, rng, memory, src_mask, *,
         return model.apply(params, seq, pn, pl, memory, src_mask, True,
                            method="pb_length_predict")
 
-    def decode_packed(ids, slot, labels, pl, mask):
+    def decode_hidden(ids, slot, labels, pl, mask):
         return model.apply(params, ids, slot, labels, pl, memory, src_mask,
-                           mask, True, method="pb_decode")
+                           mask, True, return_hidden=True,
+                           method="pb_decode")
+
+    def generate(h):
+        return model.apply(params, h, method="generate")
 
     pos2 = jnp.arange(L2)
 
@@ -238,13 +247,15 @@ def pb_decode(model, params, rng, memory, src_mask, *,
         n_eff = jnp.where(unfinished & (n > 0), n, 0)       # [B]
         new_unf = unfinished & (n > 0) & (nxt + cur_start < L + 1)
 
-        # packed-width overflow clamp: column t starts where the existing
-        # columns end; if the new column would spill past W, end generation
-        # (deviation from the unbounded host layout, documented above).
+        # packed-width overflow clamp, PER SAMPLE: column t starts where the
+        # existing columns end; a sample whose planned phrase would spill
+        # past W ends generation there, batchmates that fit keep decoding
+        # (deviation from the unbounded host layout, documented above; the
+        # post-clamp column width max(n_eff) then never overflows W either).
         prev_width = jnp.sum(jnp.max(pl[:, 1:1 + P], axis=0))
-        overflow = prev_width + jnp.max(n_eff) > W
-        n_eff = jnp.where(overflow, 0, n_eff)
-        new_unf = new_unf & ~overflow
+        fits = prev_width + n_eff <= W
+        n_eff = jnp.where(fits, n_eff, 0)
+        new_unf = new_unf & fits
 
         upd = (pos2[None, :] == t + 1) & (n_eff[:, None] > 0)
         pl_work = jnp.where(upd, n_eff[:, None], pl)        # [B, L2]
@@ -252,18 +263,25 @@ def pb_decode(model, params, rng, memory, src_mask, *,
 
         def fill(key):
             ids, slot, mask, starts = packed_layout(seq, pl_work, P, W)
-            logprob = decode_packed(ids.astype(jnp.int32),
-                                    slot.astype(jnp.int32), seq, pl_work,
-                                    mask)                    # [B, W, V]
+            h = decode_hidden(ids.astype(jnp.int32),
+                              slot.astype(jnp.int32), seq, pl_work,
+                              mask)                          # [B, W, D]
+            # vocab head only over the new column's window: a phrase is at
+            # most P words, so a static WG-wide slice at the column start
+            # covers it — [B, WG, V] logits instead of [B, W, V]
+            q0 = jnp.take(starts, t)                         # new column
+            WG = min(P, W)
+            q0c = jnp.clip(q0, 0, W - WG)
+            hw = jax.lax.dynamic_slice_in_dim(h, q0c, WG, axis=1)
+            logprob = generate(hw)                           # [B, WG, V]
             key, k = jax.random.split(key)
             words, wlp = sample_next_word(k, logprob, sample_method,
                                           temperature)
-            went = -(jnp.exp(logprob) * logprob).sum(-1)     # [B, W]
-            q0 = jnp.take(starts, t)                         # new column
-            # scatter the new phrase: seq[b, cur_start+o] = words[b, q0+o]
+            went = -(jnp.exp(logprob) * logprob).sum(-1)     # [B, WG]
+            # scatter the new phrase: seq[b, cur_start+o] = words[b, q0-q0c+o]
             off = pos2[None, :] - cur_start[:, None]
             take = (off >= 0) & (off < n_eff[:, None])
-            gidx = jnp.clip(q0 + off, 0, W - 1)
+            gidx = jnp.clip(q0 - q0c + off, 0, WG - 1)
             seq2 = jnp.where(take,
                              jnp.take_along_axis(words.astype(seq.dtype),
                                                  gidx, -1), seq)

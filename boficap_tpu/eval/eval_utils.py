@@ -163,14 +163,18 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                                   temperature=temperature)
 
     from ..decode.pb import pb_decode as _pb
+    pb_width = eval_kwargs.get("pb_packed_width", 0) or None
 
     @jax.jit
     def dec_pb(memory, src_mask, rng):
         # one while_loop program (decode/pb.py::pb_decode); returns real
         # per-word logprobs/entropies like the sibling decoders (the old
-        # host loop reported them absent).
+        # host loop reported them absent).  pb_packed_width raises the
+        # static packed-width cap (max_length*(max_length+1)//2 + 1 makes
+        # the per-sample overflow clamp unreachable).
         return _pb(model, params, rng, memory, src_mask,
-                   sample_method=sample_method, temperature=temperature)
+                   sample_method=sample_method, temperature=temperature,
+                   packed_width=pb_width)
 
     return {"encode": encode, "NAIC": dec_na, "SAIC": dec_sa,
             "AIC": dec_ar, "beam": dec_beam, "NNAIC": dec_nnaic,
@@ -189,13 +193,24 @@ def sample_n_captions(model, params, memory, src_mask, rng,
     n = int(eval_kwargs.get("sample_n", 1))
     method = eval_kwargs.get("sample_n_method", "sample")
     temperature = eval_kwargs.get("temperature", 1.0)
+    # the same constraint surface the headline decoders get (the reference's
+    # eval_split_n forwards the full eval_kwargs into _sample)
+    length_penalty = eval_kwargs.get("length_penalty", "")
+    suppress_unk_idx = eval_kwargs.get("_suppress_unk_idx")
+    bad_endings_ix = eval_kwargs.get("_bad_endings_ix")
     if method == "bs":
-        out = ar_beam_search(model, params, memory, src_mask, beam_size=n)
+        out = ar_beam_search(model, params, memory, src_mask, beam_size=n,
+                             length_penalty=length_penalty,
+                             suppress_unk_idx=suppress_unk_idx,
+                             bad_endings_ix=bad_endings_ix)
         return np.asarray(out["seq"])
     if method == "dbs":
         out = ar_diverse_beam_search(
             model, params, memory, src_mask, beam_size=n, group_size=n,
-            diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5))
+            diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5),
+            length_penalty=length_penalty,
+            suppress_unk_idx=suppress_unk_idx,
+            bad_endings_ix=bad_endings_ix)
         return np.asarray(out["seq"])
     if method.startswith("d"):
         # dgreedy / dsample / dtopk / dtopp (reference eval_split_n's else
@@ -210,13 +225,17 @@ def sample_n_captions(model, params, memory, src_mask, rng,
             decoding_constraint=bool(
                 eval_kwargs.get("decoding_constraint", 0)),
             block_trigrams=bool(eval_kwargs.get("block_trigrams", 0)),
-            bad_endings_ix=eval_kwargs.get("_bad_endings_ix"))
+            bad_endings_ix=bad_endings_ix)
         return np.asarray(out["seq"])
     mem = jnp.repeat(memory, n, axis=0)
     msk = None if src_mask is None else jnp.repeat(src_mask, n, axis=0)
     sm = "sample" if method == "sample" else method
-    out = ar_mod.ar_sample(model, params, rng, mem, msk, sample_method=sm,
-                           temperature=temperature)
+    out = ar_mod.ar_sample(
+        model, params, rng, mem, msk, sample_method=sm,
+        temperature=temperature,
+        decoding_constraint=bool(eval_kwargs.get("decoding_constraint", 0)),
+        block_trigrams=bool(eval_kwargs.get("block_trigrams", 0)),
+        bad_endings_ix=bad_endings_ix)
     B = memory.shape[0]
     return np.asarray(out["seq"]).reshape(B, n, -1)
 
@@ -329,7 +348,6 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         ent_arr = None
         if branch == "AIC" and beam_size > 1:
             out = dec["beam"](memory, src_mask)
-            out = jax.tree_util.tree_map(lambda x: x, out)
             seq_all = np.asarray(out["seq"])           # [B, K, L]
             seq = seq_all[:, 0]
             tok_lp = np.asarray(out["tok_logprobs"])[:, 0]
@@ -355,15 +373,17 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
 
         n_tok = (seq > VOCAB_LOWER).sum(1) + 1
         ppl = -tok_lp.sum(1) / n_tok
-        entropy = (ent_arr.sum(1) / n_tok if ent_arr is not None
-                   else np.zeros(len(seq)))
+        # the beam decoder keeps per-token logprobs but not distribution
+        # entropies — entropy stays None there (absent, never faked)
+        entropy = ent_arr.sum(1) / n_tok if ent_arr is not None else None
 
         sents = decode_sequence(ix_to_word, seq, remove_bad_endings=remove_bad)
         for kk, sent in enumerate(sents):
             img_id = data["infos"][kk]["id"]
             entry = {"image_id": img_id, "caption": sent,
                      "perplexity": float(ppl[kk]),
-                     "entropy": float(entropy[kk])}
+                     "entropy": (None if entropy is None
+                                 else float(entropy[kk]))}
             if eval_kwargs.get("dump_path", 0) == 1:
                 # include the source path in the dump
                 # (reference eval_utils.py:198-199)
@@ -434,7 +454,7 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
 
     n_imgs = len(predictions)
     timed_imgs = n_imgs - len(data["infos"])
-    if decode_time == 0 and redo is not None and branch != "PB_pad":
+    if decode_time == 0 and redo is not None:
         # single-batch eval: the only decode was the compile call, so re-run
         # it (now compiled) for a meaningful rate
         att, am = redo

@@ -116,11 +116,14 @@ _SYN_GROUPS = (
 
 
 def _syn_index():
-    """word-stem -> group-id map, built once on first use."""
+    """word-stem -> SET of group-ids, built once on first use.  A stem can
+    belong to several synsets (e.g. 'mount' is in both the mountain and the
+    ride groups); keeping every membership means no declared pair is
+    silently disabled by a cross-group stem collision."""
     idx = {}
     for gid, group in enumerate(_SYN_GROUPS):
         for w in group:
-            idx.setdefault(porter_stem(w), gid)
+            idx.setdefault(porter_stem(w), set()).add(gid)
     return idx
 
 
@@ -263,16 +266,17 @@ def _align(cand: List[str], ref: List[str]):
     last_r = -2
     cstem = [porter_stem(c) for c in cand]
     rstem = [porter_stem(r) for r in ref]
-    cgrp = [_SYN_IDX.get(s, -1) for s in cstem]
-    rgrp = [_SYN_IDX.get(s, -1) for s in rstem]
+    empty = frozenset()
+    cgrp = [_SYN_IDX.get(s, empty) for s in cstem]
+    rgrp = [_SYN_IDX.get(s, empty) for s in rstem]
     for ci, c in enumerate(cand):
         cands_exact = [rj for rj, r in enumerate(ref)
                        if not used[rj] and r == c]
         pool = cands_exact or [rj for rj in range(len(ref))
                                if not used[rj] and rstem[rj] == cstem[ci]]
-        if not pool and cgrp[ci] >= 0:
+        if not pool and cgrp[ci]:
             pool = [rj for rj in range(len(ref))
-                    if not used[rj] and rgrp[rj] == cgrp[ci]]
+                    if not used[rj] and rgrp[rj] & cgrp[ci]]
         if not pool:
             continue
         # continuation first, else leftmost

@@ -88,12 +88,12 @@ def language_eval(predictions: List[dict], gts: Dict,
 
     # reference eval_utils.py:80-94: mean per-caption perplexity/entropy
     # folded into the metric dict (absent for decode paths that expose no
-    # per-word logprobs, e.g. PB_pad)
+    # per-word distribution entropies, e.g. beam search)
     ppl = [p["perplexity"] for p in predictions
            if p.get("perplexity") is not None]
     ent = [p["entropy"] for p in predictions if p.get("entropy") is not None]
-    # absent (e.g. PB_pad exposes no per-word logprobs) -> None, matching
-    # the METEOR/SPICE absent-not-faked convention above
+    # absent -> None, matching the METEOR/SPICE absent-not-faked convention
+    # above
     out["perplexity"] = float(np.mean(ppl)) if ppl else None
     out["entropy"] = float(np.mean(ent)) if ent else None
     return out

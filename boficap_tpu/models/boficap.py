@@ -438,12 +438,15 @@ class BoFiCap(nn.Module):
 
     def pb_decode(self, packed_ids, packed_slot, labels, phrase_length,
                   memory, src_mask, packed_mask, deterministic=True,
-                  norm_mode: str = "copy"):
+                  norm_mode: str = "copy", return_hidden: bool = False):
         """Packed phrase-parallel decode (reference EncoderDecoderPB_pad
         .decode, TransformerModel.py:1138-1213).  packed_ids: copy-init word
         ids per packed position; packed_slot: phrase slot of each packed
         position (for compress/complex modes); packed_mask: [B, Lp, Lp]
-        (padding & phrase-blockwise-causal).  Returns log-probs [B, Lp, V]."""
+        (padding & phrase-blockwise-causal).  Returns log-probs [B, Lp, V]
+        (or the decoder hidden states [B, Lp, D] with ``return_hidden`` —
+        the jit decode applies the vocab head only on the new column's
+        window, decode/pb.py)."""
         if norm_mode == "copy":
             x = self.word_embed(packed_ids)
         else:
@@ -454,7 +457,7 @@ class BoFiCap(nn.Module):
         x = self.posenc(x, deterministic=deterministic)
         h = self._decoder("PB")(x, memory, src_mask, packed_mask,
                                 deterministic)
-        return self.generate(h)
+        return h if return_hidden else self.generate(h)
 
     def init_ar_cache(self, memory, max_len: int):
         """KV cache for the AR decoder (cross-attn K/V projected once)."""

@@ -53,7 +53,7 @@ def _buckets(max_batch: int) -> List[int]:
     return out + [max_batch]
 
 
-@dataclass
+@dataclass(eq=False)        # identity hash/eq: requests live in sets
 class _Request:
     att: np.ndarray                      # [R, feat]
     att_mask: Optional[np.ndarray]       # [R] or None
@@ -121,6 +121,10 @@ class CaptionServer:
         self._rng = jax.random.PRNGKey(0)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._done_q: "queue.Queue[tuple]" = queue.Queue()
+        # requests handed to a worker/completer thread and not yet resolved:
+        # close() fails these if the threads outlive its join deadline (a
+        # cold-cache Mosaic compile mid-dispatch can take minutes)
+        self._inflight: set = set()
         self._stop = threading.Event()
         self._lat_ms: List[float] = []
         self._n_done = 0
@@ -285,12 +289,16 @@ class CaptionServer:
             try:
                 self._dispatch_batch(batch)
             except BaseException as e:                # surfaced per request
+                with self._lock:
+                    self._inflight.difference_update(batch)
                 for r in batch:
                     r.error = e
                     r.event.set()
 
     def _dispatch_batch(self, batch: List[_Request]):
         n = len(batch)
+        with self._lock:
+            self._inflight.update(batch)
         bucket = next(b for b in self.buckets if b >= n)
         prog = self._program(bucket)
         R = self.R
@@ -325,12 +333,15 @@ class CaptionServer:
             seq = np.asarray(out["seq"])[:n]              # blocks: fetch
             sents = decode_sequence(self.ix_to_word, seq)
         except BaseException as e:
+            with self._lock:
+                self._inflight.difference_update(batch)
             for r in batch:
                 r.error = e
                 r.event.set()
             return
         t_done = time.perf_counter()
         with self._lock:
+            self._inflight.difference_update(batch)
             for i, r in enumerate(batch):
                 r.result = {"caption": sents[i], "seq": seq[i],
                             "batch": n, "bucket": bucket}
@@ -385,6 +396,16 @@ class CaptionServer:
             self._completer.join(timeout=5)
         with self._lock:
             drain()
+            # a worker/completer that outlived the deadline (e.g. a
+            # cold-cache Mosaic compile mid-dispatch takes minutes) still
+            # holds its batch locally where drain() can't see it — fail
+            # those futures now so no caller blocks forever; a late
+            # _finish() just finds the events already set
+            for r in self._inflight:
+                if not r.event.is_set():
+                    r.error = err
+                    r.event.set()
+            self._inflight.clear()
 
 
 class _Future:

@@ -516,8 +516,9 @@ def test_pb_packed_layout_matches_pack_decoder_inputs():
 
 
 def test_pb_decode_packed_width_clamp():
-    """A tiny packed-width cap ends generation instead of corrupting the
-    layout: output stays a consistent phrase frame within the cap."""
+    """A tiny packed-width cap ends generation PER SAMPLE instead of
+    corrupting the layout: output stays a consistent phrase frame within
+    the cap, and every sample's packed footprint fits the cap."""
     from boficap_tpu.decode.pb import pb_decode
     model, params, memory, src_mask = _setup("PB_pad", seed=59, B=4)
     out = jax.tree_util.tree_map(
@@ -525,9 +526,41 @@ def test_pb_decode_packed_width_clamp():
         pb_decode(model, params, jax.random.PRNGKey(0), memory, src_mask,
                   packed_width=4))
     total = out["phrase_length"].sum(-1)
-    assert (total <= L).all()
+    assert (total <= 4).all()          # nothing decodes past the cap
     for b in range(4):
         assert (out["seq"][b, total[b]:] == 0).all()
+
+
+def test_pb_decode_lossless_width_matches_oracle():
+    """At the provable packed-width upper bound L*(L+1)//2 + 1 the
+    per-sample overflow clamp is unreachable, so the jit decode must equal
+    the (unbounded) host oracle bit-exactly — same protocol as
+    test_pb_decode_jit_matches_host_oracle but at the lossless width."""
+    from boficap_tpu.decode.pb import pb_decode, pb_decode_host
+    cfg = tiny_cfg("PB_pad")
+    cfg.dtype = "float32"
+    model = build_model(cfg, V)
+    W = model.max_length * (model.max_length + 1) // 2 + 1
+    batch = make_batch(B=4, seed=31)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(31)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    host = pb_decode_host(model, params, jax.random.PRNGKey(0), att, am,
+                          pad_to=W)
+    jit = jax.tree_util.tree_map(
+        np.asarray,
+        pb_decode(model, params, jax.random.PRNGKey(0), memory,
+                  am.astype(bool), packed_width=W))
+    np.testing.assert_array_equal(jit["seq"], host["seq"])
+    np.testing.assert_array_equal(jit["phrase_num"], host["phrase_num"])
+    np.testing.assert_array_equal(jit["phrase_length"],
+                                  host["phrase_length"])
 
 
 def test_bound_step_cached_matches_uncached():

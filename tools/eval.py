@@ -127,7 +127,6 @@ def main(argv=None):
         if eval_kwargs.get("language_eval"):
             print("--image_folder has no gt captions; language_eval -> 0")
         eval_kwargs["language_eval"] = 0
-        eval_kwargs.setdefault("image_root", args.image_folder)
         if not eval_kwargs.get("image_root"):
             eval_kwargs["image_root"] = args.image_folder
     else:
