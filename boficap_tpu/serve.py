@@ -362,13 +362,14 @@ class CaptionServer:
                 "p95_ms": lat[min(len(lat) - 1, int(len(lat) * 0.95))],
                 "max_ms": lat[-1]}
 
-    def close(self):
+    def close(self, join_timeout: float = 60.0):
         """Stop the worker threads and fail every request still queued (or
         dispatched but unfetched) so no future blocks forever.  The drain is
         taken under the submit() lock (atomic with its closed-check), and
         repeats while a slow worker is still alive — a mid-compile
         _dispatch_batch can outlive the first join timeout and put into
-        _done_q afterwards."""
+        _done_q afterwards; whatever it still holds past ``join_timeout``
+        is failed via the in-flight set."""
         self._stop.set()
         err = RuntimeError("CaptionServer closed before request completed")
 
@@ -385,9 +386,9 @@ class CaptionServer:
                             r.error = err
                             r.event.set()
 
-        deadline = time.monotonic() + 60
+        deadline = time.monotonic() + join_timeout
         while time.monotonic() < deadline:
-            self._worker.join(timeout=0.5)
+            self._worker.join(timeout=min(0.5, max(join_timeout, 0.05)))
             with self._lock:
                 drain()
             if not self._worker.is_alive():

@@ -76,6 +76,15 @@ def test_sample_n_eval():
                                 jax.random.PRNGKey(0),
                                 {"sample_n": 3, "sample_n_method": method})
         assert ids.shape == (att.shape[0], 3, 20), method
+        # every path must honor the headline decoders' constraint surface
+        # (the reference's eval_split_n forwards the full eval_kwargs)
+        ids_c = sample_n_captions(
+            model, state.params, memory, src, jax.random.PRNGKey(0),
+            {"sample_n": 3, "sample_n_method": method,
+             "length_penalty": "avg_0.5", "_suppress_unk_idx": 53,
+             "_bad_endings_ix": (5, 6), "decoding_constraint": 1,
+             "block_trigrams": 1})
+        assert ids_c.shape == (att.shape[0], 3, 20), method
 
 
 def test_meteor_approx():

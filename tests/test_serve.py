@@ -132,6 +132,41 @@ def test_serve_error_surfacing():
         srv.close()
 
 
+def test_serve_close_fails_straggler_inflight():
+    """A worker that outlives close()'s join deadline (a cold-cache compile
+    can take minutes) must not leave its batch's futures blocked forever:
+    close() fails whatever the straggler still holds via the in-flight
+    set."""
+    import time
+    from boficap_tpu.serve import CaptionServer
+    model, params, ix_to_word, att, am = _setup()
+    srv = CaptionServer(model, params, ix_to_word, mode="NAIC", max_batch=2,
+                        max_wait_ms=1.0, max_regions=att.shape[1])
+    try:
+        release = threading.Event()
+
+        def slow_program(bucket):
+            def prog(a, m, r):
+                release.wait(timeout=30)       # a "compile" close() outlives
+                raise RuntimeError("released")
+            return prog
+
+        srv._program = slow_program
+        fut = srv.submit(att[0])
+        # wait until the worker has actually picked the request up
+        for _ in range(200):
+            if srv._inflight:
+                break
+            time.sleep(0.01)
+        assert srv._inflight, "worker never picked up the request"
+        srv.close(join_timeout=0.2)
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.wait(timeout=5)
+    finally:
+        release.set()
+        srv.close(join_timeout=1)
+
+
 def test_serve_http_endpoint():
     """tools/serve.py HTTP front: concurrent POST /caption requests batch
     through one CaptionServer; GET /stats reports latencies."""
