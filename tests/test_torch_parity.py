@@ -248,3 +248,40 @@ def test_uic_ds_forward_parity():
             got, want = got[:, :n_slots], want[:, :n_slots]
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4,
                                    err_msg=n)
+
+
+def test_convert_cli_roundtrip(tmp_path, parity_uic):
+    """tools/convert.py: a reference model.pth + infos pickle (opt as an
+    argparse-style Namespace, as the reference pickles it) convert into an
+    eval-ready (model.ckpt, infos.pkl) pair whose deserialized params equal
+    torch_to_flax's output exactly."""
+    from flax import serialization
+
+    from tools.convert import main as convert_main
+    ref, model, params = parity_uic
+
+    pth = tmp_path / "model_best.pth"
+    torch.save(ref.state_dict(), str(pth))
+    opt = ref_opt("UIC")
+    infos_in = tmp_path / "infos_ref-best.pkl"
+    import pickle
+    with open(infos_in, "wb") as f:
+        pickle.dump({"opt": opt, "vocab": opt.vocab, "iter": 7}, f)
+
+    out_dir = tmp_path / "converted"
+    model_path, infos_path = convert_main([
+        "--torch", str(pth), "--infos", str(infos_in),
+        "--out_dir", str(out_dir), "--id", "conv"])
+
+    with open(model_path, "rb") as f:
+        got = serialization.from_bytes(params, f.read())
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(got)[0],
+            jax.tree_util.tree_flatten_with_path(params)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(kp))
+    with open(infos_path, "rb") as f:
+        infos_out = pickle.load(f)
+    assert infos_out["opt"]["train_mode"] == "UIC"
+    assert isinstance(infos_out["opt"], dict)       # Namespace re-written
+    assert infos_out["vocab"] == opt.vocab
