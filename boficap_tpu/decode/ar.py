@@ -157,35 +157,29 @@ def ar_sample(model, params, rng, memory, src_mask, *,
             "entropy": out["ent"]}
 
 
-def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
-                   length_penalty: str = "",
-                   suppress_unk_idx: Optional[int] = None,
-                   penalty_seqs=None, diversity_lambda: float = 0.5,
-                   return_all_beams: bool = False,
-                   bad_endings_ix: Optional[tuple] = None) -> Dict[str, Any]:
-    """Batched beam search (reference CaptionModel.beam_search, group_size=1).
+def _make_beam_step(model, params, mask_k, B, K, V, L, penalty, *,
+                    diversity_lambda: float, temperature: float,
+                    suppress_unk_idx, bad_endings_ix, decoding_constraint):
+    """One batched beam-search step shared by ar_beam_search (single group)
+    and ar_diverse_beam_search (staggered groups): expand K beams to K·V
+    candidates, keep top K by cumulative AUGMENTED log-prob, gather
+    per-token logprobs from the UNAUGMENTED distribution (the reference's
+    beam_seq_logprobs store unaug_logprobs, CaptionModel.py:112-117), merge
+    ended beams into a top-K done pool with the length penalty applied
+    (:193-209), knock ended alive scores down 1000 (:210)."""
 
-    Per step: expand K beams to K·V candidates, keep top K by cumulative
-    log-prob; beams whose new token is eos (or that reach max length) are
-    merged into a top-K done pool with the length penalty applied
-    (CaptionModel.py:193-209) and their alive score knocked down by 1000
-    (:210).  Returns the done pool sorted best-first:
-    {'seq': [B, K, L], 'tok_logprobs': [B, K, L], 'scores': [B, K]}.
-    """
-    L = model.max_length
-    B = memory.shape[0]
-    K = beam_size
-    V = model.tgt_vocab
-    penalty = length_penalty_fn(length_penalty)
-
-    mem_k = jnp.repeat(memory, K, axis=0)
-    mask_k = None if src_mask is None else jnp.repeat(src_mask, K, axis=0)
-    cache = model.apply(params, mem_k, L + 1, method="init_ar_cache")
-
-    def step(state, pos):
+    def step(state, pos, div_counts):
         logprob, cache = model.apply(
             params, state["it"], pos, state["cache"], mask_k,
             method="ar_step")
+        if temperature != 1.0:
+            # reference beam_search re-normalizes every step-t>=1 logprob as
+            # log_softmax(logprobs / T) (CaptionModel.py:218-219 — "should
+            # not affect beam search, but will affect dbs"; it affects any
+            # beam run with T != 1)
+            logprob = jnp.where(
+                pos > 0, jax.nn.log_softmax(logprob / temperature, axis=-1),
+                logprob)
         if suppress_unk_idx is not None:
             logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
         if bad_endings_ix:
@@ -197,14 +191,15 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
             for t in (PAD, EOS):
                 logprob = logprob.at[:, t].set(
                     jnp.where(stop_cond, NEG_INF, logprob[:, t]))
-        lp = logprob.reshape(B, K, V)
-        if penalty_seqs is not None:
-            tok = jnp.take_along_axis(
-                penalty_seqs,
-                jnp.broadcast_to(pos, penalty_seqs.shape[:2])[..., None],
-                axis=2)[..., 0]
-            counts = jax.nn.one_hot(tok, V).sum(1)           # [B, V]
-            lp = lp - diversity_lambda * counts[:, None, :]
+        if decoding_constraint:
+            # reference CaptionModel.py:166-167: forbid repeating the
+            # previous word
+            oh = jax.nn.one_hot(state["it"], V, dtype=bool)
+            logprob = jnp.where(oh & (pos > 0), NEG_INF, logprob)
+        lp_unaug = logprob.reshape(B, K, V)
+        lp = lp_unaug
+        if div_counts is not None:
+            lp = lp - diversity_lambda * div_counts[:, None, :]
         cand = state["sum_lp"][:, :, None] + lp                  # [B, K, V]
         flat = cand.reshape(B, K * V)
         scores, idx = jax.lax.top_k(flat, K)                     # [B, K]
@@ -217,7 +212,8 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
                 axis=1)
 
         seq = g(state["seq"]).at[:, :, pos].set(word)
-        tok = jnp.take_along_axis(g(lp), word[:, :, None], axis=2)[:, :, 0]
+        tok = jnp.take_along_axis(g(lp_unaug), word[:, :, None],
+                                  axis=2)[:, :, 0]
         tok_lp = g(state["tok_lp"]).at[:, :, pos].set(tok)
 
         # flat gather of the cache (leading dim B*K)
@@ -235,14 +231,17 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
         done_tok = jnp.take_along_axis(all_tok, keep[:, :, None], axis=1)
 
         sum_lp = jnp.where(word == EOS, scores - 1000.0, scores)
-        new_state = {
+        return {
             "it": word.reshape(-1), "cache": cache, "sum_lp": sum_lp,
             "seq": seq, "tok_lp": tok_lp, "done_p": done_p,
             "done_seq": done_seq, "done_tok": done_tok,
         }
-        return new_state, None
 
-    init = {
+    return step
+
+
+def _beam_init(B, K, L, cache):
+    return {
         "it": jnp.full((B * K,), BOS, jnp.int32),
         "cache": cache,
         # only beam 0 alive at step 0 so identical init beams don't duplicate
@@ -254,7 +253,41 @@ def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
         "done_seq": jnp.full((B, K, L), PAD, jnp.int32),
         "done_tok": jnp.zeros((B, K, L), jnp.float32),
     }
-    final, _ = jax.lax.scan(step, init, jnp.arange(L))
+
+
+def ar_beam_search(model, params, memory, src_mask, *, beam_size: int,
+                   length_penalty: str = "",
+                   suppress_unk_idx: Optional[int] = None,
+                   temperature: float = 1.0,
+                   decoding_constraint: bool = False,
+                   bad_endings_ix: Optional[tuple] = None) -> Dict[str, Any]:
+    """Batched beam search (reference CaptionModel.beam_search, group_size=1).
+    Returns the done pool sorted best-first:
+    {'seq': [B, K, L], 'tok_logprobs': [B, K, L], 'scores': [B, K]}.
+
+    Deliberately scans all L steps with no early exit, like the reference's
+    own loop: ended beams keep extending at score-1000 and re-enter the done
+    pool at the forced final step, and with a length penalty a later (longer)
+    finish can legitimately out-score an earlier one — an admissible early
+    exit would have to model that, for savings only the KD teacher pass
+    would notice.  Token-exact vs the reference:
+    test_torch_parity::test_beam_search_parity."""
+    L = model.max_length
+    B = memory.shape[0]
+    K = beam_size
+    V = model.tgt_vocab
+    penalty = length_penalty_fn(length_penalty)
+
+    mem_k = jnp.repeat(memory, K, axis=0)
+    mask_k = None if src_mask is None else jnp.repeat(src_mask, K, axis=0)
+    cache = model.apply(params, mem_k, L + 1, method="init_ar_cache")
+    step = _make_beam_step(model, params, mask_k, B, K, V, L, penalty,
+                           diversity_lambda=0.0, temperature=temperature,
+                           suppress_unk_idx=suppress_unk_idx,
+                           bad_endings_ix=bad_endings_ix,
+                           decoding_constraint=decoding_constraint)
+    final, _ = jax.lax.scan(lambda s, pos: (step(s, pos, None), None),
+                            _beam_init(B, K, L, cache), jnp.arange(L))
     return {"seq": final["done_seq"], "tok_logprobs": final["done_tok"],
             "scores": final["done_p"]}
 
@@ -264,38 +297,74 @@ def ar_diverse_beam_search(model, params, memory, src_mask, *,
                            diversity_lambda: float = 0.5,
                            length_penalty: str = "",
                            suppress_unk_idx: Optional[int] = None,
+                           temperature: float = 1.0,
+                           decoding_constraint: bool = False,
                            bad_endings_ix: Optional[tuple] = None
                            ) -> Dict[str, Any]:
     """Diverse beam search (reference CaptionModel.beam_search with
-    group_size > 1, :48-222): beam_size is split into group_size groups of
-    bdash beams; group g's step-t logits are penalized by
-    diversity_lambda x (count of each word chosen by groups < g at step t).
-
-    The reference staggers groups along one time axis; since group g only
-    ever reads EARLIER groups' decisions at the same local time, running the
-    groups sequentially to completion is semantically identical.
+    group_size > 1, :48-222): beam_size splits into group_size groups of
+    bdash beams, STAGGERED along one time axis exactly as the reference
+    runs them — at global step t, group g (processed in group order) takes
+    its local step t-g, with its logits penalized by
+    diversity_lambda x (count of each word in groups <g's CURRENT ALIVE
+    beams at column t-g).  Because earlier groups are one step further
+    ahead (and re-gathered by their own later selections), this is NOT the
+    same as penalizing with earlier groups' finished sequences — the
+    staggered reads are reproduced faithfully here.
 
     Returns {'seq': [B, K, L], 'tok_logprobs', 'scores'} with the groups'
     beams concatenated (bdash per group, group-major — the reference's
     done_beams ordering after per-group sort)."""
     bdash = beam_size // group_size
     assert bdash * group_size == beam_size, "group_size must divide beam_size"
-    groups = []
-    penalty = None
-    for g in range(group_size):
-        out = ar_beam_search(
-            model, params, memory, src_mask, beam_size=bdash,
-            length_penalty=length_penalty, suppress_unk_idx=suppress_unk_idx,
-            penalty_seqs=penalty, diversity_lambda=diversity_lambda,
-            bad_endings_ix=bad_endings_ix)
-        groups.append(out)
-        prev = jnp.concatenate([o["seq"] for o in groups], axis=1)
-        penalty = prev
+    G = group_size
+    L = model.max_length
+    B = memory.shape[0]
+    K = bdash
+    V = model.tgt_vocab
+    penalty = length_penalty_fn(length_penalty)
+
+    mem_k = jnp.repeat(memory, K, axis=0)
+    mask_k = None if src_mask is None else jnp.repeat(src_mask, K, axis=0)
+    cache = model.apply(params, mem_k, L + 1, method="init_ar_cache")
+    step = _make_beam_step(model, params, mask_k, B, K, V, L, penalty,
+                           diversity_lambda=diversity_lambda,
+                           temperature=temperature,
+                           suppress_unk_idx=suppress_unk_idx,
+                           bad_endings_ix=bad_endings_ix,
+                           decoding_constraint=decoding_constraint)
+
+    def body(states, t):
+        states = list(states)
+        for g in range(G):
+            local = t - g
+            pos = jnp.clip(local, 0, L - 1)
+            div_counts = None
+            if g > 0:
+                # counts over groups <g's alive beams' column ``local`` —
+                # groups <g were already advanced THIS global step, matching
+                # the reference's in-iteration read order
+                # (CaptionModel.py:58-62)
+                col_ix = jnp.broadcast_to(pos, (B, K))[:, :, None]
+                div_counts = sum(
+                    jax.nn.one_hot(
+                        jnp.take_along_axis(states[j]["seq"], col_ix,
+                                            axis=2)[..., 0], V).sum(1)
+                    for j in range(g))
+            valid = (local >= 0) & (local < L)
+            states[g] = jax.lax.cond(
+                valid,
+                lambda s, dc=div_counts, p=pos: step(s, p, dc),
+                lambda s: s, states[g])
+        return tuple(states), None
+
+    init = tuple(_beam_init(B, K, L, cache) for _ in range(G))
+    final, _ = jax.lax.scan(body, init, jnp.arange(L + G - 1))
     return {
-        "seq": jnp.concatenate([o["seq"] for o in groups], axis=1),
-        "tok_logprobs": jnp.concatenate([o["tok_logprobs"] for o in groups],
+        "seq": jnp.concatenate([s["done_seq"] for s in final], axis=1),
+        "tok_logprobs": jnp.concatenate([s["done_tok"] for s in final],
                                         axis=1),
-        "scores": jnp.concatenate([o["scores"] for o in groups], axis=1),
+        "scores": jnp.concatenate([s["done_p"] for s in final], axis=1),
     }
 
 

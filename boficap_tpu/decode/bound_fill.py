@@ -49,7 +49,7 @@ def _fused_ctx(model, params, role: str):
     from ..ops.pallas_decoder_layer import pack_decoder_weights
     stack = DECODER_ROLES[model.train_mode][role]
     return pack_decoder_weights(params["params"][f"decoder{stack}"],
-                                model.dtype, model.num_heads)
+                                model.dtype)
 
 
 def _use_stacked(model, interpret: bool, batch: int = 0) -> bool:
@@ -77,7 +77,7 @@ def fused_encode(model, params, att_feats, att_masks,
     x = model.apply(params, att_feats, True, method="embed_att")
     src_mask = None if att_masks is None else att_masks.astype(bool)
     packed, fnorm = pack_encoder_weights(params["params"]["encoder"],
-                                         model.dtype, model.num_heads)
+                                         model.dtype)
     if stacked is None:
         stacked = _use_stacked(model, interpret, att_feats.shape[0])
     if stacked:
@@ -89,6 +89,48 @@ def fused_encode(model, params, att_feats, att_masks,
     return fused_encoder_forward(x, src_mask, packed, fnorm,
                                  num_heads=model.num_heads,
                                  interpret=interpret)
+
+
+def _fused_parallel_fill(model, params, x, memory, src_mask, mask3, keep, *,
+                         role: str, sample_method: str,
+                         fused_interpret: bool, stacked: Optional[bool]):
+    """Shared single-pass fused fill (na_decode / nnaic_decode): route the
+    embedded inputs ``x`` through the whole-stack or per-layer decoder
+    kernels of ``role``, then either the streaming greedy head or the plain
+    generator.
+
+    Returns ``((seq, tok, ent), None)`` when the fused greedy head ran —
+    the streaming head never materializes [B, L, V] (tail rows where
+    ``keep`` is False take seq=PAD and lp[:, PAD]); gated by row count
+    because at tiny batches the sequential vocab tiles are latency-bound
+    and XLA's one-shot head wins (measured 0.84 vs 0.32 ms at B=1).
+    Returns ``(None, logprob)`` otherwise — the caller samples from the
+    dense tensor."""
+    from ..ops.pallas_decoder_layer import (fused_decoder_forward,
+                                            fused_greedy_head)
+    B, L = mask3.shape[0], mask3.shape[1]
+    packed, fnorm = _fused_ctx(model, params, role)
+    if stacked is None:
+        stacked = _use_stacked(model, fused_interpret, B)
+    if stacked:
+        from ..ops.pallas_stack import (fused_decoder_stack_forward,
+                                        pack_stack)
+        h = fused_decoder_stack_forward(
+            x, memory, mask3, src_mask, pack_stack(packed, "dec"),
+            fnorm, num_heads=model.num_heads, interpret=fused_interpret)
+    else:
+        h = fused_decoder_forward(x, memory, mask3, src_mask, packed,
+                                  fnorm, num_heads=model.num_heads,
+                                  interpret=fused_interpret)
+    if sample_method == "greedy" and (B * L >= 256 or fused_interpret):
+        gen = params["params"]["generator"]["proj"]
+        ids, tok_a, ent, lp_pad = fused_greedy_head(
+            h, gen["kernel"], gen["bias"], pad_id=PAD,
+            interpret=fused_interpret)
+        seq = jnp.where(keep, ids, PAD)
+        tok = jnp.where(keep, tok_a, lp_pad)
+        return (seq, tok, ent), None
+    return None, model.apply(params, h, method="generate")
 
 
 def _bound_update(s, len_N, syn_N, L, slot, last_key):
@@ -199,8 +241,6 @@ def na_decode(model, params, rng, memory, src_mask, *,
         jnp.arange(L)[None, None, :] < total[:, None, None], (B, L, L))
 
     if fused_fill:
-        from ..ops.pallas_decoder_layer import (fused_decoder_forward,
-                                                fused_greedy_head)
         syn_seq = s["extend_syn"][:, 1:-1]
         word_seq = jnp.full(syn_seq.shape, BOS, jnp.int32)
 
@@ -210,38 +250,17 @@ def na_decode(model, params, rng, memory, src_mask, *,
             return m._mix_inputs(word_seq, syn_seq, "na", True)
 
         x = model.apply(params, method=embed)
-        packed, fnorm = _fused_ctx(model, params, "NA")
-        if stacked is None:
-            stacked = _use_stacked(model, fused_interpret, B)
-        if stacked:
-            from ..ops.pallas_stack import (fused_decoder_stack_forward,
-                                            pack_stack)
-            h = fused_decoder_stack_forward(
-                x, memory, na_mask, src_mask, pack_stack(packed, "dec"),
-                fnorm, num_heads=model.num_heads, interpret=fused_interpret)
-        else:
-            h = fused_decoder_forward(x, memory, na_mask, src_mask, packed,
-                                      fnorm, num_heads=model.num_heads,
-                                      interpret=fused_interpret)
-        if sample_method == "greedy" and (B * L >= 256
-                                          or fused_interpret):
-            # streaming head: never materializes [B, L, V] (see
-            # fused_greedy_head); tail rows (seq=PAD) take lp[:, PAD].
-            # Gated by row count: at tiny batches the 19 sequential vocab
-            # tiles are latency-bound and XLA's one-shot head wins
-            # (measured 0.84 vs 0.32 ms at B=1)
-            gen = params["params"]["generator"]["proj"]
-            ids, tok_a, ent, lp_pad = fused_greedy_head(
-                h, gen["kernel"], gen["bias"], pad_id=PAD,
-                interpret=fused_interpret)
-            keep = jnp.arange(L)[None, :] < total[:, None]
-            seq = jnp.where(keep, ids, PAD)
-            tok = jnp.where(keep, tok_a, lp_pad)
+        keep = jnp.arange(L)[None, :] < total[:, None]
+        head, logprob = _fused_parallel_fill(
+            model, params, x, memory, src_mask, na_mask, keep, role="NA",
+            sample_method=sample_method, fused_interpret=fused_interpret,
+            stacked=stacked)
+        if head is not None:
+            seq, tok, ent = head
             return {"seq": seq, "tok_logprobs": tok, "entropy": ent,
                     "phrase_num": s["phrase_num"],
                     "phrase_length": s["phrase_length"][:, :L],
                     "phrase_syn": s["phrase_syn"][:, :L]}
-        logprob = model.apply(params, h, method="generate")
     else:
         def fill(m):
             h = m.decode_na(s["extend_syn"][:, 1:-1], memory, src_mask,
@@ -680,38 +699,19 @@ def nnaic_decode(model, params, rng, memory, src_mask, *,
     keep = jnp.arange(L)[None, :] < length_N[:, None]
 
     if fused_fill:
-        from ..ops.pallas_decoder_layer import fused_decoder_forward
-
         def embed(m):
             return m.posenc(m.word_embed(tgt), deterministic=True)
 
         x = model.apply(params, method=embed)
-        packed, fnorm = _fused_ctx(model, params, "A")
         mask3 = jnp.broadcast_to(keep[:, None, :], (B, L, L))
-        if stacked is None:
-            stacked = _use_stacked(model, fused_interpret, B)
-        if stacked:
-            from ..ops.pallas_stack import (fused_decoder_stack_forward,
-                                            pack_stack)
-            h = fused_decoder_stack_forward(
-                x, memory, mask3, src_mask, pack_stack(packed, "dec"),
-                fnorm, num_heads=model.num_heads, interpret=fused_interpret)
-        else:
-            h = fused_decoder_forward(x, memory, mask3, src_mask, packed,
-                                      fnorm, num_heads=model.num_heads,
-                                      interpret=fused_interpret)
-        if sample_method == "greedy" and (B * L >= 256
-                                      or fused_interpret):
-            from ..ops.pallas_decoder_layer import fused_greedy_head
-            gen = params["params"]["generator"]["proj"]
-            ids, tok_a, ent, lp_pad = fused_greedy_head(
-                h, gen["kernel"], gen["bias"], pad_id=PAD,
-                interpret=fused_interpret)
-            seq = jnp.where(keep, ids, PAD)
-            tok = jnp.where(keep, tok_a, lp_pad)
+        head, logprob = _fused_parallel_fill(
+            model, params, x, memory, src_mask, mask3, keep, role="A",
+            sample_method=sample_method, fused_interpret=fused_interpret,
+            stacked=stacked)
+        if head is not None:
+            seq, tok, ent = head
             return {"seq": seq, "tok_logprobs": tok, "entropy": ent,
                     "length": length_N}
-        logprob = model.apply(params, h, method="generate")
     else:
         def fill(m):
             h = m.decode_a(tgt, memory, src_mask, keep[:, None, :])
@@ -787,7 +787,13 @@ def ss_sa_loop(model, params, rng, memory, src_mask, labels, phrase_length,
 
         plan_len = s["plan_len"].at[:, i].set(jnp.where(emit, len_eff, 0))
         plan_syn = s["plan_syn"].at[:, i].set(jnp.where(emit, syn_eff, PAD))
-        finished = s["finished"] | stop | (emit & use_model & clamp)
+        # the reference finishes a clamped sample based on the MODEL's
+        # predicted length BEFORE the ss coin picks the input branch
+        # (TransformerModel.py:2033-2038: finished[j] is already True when
+        # the gt branch later overwrites the plan length), so the clamp term
+        # must not be gated on use_model — a teacher-forced clamped sample
+        # ends too, instead of looping on zero-capacity rounds
+        finished = s["finished"] | stop | (emit & clamp)
 
         # decoder inputs for the new slot
         prev_model = s["prev_len"]

@@ -136,11 +136,15 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                 group_size=group_size, diversity_lambda=diversity_lambda,
                 length_penalty=eval_kwargs.get("length_penalty", ""),
                 suppress_unk_idx=suppress_unk_idx,
+                temperature=temperature,
+                decoding_constraint=decoding_constraint,
                 bad_endings_ix=bad_endings_ix)
         return ar_mod.ar_beam_search(
             model, params, memory, src_mask, beam_size=beam_size,
             length_penalty=eval_kwargs.get("length_penalty", ""),
             suppress_unk_idx=suppress_unk_idx,
+            temperature=temperature,
+            decoding_constraint=decoding_constraint,
             bad_endings_ix=bad_endings_ix)
 
     @jax.jit
@@ -202,6 +206,9 @@ def sample_n_captions(model, params, memory, src_mask, rng,
         out = ar_beam_search(model, params, memory, src_mask, beam_size=n,
                              length_penalty=length_penalty,
                              suppress_unk_idx=suppress_unk_idx,
+                             temperature=temperature,
+                             decoding_constraint=bool(
+                                 eval_kwargs.get("decoding_constraint", 0)),
                              bad_endings_ix=bad_endings_ix)
         return np.asarray(out["seq"])
     if method == "dbs":
@@ -210,6 +217,9 @@ def sample_n_captions(model, params, memory, src_mask, rng,
             diversity_lambda=eval_kwargs.get("diversity_lambda", 0.5),
             length_penalty=length_penalty,
             suppress_unk_idx=suppress_unk_idx,
+            temperature=temperature,
+            decoding_constraint=bool(
+                eval_kwargs.get("decoding_constraint", 0)),
             bad_endings_ix=bad_endings_ix)
         return np.asarray(out["seq"])
     if method.startswith("d"):

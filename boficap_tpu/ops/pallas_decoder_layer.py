@@ -160,8 +160,7 @@ def _kernel(x_ref, mem_ref, tm_ref, sm_ref,
     o_ref[:] = x.reshape(G, Lq, D)
 
 
-def pack_layer_weights(lp: Dict[str, Any], dtype, num_heads: int
-                       ) -> Dict[str, jnp.ndarray]:
+def pack_layer_weights(lp: Dict[str, Any], dtype) -> Dict[str, jnp.ndarray]:
     """DecoderLayer param subtree (params['layer{i}']) -> packed kernel
     weights in the compute dtype ([D, D] projections kept whole — the
     kernel's projections are full-width dots and heads are lane-slices of
@@ -204,15 +203,14 @@ def pack_layer_weights(lp: Dict[str, Any], dtype, num_heads: int
     }
 
 
-def pack_decoder_weights(decoder_params: Dict[str, Any], dtype,
-                         num_heads: int):
+def pack_decoder_weights(decoder_params: Dict[str, Any], dtype):
     """Whole Decoder subtree (params['params']['decoder{k}']) -> (list of
     per-layer packed weights, final-norm (scale, bias)).  Pack once per
     decode call, OUTSIDE any while_loop, so the transposes/casts don't rerun
     per loop iteration."""
     n_layers = sum(1 for k in decoder_params if k.startswith("layer"))
-    packed = [pack_layer_weights(decoder_params[f"layer{i}"], dtype,
-                                 num_heads) for i in range(n_layers)]
+    packed = [pack_layer_weights(decoder_params[f"layer{i}"], dtype)
+              for i in range(n_layers)]
     fn = decoder_params["norm"]
     return packed, (fn["scale"], fn["bias"])
 
@@ -522,8 +520,7 @@ def _enc_kernel(x_ref, m_ref,
     o_ref[:] = x.reshape(G, R, D)
 
 
-def pack_encoder_weights(encoder_params: Dict[str, Any], dtype,
-                         num_heads: int):
+def pack_encoder_weights(encoder_params: Dict[str, Any], dtype):
     """Encoder subtree (params['params']['encoder']) -> (per-layer packed
     weights, final-norm (scale, bias))."""
     n_layers = sum(1 for k in encoder_params if k.startswith("layer"))

@@ -100,7 +100,7 @@ def main():
 
     def enc_stack(g):
         packed_e, fnorm_e = pdl.pack_encoder_weights(
-            params["params"]["encoder"], model.dtype, model.num_heads)
+            params["params"]["encoder"], model.dtype)
 
         @jax.jit
         def f(att_e, src_mask):
@@ -115,7 +115,7 @@ def main():
     st_dec = pst.pack_stack(packed_na, "dec")
     st_win = pst.pack_stack(packed_sa, "win")
     packed_e2, fnorm_e2 = pdl.pack_encoder_weights(
-        params["params"]["encoder"], model.dtype, model.num_heads)
+        params["params"]["encoder"], model.dtype)
     st_enc = pst.pack_stack(packed_e2, "enc")
     k2st, v2st = jnp.stack(k2s), jnp.stack(v2s)
 

@@ -86,8 +86,7 @@ def test_fused_decoder_layer_matches_unfused():
         want = ref_dec.apply({"params": dec_params},
                              x.astype(dtype), memory.astype(dtype),
                              src_mask, tgt_mask, True)
-        packed, fnorm = pack_decoder_weights(dec_params, dtype,
-                                             model.num_heads)
+        packed, fnorm = pack_decoder_weights(dec_params, dtype)
         got = fused_decoder_forward(x.astype(dtype), memory.astype(dtype),
                                     tgt_mask, src_mask, packed, fnorm,
                                     num_heads=model.num_heads,
