@@ -125,6 +125,13 @@ class LabelStore:
 
 # ---------------------------------------------------------------------------
 # pp_mode transforms (reference dataloader.py:261-294)
+#
+# NOTE (reference parity): both modes transform only phrase_num /
+# phrase_length; phrase_syn stays aligned to the ORIGINAL phrase slots —
+# exactly as the reference's collate does (its pp_mode branches never touch
+# phrase_label).  Syn supervision under pp_mode != 'phrase' is therefore
+# slot-shifted there and here alike; these modes are used with syn-free
+# training in practice.
 # ---------------------------------------------------------------------------
 
 def pp_mode_word(phrase_num, phrase_length):

@@ -180,8 +180,13 @@ def tuic_loss(len_logprob, syn_logprob, a_word_logprob, sa_word_logprob,
               labels, reduction: str = "mean") -> Dict[str, jnp.ndarray]:
     """UIC_s / UIC_u eight-term loss with the always-on KL distillation chain
     SA ← AR, NA ← {SA, AR} (reference LanguageModelCriterion_TUIC,
-    losses.py:372-423)."""
-    del reduction
+    losses.py:372-423).
+
+    ``reduction='none'`` (drop-worst) returns per-sample losses: the sum of
+    every term's masked row total over the row's word-mask count — the
+    reference's own 'none' path is BROKEN (losses.py:408-414 leaves
+    ``output`` unbound and returns None means), so this follows the intent
+    of its commented-out line :409 extended to all eight terms."""
     L = sa_word_logprob.shape[-2]
     a_nll, wmask = _phrase_terms(a_word_logprob, labels, phrase_length, L)
     sa_nll, _ = _phrase_terms(sa_word_logprob, labels, phrase_length, L)
@@ -190,10 +195,17 @@ def tuic_loss(len_logprob, syn_logprob, a_word_logprob, sa_word_logprob,
                                           phrase_num, phrase_length, phrase_syn)
     wm = wmask.astype(sa_nll.dtype)
     sm = smask.astype(sa_nll.dtype)
+    sa_kl_t = _kl_term(sa_word_logprob, a_word_logprob, wm)
+    na_kl_t = (_kl_term(na_word_logprob, sa_word_logprob, wm)
+               + _kl_term(na_word_logprob, a_word_logprob, wm))
+    if reduction == "none":
+        per = ((len_nll * sm).sum(-1) + (syn_nll * sm).sum(-1)
+               + (a_nll * wm).sum(-1) + (sa_nll * wm).sum(-1)
+               + (na_nll * wm).sum(-1) + sa_kl_t.sum(-1) + na_kl_t.sum(-1))
+        return {"loss": per / jnp.maximum(wm.sum(-1), 1e-8)}
     denom = jnp.maximum(wm.sum(), 1e-8)
-    sa_kl = _kl_term(sa_word_logprob, a_word_logprob, wm).sum() / denom
-    na_kl = ((_kl_term(na_word_logprob, sa_word_logprob, wm)
-              + _kl_term(na_word_logprob, a_word_logprob, wm)).sum() / denom)
+    sa_kl = sa_kl_t.sum() / denom
+    na_kl = na_kl_t.sum() / denom
     out = {
         "length_loss": (len_nll * sm).sum() / denom,
         "syn_loss": (syn_nll * sm).sum() / denom,
@@ -278,14 +290,17 @@ def structure_loss(logprob, seq, scores, loss_type: str,
     lp_tok = _gather_logprob(logprob, seq)
     mask = _seq_mask(seq).astype(lp_tok.dtype)
 
+    # reported reward is the raw score, BEFORE the entropy bonus
+    # (reference losses.py:54 assigns out['reward'] first)
+    out: Dict[str, jnp.ndarray] = {"reward": scores}
     if entropy_reward_weight > 0:
         p = jax.nn.softmax(logprob, axis=-1)
         ent = -(p * jax.nn.log_softmax(logprob, axis=-1)).sum(-1)
         ent = jax.lax.stop_gradient((ent * mask).sum(-1)
                                     / jnp.maximum(mask.sum(-1), 1e-8))
-        scores = scores + entropy_reward_weight * ent
-
-    out: Dict[str, jnp.ndarray] = {"reward": scores}
+        # [B] entropies fold into the [n_img, sample_n] score layout
+        # (reference entropy.view(-1, seq_per_img), losses.py:59)
+        scores = scores + entropy_reward_weight * ent.reshape(scores.shape)
 
     if loss_type == "new_self_critical":
         # leave-one-out baseline (losses.py:157-176); scores [n_img, n]

@@ -30,7 +30,7 @@ TPU-first re-expressions (none of these change the math, only its shape):
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +82,7 @@ class BoFiCap(nn.Module):
     max_length: int = 20              # L; sequences are L+2 with bos/eos frame
     train_mode: str = "UIC"
     decoder_input_mode: str = "add"   # add | single | gate
+    norm_mode: str = "copy"           # PB_pad input mode: copy|compress|complex
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------------ setup
@@ -438,7 +439,8 @@ class BoFiCap(nn.Module):
 
     def pb_decode(self, packed_ids, packed_slot, labels, phrase_length,
                   memory, src_mask, packed_mask, deterministic=True,
-                  norm_mode: str = "copy", return_hidden: bool = False):
+                  norm_mode: Optional[str] = None,
+                  return_hidden: bool = False):
         """Packed phrase-parallel decode (reference EncoderDecoderPB_pad
         .decode, TransformerModel.py:1138-1213).  packed_ids: copy-init word
         ids per packed position; packed_slot: phrase slot of each packed
@@ -447,6 +449,7 @@ class BoFiCap(nn.Module):
         (or the decoder hidden states [B, Lp, D] with ``return_hidden`` —
         the jit decode applies the vocab head only on the new column's
         window, decode/pb.py)."""
+        norm_mode = norm_mode or self.norm_mode
         if norm_mode == "copy":
             x = self.word_embed(packed_ids)
         else:
@@ -661,5 +664,6 @@ def build_model(cfg, vocab_size: int) -> BoFiCap:
         max_length=cfg.get("max_length", 20) or 20,
         train_mode=cfg.get("train_mode", "AIC"),
         decoder_input_mode=cfg.get("decoder_input_mode", "add"),
+        norm_mode=cfg.get("norm_mode", "copy") or "copy",
         dtype=dtype,
     )

@@ -33,25 +33,38 @@ def noam_schedule(d_model: int, factor: float, warmup: int):
 
 
 def make_base_opt(cfg, lr):
+    """Reference build_optimizer semantics (misc.py:114-130): 'sgd' is PLAIN
+    (no momentum — 'sgdm'/'sgdmom' are the momentum/nesterov variants, each
+    with momentum = optim_alpha), and weight_decay is the torch-style
+    COUPLED L2 (gradient += wd·p before the update) for every optimizer
+    except 'adamw', which is decoupled."""
     kind = cfg.get("optim", "adam")
     b1 = cfg.get("optim_alpha", 0.9)
     b2 = cfg.get("optim_beta", 0.999)
     eps = cfg.get("optim_epsilon", 1e-8)
     wd = cfg.get("weight_decay", 0)
+
+    def l2(base):
+        # torch's coupled weight decay: decay joins the gradient BEFORE the
+        # adaptive/momentum machinery sees it
+        return optax.chain(optax.add_decayed_weights(wd), base) if wd \
+            else base
+
     if kind == "adam":
-        base = optax.adam(lr, b1=b1, b2=b2, eps=eps) if not wd else \
-            optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
-    elif kind == "adamw":
-        base = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
-    elif kind == "sgd":
-        base = optax.sgd(lr, momentum=cfg.get("optim_alpha", 0.9))
-    elif kind == "rmsprop":
-        base = optax.rmsprop(lr, decay=cfg.get("optim_alpha", 0.9), eps=eps)
-    elif kind == "adagrad":
-        base = optax.adagrad(lr)
-    else:
-        raise ValueError(f"unknown optim {kind}")
-    return base
+        return l2(optax.adam(lr, b1=b1, b2=b2, eps=eps))
+    if kind == "adamw":
+        return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    if kind == "sgd":
+        return l2(optax.sgd(lr))
+    if kind == "sgdm":
+        return l2(optax.sgd(lr, momentum=b1))
+    if kind == "sgdmom":
+        return l2(optax.sgd(lr, momentum=b1, nesterov=True))
+    if kind == "rmsprop":
+        return l2(optax.rmsprop(lr, decay=b1, eps=eps))
+    if kind == "adagrad":
+        return l2(optax.adagrad(lr))
+    raise ValueError(f"unknown optim {kind}")
 
 
 def build_optimizer(cfg) -> optax.GradientTransformation:

@@ -182,7 +182,8 @@ def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
         d = Lm.tuic_loss(out["len_logprob"], out["syn_logprob"],
                          out["a_logprob"], out["sa_logprob"],
                          out["na_logprob"], f["phrase_num"],
-                         f["phrase_length"], f["phrase_syn"], f["labels"])
+                         f["phrase_length"], f["phrase_syn"], f["labels"],
+                         reduction)
         loss = d.pop("loss")
         metrics.update(d)
     elif mode == "PB_pad":
@@ -203,7 +204,7 @@ def xe_loss_fn(model: BoFiCap, params, batch, rng, glat_p: float = -1.0,
             params, jnp.asarray(batch["pb_ids"]),
             jnp.asarray(batch["pb_slot"]), f["labels"], f["phrase_length"],
             memory, src_mask, jnp.asarray(batch["pb_mask"]), deterministic,
-            batch.get("norm_mode", "copy"), rngs=rngs, method="pb_decode")
+            rngs=rngs, method="pb_decode")   # norm_mode: the model's field
         d = Lm.pb_pad_loss(jnp.asarray(batch["pb_labels"])[:, 1:], word_lp,
                            jnp.asarray(batch["pb_word_mask"])[:, 1:],
                            f["phrase_num"],
@@ -358,10 +359,17 @@ def make_rl_sample(model: BoFiCap, sample_method: str = "sample",
 
 
 def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
-               sample_n: int, deterministic: bool = False):
+               sample_n: int, deterministic: bool = True,
+               use_logsoftmax: bool = True):
     """Differentiable re-score of sampled plans: teacher-forced logprobs of
     each branch under the CURRENT params (identical values to the sampling
-    loop's stored logprobs; see module docstring)."""
+    loop's stored logprobs; see module docstring).  ``deterministic``
+    defaults True — the sampling loops run without dropout, so the re-score
+    must too or the gathered values are not the sampled policy's
+    (test_rl_rescore_matches_sampling_logprobs pins this).
+    ``use_logsoftmax=False`` returns raw generator LOGITS instead — what the
+    margin-family structure losses consume (the reference's
+    output_logsoftmax sample flag, loss_wrapper.py:158-160)."""
     L = model.max_length
     memory = model.apply(params, att_feats, att_masks,
                          deterministic=deterministic,
@@ -371,6 +379,9 @@ def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
     msk = jnp.repeat(src_mask, sample_n, axis=0)
     out = {}
     rngs = {"dropout": jax.random.fold_in(rng, 7)}
+
+    def gen(m, h):
+        return m.generate(h) if use_logsoftmax else m.generate_logits(h)
 
     if "sa" in samples:
         s = samples["sa"]
@@ -383,7 +394,7 @@ def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
         def sa_fill(m):
             h = m.decode_sa(copied, word_syn, mem, msk, sa_mask,
                             deterministic)
-            return m.generate(h)
+            return gen(m, h)
 
         out["sa_logprob"] = model.apply(params, method=sa_fill, rngs=rngs)
     if "na" in samples:
@@ -392,85 +403,114 @@ def rl_rescore(model: BoFiCap, params, rng, att_feats, att_masks, samples,
         na_mask = jnp.broadcast_to(
             jnp.arange(L)[None, None, :] < total[:, None, None],
             (s["seq"].shape[0], L, L))
-        ps_full = jnp.concatenate(
-            [jnp.full((s["seq"].shape[0], 1), BOS, s["phrase_syn"].dtype),
-             s["phrase_syn"],
-             jnp.zeros((s["seq"].shape[0], 1), s["phrase_syn"].dtype)], 1)
-        pl_full = jnp.concatenate(
-            [jnp.ones((s["seq"].shape[0], 1), s["phrase_length"].dtype),
-             s["phrase_length"],
-             jnp.zeros((s["seq"].shape[0], 1), s["phrase_length"].dtype)], 1)
+        _, pl_full, ps_full = frame_plan(s["seq"], s["phrase_length"],
+                                         s["phrase_syn"], L)
         word_syn = po.extend_syn_seq(pl_full, ps_full, L)[:, 1:-1]
 
         def na_fill(m):
             h = m.decode_na(word_syn, mem, msk, na_mask, deterministic)
-            return m.generate(h)
+            return gen(m, h)
 
         out["na_logprob"] = model.apply(params, method=na_fill, rngs=rngs)
     if "sample" in samples:  # AR branch
         s = samples["sample"]
         seq = s["seq"]
-        B = seq.shape[0]
-        labels = jnp.concatenate(
-            [jnp.full((B, 1), BOS, seq.dtype), seq,
-             jnp.zeros((B, 1), seq.dtype)], axis=1)
+        from ..models.layers import causal_mask
         if model.train_mode in ("UIC_s", "UIC_u"):
             # plan-gated AR decode with syn embeddings: re-score via the
             # teacher-forced decode_a on the sampled plan's syn sequence
-            pl_f = jnp.concatenate(
-                [jnp.ones((B, 1), s["phrase_length"].dtype),
-                 s["phrase_length"],
-                 jnp.zeros((B, 1), s["phrase_length"].dtype)], 1)
-            ps_f = jnp.concatenate(
-                [jnp.full((B, 1), BOS, s["phrase_syn"].dtype),
-                 s["phrase_syn"],
-                 jnp.zeros((B, 1), s["phrase_syn"].dtype)], 1)
+            labels, pl_f, ps_f = frame_plan(seq, s["phrase_length"],
+                                            s["phrase_syn"], L)
             word_syn = po.extend_syn_seq(pl_f, ps_f, L)[:, 1:-1]
-            from ..models.layers import causal_mask
-            inp = labels[:, :-2]
-            keep = (inp != EOS) & (inp != PAD)
-            keep = keep.at[:, 0].set(True)
-            mask = keep[:, None, :] & causal_mask(inp.shape[1])[None]
-
-            def a_fill(m):
-                h = m.decode_a(inp, mem, msk, mask, deterministic,
-                               syn_seq=word_syn)
-                return m.generate(h)
-
-            out["a_logprob"] = model.apply(params, method=a_fill, rngs=rngs)
+            syn_seq = word_syn
+        elif isinstance(model, BoFiCap):
+            labels = jnp.concatenate(
+                [jnp.full((seq.shape[0], 1), BOS, seq.dtype), seq,
+                 jnp.zeros((seq.shape[0], 1), seq.dtype)], axis=1)
+            syn_seq = None
         else:
+            # LSTM captioners (FC/UpDown/AoANet) have no decode_a — run
+            # their full teacher-forced forward (always log-softmax)
+            labels = jnp.concatenate(
+                [jnp.full((seq.shape[0], 1), BOS, seq.dtype), seq,
+                 jnp.zeros((seq.shape[0], 1), seq.dtype)], axis=1)
             o = model.apply(params, att_feats, att_masks, labels,
                             deterministic=deterministic, rngs=rngs)
             out["a_logprob"] = o["logprob"][:, :L]
+            return out
+        # teacher-forced causal decode on the already-computed repeated
+        # memory (same mask as BoFiCap.__call__'s AIC branch) — the old
+        # full-model call here re-ran the encoder per RL step for nothing
+        inp = labels[:, :-2]
+        keep = (inp != EOS) & (inp != PAD)
+        keep = keep.at[:, 0].set(True)
+        mask = keep[:, None, :] & causal_mask(inp.shape[1])[None]
+
+        def a_fill(m):
+            h = m.decode_a(inp, mem, msk, mask, deterministic,
+                           syn_seq=syn_seq)
+            return gen(m, h)
+
+        out["a_logprob"] = model.apply(params, method=a_fill, rngs=rngs)
     return out
 
 
 def make_rl_step(model: BoFiCap, tx, cfg):
     """jit'd RL update given host-computed scores.
 
-    loss = sum over sampled branches of structure_loss (+ optional
-    rl_kl KL(NA ← SA) over the SA sample's positions, loss_wrapper.py:221-227).
+    Per sampled branch: loss += (1-w)·lm_loss + w·structure_loss — the
+    reference's structure-stage mix (loss_wrapper.py:169/220-222; lm_loss is
+    the teacher-forced XE on the gt batch, computed when w < 1 and entering
+    once per branch exactly as there) — plus optional rl_kl KL(NA ← SA)
+    over the SA sample's positions (loss_wrapper.py:221-227).
+
+    The margin-family loss types consume raw generator LOGITS (reference
+    output_logsoftmax flag); everything else gets log-softmax.
     """
     loss_type = cfg.get("structure_loss_type", "new_self_critical")
     sample_n = cfg.get("train_sample_n", 5)
     rl_kl = cfg.get("rl_kl", False)
     w = cfg.get("structure_loss_weight", 1.0)
+    ent_w = cfg.get("entropy_reward_weight", 0) or 0.0
+    sc_w = cfg.get("self_cider_reward_weight", 0) or 0.0
+    use_ls = bool(cfg.get("struc_use_logsoftmax", False)
+                  or loss_type == "softmax_margin"
+                  or "margin" not in loss_type)
+    glat_p = cfg.get("glat_p", -1.0)
+    label_smoothing = cfg.get("label_smoothing", 0.0) or 0.0
 
     @partial(jax.jit, donate_argnums=(0,))   # in-place state, like xe_step
-    def step(state: TrainState, rng, att_feats, att_masks, samples, scores):
+    def step(state: TrainState, rng, att_feats, att_masks, samples, scores,
+             gt=None):
         def lf(params):
             lps = rl_rescore(model, params, rng, att_feats, att_masks,
-                             samples, sample_n)
-            total = 0.0
+                             samples, sample_n, deterministic=True,
+                             use_logsoftmax=use_ls)
             metrics = {}
+            lm = 0.0
+            if w < 1.0:
+                if gt is None:
+                    raise ValueError(
+                        "structure_loss_weight < 1 needs the gt batch for "
+                        "the (1-w)*lm_loss term — pass gt= to the rl step")
+                lm, _ = xe_loss_fn(
+                    model, params,
+                    dict(gt, att_feats=att_feats, att_masks=att_masks),
+                    jax.random.fold_in(rng, 3), glat_p=glat_p,
+                    label_smoothing=label_smoothing)
+                metrics["lm_loss"] = lm
+            total = 0.0
             reward_sum = 0.0
             for key, lp_key in (("sa", "sa_logprob"), ("na", "na_logprob"),
                                 ("sample", "a_logprob")):
                 if key not in samples:
                     continue
-                d = Lm.structure_loss(lps[lp_key], samples[key]["seq"],
-                                      scores[key], loss_type)
-                total = total + w * d["loss"]
+                d = Lm.structure_loss(
+                    lps[lp_key], samples[key]["seq"], scores[key], loss_type,
+                    entropy_reward_weight=ent_w,
+                    self_cider_scores=scores.get(f"{key}_self_cider"),
+                    self_cider_reward_weight=sc_w)
+                total = total + (1.0 - w) * lm + w * d["loss"]
                 metrics[f"{key}_struc_loss"] = d["loss"]
                 reward_sum = reward_sum + jnp.mean(d["reward"])
             if rl_kl and "sa" in samples and "na" in samples:
@@ -505,12 +545,18 @@ def rl_host_scores(samples, gts, cfg, classic_scst: bool = False
             np.asarray(samples["greedy"]["seq"]), gts,
             np.asarray(samples["sample"]["seq"]), cfg)
         return out
+    sc_w = cfg.get("self_cider_reward_weight", 0) or 0.0
     for key in ("sa", "na", "sample"):
         if key not in samples:
             continue
         seqs = np.asarray(samples[key]["seq"])
         scores = get_scores(gts, seqs, cfg)
         out[key] = scores.reshape(-1, sample_n)
+        if sc_w > 0:
+            # per-image eigenvalue diversity bonus (reference losses.py
+            # :167-171 computes it host-side inside the criterion)
+            from ..rewards import get_self_cider_scores
+            out[f"{key}_self_cider"] = get_self_cider_scores(gts, seqs, cfg)
     return out
 
 
@@ -523,7 +569,8 @@ def make_scst_step(model: BoFiCap, tx, cfg):
     def step(state: TrainState, rng, att_feats, att_masks, samples, rewards):
         def lf(params):
             lps = rl_rescore(model, params, rng, att_feats, att_masks,
-                             {"sample": samples["sample"]}, sample_n)
+                             {"sample": samples["sample"]}, sample_n,
+                             deterministic=True)
             loss = Lm.reward_criterion(lps["a_logprob"],
                                        samples["sample"]["seq"], rewards)
             return loss, {"reward": jnp.mean(rewards[:, 0])}

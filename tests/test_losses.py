@@ -187,3 +187,48 @@ def test_drop_worst():
     per = jnp.array([1.0, 5.0, 2.0, 9.0])
     # rate 0.5 -> keep 2 lowest: (1+2)/2
     assert float(Lm.drop_worst(per, 0.5)) == pytest.approx(1.5)
+
+
+def test_structure_loss_entropy_bonus_and_raw_reward(rng):
+    """The entropy bonus folds [B] entropies into the [n_img, n] score
+    layout (reference entropy.view(-1, seq_per_img), losses.py:59), and
+    out['reward'] reports the RAW scores, before the bonus (losses.py:54)."""
+    n_img, n = 2, 3
+    B = n_img * n
+    lp = _rand_logprob(rng, (B, L, V))
+    seq = rng.randint(1, V, size=(B, L))
+    scores = rng.randn(n_img, n).astype(np.float32)
+    out = Lm.structure_loss(jnp.array(lp), jnp.array(seq), jnp.array(scores),
+                            "new_self_critical", entropy_reward_weight=0.5)
+    np.testing.assert_allclose(np.asarray(out["reward"]), scores)
+    base = Lm.structure_loss(jnp.array(lp), jnp.array(seq),
+                             jnp.array(scores), "new_self_critical")
+    # a non-degenerate entropy bonus changes the advantage, hence the loss
+    assert float(out["loss"]) != pytest.approx(float(base["loss"]))
+
+
+def test_tuic_loss_reduction_none():
+    """UIC_s/u criterion under drop-worst: per-sample losses whose mean
+    relates to the 'mean' reduction through the per-row mask weights
+    (the reference's own 'none' path is broken — losses.py:408-414)."""
+    r = np.random.RandomState(4)
+    B = 4
+    lp = _rand_logprob(r, (B, L, V))
+    lenp = _rand_logprob(r, (B, L + 1, 20))
+    synp = _rand_logprob(r, (B, L + 1, 10))
+    from tests.oracles import random_phrase_row
+    labels = np.zeros((B, L + 2), np.int64)
+    pls = np.zeros((B, L + 2), np.int64)
+    syns = np.zeros((B, L + 2), np.int64)
+    nums = np.zeros(B, np.int64)
+    for b in range(B):
+        labels[b], nums[b], pls[b], syns[b] = random_phrase_row(
+            r, L, vocab=V)
+    per = Lm.tuic_loss(jnp.array(lenp), jnp.array(synp), jnp.array(lp),
+                       jnp.array(lp), jnp.array(lp), jnp.array(nums),
+                       jnp.array(pls), jnp.array(syns), jnp.array(labels),
+                       reduction="none")["loss"]
+    assert per.shape == (B,)
+    assert np.isfinite(np.asarray(per)).all()
+    # drop_worst consumes it without crashing
+    assert np.isfinite(float(Lm.drop_worst(per, 0.25)))

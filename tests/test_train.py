@@ -292,3 +292,107 @@ def test_resume_across_optimizer_change(tmp_path):
     st3 = resume_state(cfg3, create_state(params, optim_mod.build_optimizer(cfg3)))
     assert jax.tree_util.tree_structure(st3.opt_state) == \
         jax.tree_util.tree_structure(st1.opt_state)
+
+
+def test_uic_s_drop_worst_step():
+    """UIC_s + drop-worst used to crash (tuic_loss ignored reduction and
+    drop_worst indexed a scalar); now the per-sample 'none' path feeds it."""
+    cfg, data, model, tx, state = setup("UIC_s")
+    step_fn = steps_mod.make_xe_step(model, tx)
+    batch = data.get_batch("train")
+    state, m = steps_mod.run_xe_step(step_fn, state, batch,
+                                     jax.random.PRNGKey(0), drop_worst=0.25)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_rl_step_mixes_lm_loss_below_weight_one():
+    """structure_loss_weight < 1 adds the (1-w)*lm_loss XE term per branch
+    (reference loss_wrapper.py:169/220-222) — requires the gt batch and
+    reports lm_loss in the metrics."""
+    cfg, data, model, tx, state = setup("UIC")
+    cfg.structure_loss_type = "new_self_critical"
+    cfg.structure_loss_weight = 0.5
+    init_scorer("corpus")
+    rl_step = steps_mod.make_rl_step(model, tx, cfg)
+    batch = data.get_batch("train")
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    n = cfg.train_sample_n
+    f = steps_mod._flat(batch)
+    rows = np.arange(cfg.batch_size) * batch["labels"].shape[1]
+    idx = np.repeat(rows, n)
+    fake = {k: {"seq": f["labels"][idx, 1:-1],
+                "phrase_length": f["phrase_length"][idx, 1:-1],
+                "phrase_syn": f["phrase_syn"][idx, 1:-1]}
+            for k in ("sa", "na")}
+    scores = {k: jnp.asarray(np.random.RandomState(3).rand(
+        cfg.batch_size, n).astype(np.float32)) for k in fake}
+    gt = {k: jnp.asarray(batch[k]) for k in
+          ("labels", "phrase_num", "phrase_length", "phrase_syn", "masks")}
+    state2, m = rl_step(state, jax.random.PRNGKey(1), att, am, fake,
+                        scores, gt=gt)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["lm_loss"])) and float(m["lm_loss"]) > 0
+    # without the gt batch the step must refuse, not silently drop the term
+    import pytest as _pytest
+    state3 = create_state(state2.params, tx)
+    with _pytest.raises(ValueError, match="lm_loss"):
+        rl_step(state3, jax.random.PRNGKey(2), att, am, fake, scores,
+                gt=None)
+
+
+def test_margin_loss_gets_raw_logits():
+    """The margin family consumes raw generator logits (reference
+    output_logsoftmax=False): rl_rescore(use_logsoftmax=False) output rows
+    must NOT be normalized log-probs."""
+    cfg, data, model, tx, state = setup("AIC")
+    batch = data.get_batch("train")
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    n = cfg.train_sample_n
+    f = steps_mod._flat(batch)
+    rows = np.arange(cfg.batch_size) * batch["labels"].shape[1]
+    idx = np.repeat(rows, n)
+    fake = {"sample": {"seq": f["labels"][idx, 1:-1]}}
+    lps = steps_mod.rl_rescore(model, state.params, jax.random.PRNGKey(0),
+                               att, am, fake, n, use_logsoftmax=False)
+    logits = np.asarray(lps["a_logprob"], np.float32)
+    sums = np.exp(logits).sum(-1)
+    assert not np.allclose(sums, 1.0, atol=1e-2)       # raw logits
+    lps2 = steps_mod.rl_rescore(model, state.params, jax.random.PRNGKey(0),
+                                att, am, fake, n, use_logsoftmax=True)
+    lp = np.asarray(lps2["a_logprob"], np.float32)
+    np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, atol=1e-3)
+
+
+def test_optimizer_reference_semantics():
+    """misc.py:114-130 parity: 'sgd' is PLAIN (p -= lr*(g + wd*p)); 'sgdm'
+    adds momentum; adam's weight_decay is torch-style coupled L2 (the decay
+    rides the gradient into the moment estimates)."""
+    import optax
+    from boficap_tpu.config import default_config
+    from boficap_tpu.train.optim import make_base_opt
+    cfg = default_config()
+    cfg.optim = "sgd"
+    cfg.weight_decay = 0.1
+    p = {"w": jnp.array([2.0])}
+    g = {"w": jnp.array([0.5])}
+    tx = make_base_opt(cfg, 0.1)
+    upd, _ = tx.update(g, tx.init(p), p)
+    # plain sgd + coupled L2: -lr * (g + wd*p) = -0.1 * (0.5 + 0.2)
+    np.testing.assert_allclose(np.asarray(upd["w"]), [-0.07], rtol=1e-6)
+    cfg.optim = "sgdm"
+    cfg.weight_decay = 0.0
+    txm = make_base_opt(cfg, 0.1)
+    st = txm.init(p)
+    u1, st = txm.update(g, st, p)
+    u2, st = txm.update(g, st, p)
+    assert abs(float(u2["w"][0])) > abs(float(u1["w"][0]))  # momentum accumulates
+    cfg.optim = "adam"
+    cfg.weight_decay = 0.1
+    txa = make_base_opt(cfg, 0.1)
+    sta = txa.init(p)
+    # zero gradient: coupled L2 still drives an update THROUGH adam's
+    # normalizer (|update| ~ lr), unlike zero-decay adam (no update)
+    ua, _ = txa.update({"w": jnp.zeros(1)}, sta, p)
+    assert abs(float(ua["w"][0])) > 1e-3

@@ -241,9 +241,18 @@ def train(opt):
                         state, step_key, att, am, samples,
                         jnp.asarray(scores["scst_reward"]))
                 else:
+                    gt = None
+                    if opt.get("structure_loss_weight", 1.0) < 1.0:
+                        # the (1-w)*lm_loss XE term needs the gt batch
+                        # (reference loss_wrapper.py:169/220-222)
+                        gt = {k: put_batch(data[k]) for k in
+                              ("labels", "phrase_num", "phrase_length",
+                               "phrase_syn", "masks")
+                              if data.get(k) is not None}
                     state, metrics = rl_step(
                         state, step_key, att, am, samples,
-                        {k: jnp.asarray(v) for k, v in scores.items()})
+                        {k: jnp.asarray(v) for k, v in scores.items()},
+                        gt=gt)
             else:
                 if mesh is not None:
                     data = {k: (put_batch(v) if hasattr(v, "shape") else v)
