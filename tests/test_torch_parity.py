@@ -343,6 +343,46 @@ def test_diverse_beam_search_parity():
     np.testing.assert_array_equal(got_seq[:, 0], seq_best.numpy())
 
 
+def test_uic_sa_decode_parity(parity_uic):
+    """End-to-end SA inference parity: the reference's core_SAIC loop
+    (TransformerModel.py:1878-1986 — per phrase: bound, copy-init the new
+    slot from the previous phrase, full decode, sample) vs our jit'd
+    per-phrase while_loop (decode/bound_fill.py::sa_decode), with CONVERTED
+    (shared) weights.  Plans and tokens must match exactly; per-token
+    logprobs/entropies numerically."""
+    ref, model, params = parity_uic
+    att, am, *_ = make_inputs(seed=7)
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import BoFiCap
+
+    memory = model.apply(params, jnp.asarray(att), jnp.asarray(am),
+                         deterministic=True, method=BoFiCap.encode)
+    got = bf.sa_decode(model, params, jax.random.PRNGKey(0), memory,
+                       jnp.asarray(am).astype(bool))
+
+    with torch.no_grad():
+        t_att = ref.att_embed(torch.from_numpy(att))
+        t_mask = torch.from_numpy(am).unsqueeze(-2)
+        t_mem = ref.model.encode(t_att, t_mask)
+        seq, seq_lp, pn, pl, ps = ref.core_SAIC(B, t_mem, t_mask,
+                                                "greedy", 1.0, "SAIC")
+    np.testing.assert_array_equal(np.asarray(got["phrase_num"]), pn.numpy())
+    np.testing.assert_array_equal(np.asarray(got["phrase_length"]),
+                                  pl.numpy())
+    np.testing.assert_array_equal(np.asarray(got["phrase_syn"]), ps.numpy())
+    np.testing.assert_array_equal(np.asarray(got["seq"]), seq.numpy())
+    # the reference returns the dense [B, L, V] logprob rows it wrote per
+    # filled position (zeros elsewhere); we carry token/entropy reductions
+    ref_lp = seq_lp.detach().numpy()
+    filled = seq.numpy() != 0
+    tok = np.take_along_axis(ref_lp, seq.numpy()[..., None], 2)[..., 0]
+    ent = -(np.exp(ref_lp) * ref_lp).sum(-1)
+    np.testing.assert_allclose(np.asarray(got["tok_logprobs"])[filled],
+                               tok[filled], rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["entropy"])[filled],
+                               ent[filled], rtol=1e-3, atol=2e-4)
+
+
 def test_beam_search_parity():
     """Single-group batched beam search vs the reference beam_search
     (group_size=1) with converted weights: done beams, their order, and
