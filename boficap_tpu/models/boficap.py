@@ -119,6 +119,15 @@ class BoFiCap(nn.Module):
         self.syn_head2 = nn.Dense(SYN_DIM, kernel_init=dense_init, dtype=self.dtype)
         self.lp_drop = nn.Dropout(self.dropout)
 
+        if self.train_mode == "PB_pad":
+            # the reference PB predictor owns a PRIVATE embedding table
+            # (LengthPredictorPB_pad's word_embed, TransformerModel.py:
+            # 1036-1040, constructed at :1617), separate from the decoder's
+            # tgt_embed — kept separate here so trained reference PB
+            # checkpoints convert exactly (utils/convert.py)
+            self.lp_word_embed = TokenEmbed(self.tgt_vocab, self.d_model,
+                                            self.dtype)
+
         if self.train_mode == "NNAIC":
             # whole-caption length head (reference LengthPredictor_NNAIC,
             # TransformerModel.py:1221-1250): per-box MLP -> flatten -> MLP
@@ -394,14 +403,19 @@ class BoFiCap(nn.Module):
         return jnp.argmax(probs, -1).astype(jnp.int32)
 
     # ---------------------------------------------------------------- PB_pad
-    def pb_compress(self, labels, phrase_length, deterministic=True):
+    def pb_compress(self, labels, phrase_length, deterministic=True,
+                    predictor: bool = False):
         """Per-slot compressed phrase embeddings: sum of the word embeddings
         inside each phrase (reference CompressEmbedding,
         TransformerModel.py:994-1013) — a one-hot segment-sum here instead of
         the reference's per-sample Python loops.  Slot 0 is the bos phrase.
+        ``predictor=True`` uses the length predictor's private embedding
+        table (the reference passes its LengthPredictorPB_pad.word_embed,
+        :1085, vs the decode path's tgt_embed, :1168).
         Returns [B, L2, d] (slots past phrase_num are zero)."""
         L2 = labels.shape[1]
-        emb = self.word_embed(labels)                       # [B, L2, d]
+        table = self.lp_word_embed if predictor else self.word_embed
+        emb = table(labels)                                 # [B, L2, d]
         ends = po.phrase_word_ends(phrase_length)           # [B, L2-1]
         pos = jnp.arange(L2)[None, :]
         # label position 0 -> slot 0; position p>=1 -> 1 + real slot of p-1
@@ -423,7 +437,7 @@ class BoFiCap(nn.Module):
         j+1's length.  Returns [B, L2, 20]."""
         L2 = labels.shape[1]
         x = self.posenc(self.pb_compress(labels, phrase_length,
-                                         deterministic),
+                                         deterministic, predictor=True),
                         deterministic=deterministic)
         slot = jnp.arange(L2)
         pad_ok = slot[None, :] < phrase_num[:, None]

@@ -21,7 +21,8 @@ Key schema (reference captioning/models/TransformerModel.py):
   model.length_predictor.{Length,Syntactic}_classifier{1,2} -> {len,syn}_head{1,2}
 Ignored: pos_embed.pe (recomputed), length_predictor.{length_attn,ff}
 (constructed but unused template copies when N_len >= 1), NNAIC L1/L2 map to
-nn_len_l{1,2}.
+nn_len_l{1,2}; PB_pad's predictor L1/L2 map to len_head{1,2} and its private
+word_embed (TransformerModel.py:1040) to lp_word_embed.
 """
 
 from __future__ import annotations
@@ -161,14 +162,24 @@ def torch_to_flax(state_dict: Dict[str, Any], train_mode: str) -> Dict:
                  v.T if wb == "weight" else v)
             continue
         m = re.match(r"length_predictor\.L(\d)\.(weight|bias)", k)
-        if m:  # NNAIC whole-caption length head
+        if m:
+            # PB_pad's per-slot length MLP (LengthPredictorPB_pad.L1/L2,
+            # TransformerModel.py:1047-1048 — same d->100->20 shape as the
+            # NAIC Length_classifier pair, so it shares our len_head slots);
+            # NNAIC's whole-caption head keeps its own nn_len_l{1,2}
             j, wb = m.groups()
-            _set(p, (f"nn_len_l{j}",
-                     "kernel" if wb == "weight" else "bias"),
+            name = f"len_head{j}" if train_mode == "PB_pad" else \
+                f"nn_len_l{j}"
+            _set(p, (name, "kernel" if wb == "weight" else "bias"),
                  v.T if wb == "weight" else v)
             continue
-        if re.match(r"length_predictor\.(length_attn|ff)\.", k):
-            continue                       # unused template copies (N_len>=1)
+        if k == "length_predictor.word_embed.lut.weight":
+            # the PB predictor's PRIVATE embedding table
+            # (TransformerModel.py:1040, constructed at :1617)
+            _set(p, ("lp_word_embed", "Embed_0", "embedding"), v)
+            continue
+        if re.match(r"length_predictor\.(length_attn|ff|pos_embed)\.", k):
+            continue   # unused template copies (N_len>=1) / sinusoid buffer
         raise KeyError(f"unmapped reference key: {key}")
     return {"params": p}
 

@@ -343,6 +343,67 @@ def test_diverse_beam_search_parity():
     np.testing.assert_array_equal(got_seq[:, 0], seq_best.numpy())
 
 
+@pytest.mark.parametrize("norm_mode", ["copy", "compress", "complex"])
+def test_pb_pad_forward_parity(norm_mode):
+    """PB_pad teacher-forced forward vs the reference EncoderDecoderPB_pad
+    (TransformerModel.py:1091-1213) with CONVERTED weights, for all three
+    norm_modes: per-slot length logprobs (the predictor's PRIVATE embedding
+    table, :1040) and the packed-phrase decode logprobs (our host
+    pack_decoder_inputs layout vs the reference's numpy-side assembly)."""
+    from captioning.models.TransformerModel import TransformerModel
+
+    from boficap_tpu.data.pb_pack import pack_decoder_inputs
+
+    opt = ref_opt("PB_pad")
+    opt.norm_mode = norm_mode
+    torch.manual_seed(11)
+    ref = TransformerModel(opt)
+    ref.eval()
+    cfg = our_cfg("PB_pad")
+    cfg.norm_mode = norm_mode
+    model = build_model(cfg, V)
+    params = torch_to_flax(ref.state_dict(), "PB_pad")
+
+    att, am, labels, nums, pls, _ = make_inputs(seed=12)
+    packed_ids, packed_slot, packed_mask = pack_decoder_inputs(
+        labels, nums, pls)
+
+    with torch.no_grad():
+        t_att = ref.att_embed(torch.from_numpy(att))
+        t_mask = torch.from_numpy(am).unsqueeze(-2)
+        _, ref_len_lp, ref_h = ref.model(
+            t_att, torch.from_numpy(nums), torch.from_numpy(pls),
+            torch.from_numpy(labels), t_mask)
+        ref_lp = ref.model.generator(ref_h).numpy()
+
+    src = jnp.asarray(am).astype(bool)
+    memory = model.apply(params, jnp.asarray(att), jnp.asarray(am),
+                         deterministic=True, method="encode")
+    got_len = np.asarray(model.apply(
+        params, jnp.asarray(labels.astype(np.int32)),
+        jnp.asarray(nums.astype(np.int32)),
+        jnp.asarray(pls.astype(np.int32)), memory, src, True,
+        method="pb_length_predict"))
+    max_pn = int(nums.max())
+    np.testing.assert_allclose(got_len[:, :max_pn],
+                               ref_len_lp.numpy(), rtol=1e-3, atol=2e-4)
+
+    got_lp = np.asarray(model.apply(
+        params, jnp.asarray(packed_ids.astype(np.int32)),
+        jnp.asarray(packed_slot.astype(np.int32)),
+        jnp.asarray(labels.astype(np.int32)),
+        jnp.asarray(pls.astype(np.int32)), memory, src,
+        jnp.asarray(packed_mask), True, norm_mode, method="pb_decode"))
+    assert got_lp.shape == ref_lp.shape, (got_lp.shape, ref_lp.shape)
+    # compare each sample's own OCCUPIED packed positions (the diagonal of
+    # the blockwise mask): pad columns are masked out as keys on both sides
+    # but their query rows hold pad/compressed filler that legitimately
+    # differs (reference :1169-1172)
+    valid = np.einsum("bii->bi", packed_mask).astype(bool)
+    np.testing.assert_allclose(got_lp[valid], ref_lp[valid],
+                               rtol=1e-3, atol=2e-4)
+
+
 def test_uic_sa_decode_parity(parity_uic):
     """End-to-end SA inference parity: the reference's core_SAIC loop
     (TransformerModel.py:1878-1986 — per phrase: bound, copy-init the new
