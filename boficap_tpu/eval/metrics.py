@@ -4,7 +4,9 @@ The reference shells out to the external ``coco-caption`` java/python package
 (captioning/utils/eval_utils.py:21-26, :75-127).  Here the text metrics are
 computed in-process: BLEU and CIDEr reuse the reward scorers
 (boficap_tpu/rewards), ROUGE-L is implemented below.  METEOR and SPICE need
-external java models; they are reported as absent (None) rather than faked.
+external java models; they are reported as absent (None) rather than faked,
+with clearly-named in-process approximations alongside (METEOR_approx,
+eval/meteor.py; SPICE_approx, eval/spice.py).
 """
 
 from __future__ import annotations
@@ -73,13 +75,19 @@ def language_eval(predictions: List[dict], gts: Dict,
     out["ROUGE_L"] = float(np.mean(
         [rouge_l(res[i][0], sub_gts[i]) for i in ids]))
     # official METEOR/SPICE need external java models (WordNet synonymy /
-    # dependency parses): absent, never faked.  METEOR_approx is the
-    # in-process exact+stem implementation (eval/meteor.py).
+    # dependency parses): absent, never faked.  METEOR_approx
+    # (eval/meteor.py: exact+stem+synonym stages) and SPICE_approx
+    # (eval/spice.py: rule-based scene-graph tuple F1) are the in-process
+    # implementations, named so they are never confused with the official
+    # scorers' numbers.
     out["METEOR"] = None
     out["SPICE"] = None
     from .meteor import meteor as _meteor
+    from .spice import spice as _spice
     out["METEOR_approx"] = float(np.mean(
         [_meteor(res[i][0], sub_gts[i]) for i in ids]))
+    out["SPICE_approx"] = float(np.mean(
+        [_spice(res[i][0], sub_gts[i]) for i in ids]))
 
     bad = sum(1 for p in predictions
               if p["caption"].split()[-1:] and

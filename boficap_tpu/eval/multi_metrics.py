@@ -19,7 +19,10 @@ from-scratch scorers:
     Gram matrix — the same math the training-time self-CIDEr diversity
     reward uses (reference rewards.py:119-138; rewards/self_critical.py).
   * allspice needs the external java SPICE models: reported absent (None),
-    never faked (same policy as METEOR/SPICE in eval/metrics.py).
+    never faked (same policy as METEOR/SPICE in eval/metrics.py);
+    ``allspice_approx`` is the in-process stand-in — the union of an
+    image's n candidate tuple sets F1-scored against the reference tuple
+    union (eval/spice.py).
 """
 
 from __future__ import annotations
@@ -120,6 +123,11 @@ def multi_sample_eval(preds_n: List[dict], gts: Dict,
     """The reference language_eval's preds_n block (eval_utils.py:105-121):
     allspice (absent) + div stats + optional oracle + self-CIDEr."""
     out: Dict[str, float] = {"allspice": None}
+    from .spice import allspice as _allspice
+    groups = _group(preds_n)
+    vals = [_allspice(caps, gts[i]) for i, caps in groups.items()
+            if gts.get(i)]
+    out["allspice_approx"] = float(np.mean(vals)) if vals else None
     out.update(div_stats(preds_n))
     if eval_oracle:
         out.update(oracle(preds_n, gts))
