@@ -151,6 +151,9 @@ DEFAULTS: Dict[str, Any] = dict(
     multihost=False,            # call jax.distributed.initialize() at CLI
                                 # start (multi-host DCN; launcher provides
                                 # coordinator env)
+    dist_coordinator="",        # explicit multihost bring-up for launchers
+    dist_num_processes=0,       # that set no cluster env (SLURM/OMPI/TPU
+    dist_process_id=-1,         # pods are auto-detected when these are unset)
     data_prefetch=2,            # train-batch prefetch queue depth (0 = off)
     use_pallas=False,           # pallas attention kernels for the hot paths
     use_pallas_fill="auto",     # pallas fused decoder layer for NA/SA fill

@@ -105,7 +105,12 @@ class SyntheticFeatures:
         self.variable_regions = variable_regions
 
     def get(self, key: str) -> np.ndarray:
-        rng = np.random.RandomState(abs(hash(key)) % (2 ** 31))
+        # zlib.crc32, NOT hash(): python string hashing is randomized per
+        # process (PYTHONHASHSEED), which would give every process/run
+        # different "features" — multihost training requires every host to
+        # assemble identical batches (tools/train.py, tests/test_multihost)
+        import zlib
+        rng = np.random.RandomState(zlib.crc32(str(key).encode()))
         k = self.n_regions
         if self.variable_regions:
             k = rng.randint(max(1, self.n_regions // 2), self.n_regions + 1)

@@ -55,10 +55,22 @@ def train(opt):
     if opt.get("multihost"):
         # multi-host (DCN) data parallelism: every host runs this same
         # program; the coordinator address/process env comes from the
-        # launcher (JAX_COORDINATOR_ADDRESS etc.).  The mesh below then
-        # spans all hosts' devices and XLA's gradient psum rides ICI
-        # within a host and DCN across hosts.
-        jax.distributed.initialize()
+        # launcher (SLURM/OMPI/TPU-pod auto-detection), or explicitly via
+        # --dist_coordinator/--dist_num_processes/--dist_process_id for
+        # launcher-less bring-up (exercised by tests/test_multihost.py
+        # with 2 real processes).  The mesh below then spans all hosts'
+        # devices and XLA's gradient psum rides ICI within a host and
+        # DCN across hosts.
+        kw = {}
+        if opt.get("dist_coordinator"):
+            kw = dict(coordinator_address=opt.dist_coordinator,
+                      num_processes=int(opt.dist_num_processes),
+                      process_id=int(opt.dist_process_id))
+        jax.distributed.initialize(**kw)
+    # hosts beyond process 0 compute everything (identical batches ->
+    # identical replicated state) but must not race process 0 on the
+    # checkpoint/log/tensorboard files
+    lead = jax.process_index() == 0
     # persistent compilation cache shared with the test suite: repeat CLI
     # runs of the same program shapes skip XLA compilation entirely
     cache_dir = os.environ.get(
@@ -96,11 +108,36 @@ def train(opt):
             print(f"batch_size {opt.batch_size} not divisible by "
                   f"{len(jax.devices())} devices; using {n_dev}")
         print(f"data-parallel mesh over {n_dev} devices")
+    if mesh is not None and opt.get("multihost"):
+        # CPU gloo initializes its cross-process context lazily at the
+        # FIRST collective, with a fixed ~30s key-value timeout inside XLA;
+        # if that first collective sits behind a compile-heavy program the
+        # processes can skew past the window (observed with the cold XE
+        # step).  Establish the context now, with a trivial psum, while the
+        # processes are still in lockstep — it is reused by every later
+        # program (verified; tests/test_multihost.py).  On TPU pods this is
+        # a no-op-cost sanity step.
+        from boficap_tpu.parallel.mesh import replicated
+        warm = jax.device_put(jnp.zeros((n_dev,), jnp.float32),
+                              batch_sharding(mesh))
+        jax.block_until_ready(
+            jax.jit(jnp.sum, out_shardings=replicated(mesh))(warm))
 
     def put_batch(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh)) if mesh is not None \
-            else x
+        if mesh is None:
+            return jnp.asarray(x)
+        if opt.get("multihost"):
+            # every host assembles the identical global batch (seeded
+            # sampler contract, asserted above); slice this host's shard
+            # locally — device_put would allgather-verify the whole value
+            # across processes on every call for cross-process shardings
+            arr = np.asarray(x)
+            canon = jax.dtypes.canonicalize_dtype(arr.dtype)
+            if canon != arr.dtype:     # x64 demotion jnp.asarray would do
+                arr = arr.astype(canon)
+            return jax.make_array_from_callback(
+                arr.shape, batch_sharding(mesh), lambda idx: arr[idx])
+        return jax.device_put(jnp.asarray(x), batch_sharding(mesh))
 
     loader = CaptionData(opt)
     opt.vocab_size = loader.vocab_size
@@ -170,11 +207,12 @@ def train(opt):
     # tensorboard scalars (reference train.py:81, :249-289); torch ships the
     # writer — guarded so the trainer runs without it
     tb = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        tb = SummaryWriter(opt.checkpoint_path)
-    except Exception:
-        pass
+    if lead:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(opt.checkpoint_path)
+        except Exception:
+            pass
 
     # jax.profiler trace (the TPU equivalent of the reference's ad-hoc
     # cuda-synced timers, SURVEY.md §5): --profile_steps N captures the
@@ -278,7 +316,8 @@ def train(opt):
                        "read_s": read_time, "step_s": step_time}
                 rec.update({k: float(np.asarray(v)) for k, v in
                             metrics.items()})
-                log_metrics(metrics_log, rec)
+                if lead:
+                    log_metrics(metrics_log, rec)
                 histories["loss_history"][iteration] = float(
                     np.asarray(metrics["loss"]))
                 if tb is not None:
@@ -310,10 +349,18 @@ def train(opt):
                     modes = ["AIC", "SAIC", "NAIC"]
                 else:
                     modes = ["SAIC", "NAIC"]
+                # under multihost the params are global (multi-process)
+                # arrays, but eval_split jits without the mesh; params are
+                # replicated (P()), so a host fetch is local and lets every
+                # process evaluate independently on its own devices
+                eval_params = state.params
+                if opt.get("multihost"):
+                    eval_params = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), state.params)
                 results = {}
                 for im in modes:
                     results[im or opt.train_mode] = eval_split(
-                        model, state.params, loader, eval_kwargs,
+                        model, eval_params, loader, eval_kwargs,
                         inference_mode=im)
                 primary = list(results.values())[-1]
                 if opt.language_eval and primary["lang_stats"]:
@@ -346,16 +393,28 @@ def train(opt):
                              best_val_score=best_val_score,
                              plateau=plateau.state_dict(),
                              opt=dict(opt))
-                save_checkpoint(opt, state, infos, dict(histories))
-                if opt.save_history_ckpt:
-                    save_checkpoint(opt, state, infos, dict(histories),
-                                    append=str(iteration))
+                if lead:
+                    save_checkpoint(opt, state, infos, dict(histories))
+                    if opt.save_history_ckpt:
+                        save_checkpoint(opt, state, infos, dict(histories),
+                                        append=str(iteration))
                 if best_val_score is None or current_score > best_val_score:
                     best_val_score = current_score
                     infos["best_val_score"] = best_val_score
-                    save_checkpoint(opt, state, infos, dict(histories),
-                                    append="best")
+                    if lead:
+                        save_checkpoint(opt, state, infos, dict(histories),
+                                        append="best")
                     print(f"new best val score {best_val_score:.4f}")
+                if opt.get("multihost"):
+                    # realign the hosts: eval/checkpointing is process-local
+                    # work (host-fetched params) that can skew processes by
+                    # whole compile times; the coordination-service barrier
+                    # (not a device collective) tolerates that with an
+                    # explicit timeout
+                    from jax._src import distributed as _dist
+                    if _dist.global_state.client is not None:
+                        _dist.global_state.client.wait_at_barrier(
+                            f"post_eval_{iteration}", 600_000)
     except (RuntimeError, KeyboardInterrupt):
         # crash-save (train.py:365-370).  The train steps donate the state
         # buffers; an exception thrown mid-step can leave ``state`` pointing
@@ -365,7 +424,8 @@ def train(opt):
                      loader_state_dict=loader.state_dict(),
                      best_val_score=best_val_score, opt=dict(opt))
         try:
-            save_checkpoint(opt, state, infos, dict(histories))
+            if lead:
+                save_checkpoint(opt, state, infos, dict(histories))
             print("Save ckpt done.")
         except RuntimeError as e:
             print(f"crash-save failed (donated state buffers?): {e}")
@@ -377,7 +437,8 @@ def train(opt):
     infos.update(iter=iteration, epoch=epoch,
                  loader_state_dict=loader.state_dict(),
                  best_val_score=best_val_score, opt=dict(opt))
-    save_checkpoint(opt, state, infos, dict(histories))
+    if lead:
+        save_checkpoint(opt, state, infos, dict(histories))
     return state, infos
 
 
