@@ -116,15 +116,18 @@ _SYN_GROUPS = (
 
 
 def _syn_index():
-    """word-stem -> SET of group-ids, built once on first use.  A stem can
+    """word-stem -> SET of group-ids, memoized on first use.  A stem can
     belong to several synsets (e.g. 'mount' is in both the mountain and the
     ride groups); keeping every membership means no declared pair is
     silently disabled by a cross-group stem collision."""
-    idx = {}
-    for gid, group in enumerate(_SYN_GROUPS):
-        for w in group:
-            idx.setdefault(porter_stem(w), set()).add(gid)
-    return idx
+    global _SYN_IDX
+    if _SYN_IDX is None:
+        idx = {}
+        for gid, group in enumerate(_SYN_GROUPS):
+            for w in group:
+                idx.setdefault(porter_stem(w), set()).add(gid)
+        _SYN_IDX = idx
+    return _SYN_IDX
 
 
 _SYN_IDX = None
@@ -258,17 +261,15 @@ def _align(cand: List[str], ref: List[str]):
     chunk minimization).
 
     Returns the list of (cand_idx, ref_idx) matches in candidate order."""
-    global _SYN_IDX
-    if _SYN_IDX is None:
-        _SYN_IDX = _syn_index()
+    syn_idx = _syn_index()
     used = [False] * len(ref)
     matches = []
     last_r = -2
     cstem = [porter_stem(c) for c in cand]
     rstem = [porter_stem(r) for r in ref]
     empty = frozenset()
-    cgrp = [_SYN_IDX.get(s, empty) for s in cstem]
-    rgrp = [_SYN_IDX.get(s, empty) for s in rstem]
+    cgrp = [syn_idx.get(s, empty) for s in cstem]
+    rgrp = [syn_idx.get(s, empty) for s in rstem]
     for ci, c in enumerate(cand):
         cands_exact = [rj for rj, r in enumerate(ref)
                        if not used[rj] and r == c]

@@ -70,7 +70,7 @@ CONJS = {"and", "or"}
 # relative pronouns: dropped so the following verb attaches to the
 # preceding head ("a man who is riding" -> man riding)
 REL_PRONOUNS = {"who", "which", "that"}
-CLAUSE_BREAKS = {"while", "as", ",", ";"}
+CLAUSE_BREAKS = {"while", "as", ",", ";", ".", "!", "?"}
 
 # -ing words that are (almost always) nouns in captions
 NOUN_ING = {
@@ -142,7 +142,11 @@ def _tag(tokens: Sequence[str]) -> List[Tuple[str, str]]:
             prev_det = out and out[-1][0] == _D
             out.append((_W if prev_det else _V, w))
         elif (porter_stem(w) in VERB_STEMS
-              and not (out and out[-1][0] == _D)):
+              and not (out and out[-1][0] == _D)
+              and (not (out and out[-1][0] == _W) or w.endswith("s"))):
+            # a lexicon stem mid-NP is a noun head ("a gold watch") unless
+            # it carries the 3sg -s inflection ("a dog sits"); plural nouns
+            # after a determiner/number are caught by the _D check above
             out.append((_V, w))
         elif (w.endswith("ed") and len(w) > 4
               and not (out and out[-1][0] == _D)):
@@ -158,14 +162,23 @@ def _tag(tokens: Sequence[str]) -> List[Tuple[str, str]]:
 Tup = Tuple[str, ...]
 
 
+def _tokenize(caption: str) -> List[str]:
+    """Lowercase word/punctuation tokens; '.', ',', ';' surface as their
+    own tokens so attached punctuation never pollutes tuple elements and
+    the CLAUSE_BREAKS entries actually fire."""
+    import re
+    return re.findall(r"[a-z0-9']+|[.,;!?]", caption.lower())
+
+
 def parse_tuples(caption: str) -> Set[Tup]:
     """caption text -> set of stemmed semantic tuples:
     ("o", head) / ("a", head, attr) / ("r", subj, rel, obj)."""
-    tags = _tag(caption.split())
+    tags = _tag(_tokenize(caption))
     tuples: Set[Tup] = set()
 
     nps: List[List[str]] = []       # content-word runs (stemmed)
     np_end: List[int] = []          # tag index one past each NP
+    np_pred: List[bool] = []        # run was a bare copular predicate
     cur: List[str] = []
     cur_counts: List[str] = []      # number words modifying the pending NP
     pred = False                    # run opened right after a bare copula
@@ -183,6 +196,13 @@ def parse_tuples(caption: str) -> Set[Tup]:
             cur_counts.append(w)
             prev_tag = t
             continue
+        if (t == _J and cur and idx + 1 < len(tags)
+                and tags[idx + 1][0] == _W):
+            # conjoined modifiers continue the NP: "a black and white dog"
+            # -> attrs (dog, black), (dog, white), not a spurious
+            # (o, black) object
+            prev_tag = t
+            continue
         if cur:
             if not pred:
                 head = cur[-1]
@@ -193,15 +213,19 @@ def parse_tuples(caption: str) -> Set[Tup]:
                     tuples.add(("a", head, num))
             nps.append(cur)
             np_end.append(idx)
+            np_pred.append(pred)
             cur, cur_counts, pred = [], [], False
         prev_tag = t
 
     # relations: scan tag stream tracking the most recent NP head on the
     # left; VERB/PREP sequences bind it to the next NP head
     def np_before(idx: int) -> int:
+        # most recent REFERRING NP: copular predicates ("is full") are not
+        # relation subjects — "a bowl is full of fruit" relates bowl, not
+        # full, to fruit
         k = -1
         for j, e in enumerate(np_end):
-            if e <= idx:
+            if e <= idx and not np_pred[j]:
                 k = j
         return k
 

@@ -64,26 +64,38 @@ def _run_train(ckpt: str, extra: list, local_devices: int,
 
 def _losses(stdout: str) -> list:
     return [float(m.group(1)) for m in
-            re.finditer(r"iter \d+ \(epoch \d+\) loss ([\d.]+)", stdout)]
+            re.finditer(r"iter \d+ \(epoch \d+\) loss (-?[\d.]+)", stdout)]
+
+
+def _run_pair(tmp_path, extra, timeout=600):
+    port = _free_port()
+    procs, outs = [], []
+    try:
+        for pid in (0, 1):
+            procs.append(_run_train(str(tmp_path / f"p{pid}"), [
+                "--multihost", "1",
+                "--dist_coordinator", f"localhost:{port}",
+                "--dist_num_processes", "2", "--dist_process_id", str(pid),
+            ] + extra, local_devices=2))
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        # never leave an orphan holding the coordinator port (a dead peer
+        # leaves the survivor blocked inside jax.distributed)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    return outs
 
 
 def test_two_process_multihost_matches_single_process(tmp_path):
-    port = _free_port()
     ck0 = str(tmp_path / "p0")
     ck1 = str(tmp_path / "p1")
-    procs = []
-    for pid, ck in ((0, ck0), (1, ck1)):
-        procs.append(_run_train(ck, [
-            "--multihost", "1",
-            "--dist_coordinator", f"localhost:{port}",
-            "--dist_num_processes", "2", "--dist_process_id", str(pid),
-        ], local_devices=2))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    outs = _run_pair(tmp_path, [])
     assert "data-parallel mesh over 4 devices" in outs[0]
 
     l0, l1 = _losses(outs[0]), _losses(outs[1])
@@ -102,7 +114,12 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     # deterministic, so exact equality is expected)
     cks = str(tmp_path / "single")
     p = _run_train(cks, [], local_devices=4)
-    out, _ = p.communicate(timeout=600)
+    try:
+        out, _ = p.communicate(timeout=600)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
     assert p.returncode == 0, out[-4000:]
     ls = _losses(out)
     np.testing.assert_array_equal(l0, ls)
@@ -112,3 +129,16 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     with open(os.path.join(ck0, "metrics.jsonl")) as f:
         recs = [json.loads(line) for line in f]
     np.testing.assert_allclose([r["loss"] for r in recs], l0, atol=5e-5)
+
+
+def test_two_process_multihost_rl_stage(tmp_path):
+    """Classic SCST under --multihost: the sampled ids live on the
+    cross-process mesh and must be allgathered before host CIDEr scoring
+    (tools/train.py samples_host); both hosts must agree on every RL loss."""
+    outs = _run_pair(tmp_path, [
+        "--train_mode", "AIC", "--self_critical_after", "0",
+        "--train_sample_n", "2", "--save_checkpoint_every", "99",
+    ])
+    l0, l1 = _losses(outs[0]), _losses(outs[1])
+    assert len(l0) >= 2, outs[0][-2000:]
+    np.testing.assert_array_equal(l0, l1)

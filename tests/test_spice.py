@@ -71,6 +71,28 @@ class TestParseTuples:
         t = parse_tuples("a dog sits on a couch")
         assert ("r", "dog", "sit on", "couch") in t
 
+    def test_lexicon_stem_mid_np_is_noun(self):
+        # 'watch' stems like the verb but heads the NP here
+        t = parse_tuples("a man wearing a gold watch")
+        assert ("o", "watch") in t
+        assert ("a", "watch", "gold") in t
+        assert ("r", "man", "wear", "watch") in t
+
+    def test_conjoined_modifiers_stay_in_np(self):
+        t = parse_tuples("a black and white dog")
+        assert t == {("o", "dog"), ("a", "dog", "black"),
+                     ("a", "dog", "white")}
+
+    def test_punctuation_stripped(self):
+        assert parse_tuples("a brown dog.") == parse_tuples("a brown dog")
+        assert spice("a brown dog", ["a brown dog."]) == 1.0
+
+    def test_copular_predicate_not_relation_subject(self):
+        t = parse_tuples("a bowl is full of fruit")
+        assert ("a", "bowl", "full") in t
+        assert ("r", "bowl", "of", "fruit") in t
+        assert not any(x[0] == "r" and x[1] == "full" for x in t)
+
     def test_empty(self):
         assert parse_tuples("") == set()
 

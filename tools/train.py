@@ -271,13 +271,26 @@ def train(opt):
                 att = put_batch(data["att_feats"])
                 am = put_batch(data["att_masks"])
                 samples = rl_sample(state.params, step_key, att, am)
+                samples_host = samples
+                if opt.get("multihost"):
+                    # the sampled ids are sharded over the cross-process
+                    # mesh; np.asarray on a non-addressable array raises —
+                    # allgather them to host (identical on every host) for
+                    # the CIDEr scoring phase
+                    from jax.experimental import multihost_utils
+                    samples_host = jax.tree_util.tree_map(
+                        lambda x: np.asarray(
+                            multihost_utils.process_allgather(x, tiled=True)),
+                        samples)
+                put_scores = (put_batch if opt.get("multihost")
+                              else jnp.asarray)
                 scores = steps_mod.rl_host_scores(
-                    samples, data["gts"], opt,
+                    samples_host, data["gts"], opt,
                     classic_scst=(sc_flag and not struc_flag))
                 if sc_flag and not struc_flag:
                     state, metrics = rl_step(
                         state, step_key, att, am, samples,
-                        jnp.asarray(scores["scst_reward"]))
+                        put_scores(scores["scst_reward"]))
                 else:
                     gt = None
                     if opt.get("structure_loss_weight", 1.0) < 1.0:
@@ -289,7 +302,7 @@ def train(opt):
                               if data.get(k) is not None}
                     state, metrics = rl_step(
                         state, step_key, att, am, samples,
-                        {k: jnp.asarray(v) for k, v in scores.items()},
+                        {k: put_scores(v) for k, v in scores.items()},
                         gt=gt)
             else:
                 if mesh is not None:
@@ -411,10 +424,18 @@ def train(opt):
                     # whole compile times; the coordination-service barrier
                     # (not a device collective) tolerates that with an
                     # explicit timeout
-                    from jax._src import distributed as _dist
-                    if _dist.global_state.client is not None:
-                        _dist.global_state.client.wait_at_barrier(
+                    try:
+                        from jax._src import distributed as _dist
+                        client = _dist.global_state.client
+                    except (ImportError, AttributeError):
+                        client = None  # private API moved in a jax upgrade
+                    if client is not None:
+                        client.wait_at_barrier(
                             f"post_eval_{iteration}", 600_000)
+                    else:   # public psum-based fallback (gloo ctx is warm)
+                        from jax.experimental import multihost_utils
+                        multihost_utils.sync_global_devices(
+                            f"post_eval_{iteration}")
     except (RuntimeError, KeyboardInterrupt):
         # crash-save (train.py:365-370).  The train steps donate the state
         # buffers; an exception thrown mid-step can leave ``state`` pointing
