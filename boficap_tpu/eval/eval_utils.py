@@ -332,24 +332,31 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     seq_kd: Dict[Any, List[str]] = {}
     rng = jax.random.PRNGKey(eval_kwargs.get("seed", 0))
 
+    decoded_imgs = 0          # images through timed (post-compile) decodes
+    first_imgs = 0
     while True:
         data = loader.get_batch(split)
         n += len(data["infos"])
+        decoded_imgs += len(data["infos"])
         att = jnp.asarray(data["att_feats"])
         am = jnp.asarray(data["att_masks"])
 
         if loss_fn is not None and data.get("labels") is not None                 and model.train_mode != "PB_pad":
-            z = lambda k: (jnp.asarray(data[k]).reshape(
-                (-1,) + data[k].shape[2:]) if data.get(k) is not None
-                else None)
+            # raw [B, S, ...] tensors: xe_loss_fn's _flat does the
+            # caption-dimension flatten itself (steps.py:43-50)
+            z = lambda k: (jnp.asarray(data[k])
+                           if data.get(k) is not None else None)
             try:
                 loss_sum += float(loss_fn(att, am, z("labels"),
                                           z("phrase_num"),
                                           z("phrase_length"),
                                           z("phrase_syn"), z("masks")))
                 loss_evals += 1
-            except Exception:
-                loss_fn = None           # mode without a plain jit loss path
+            except Exception as e:
+                # a mode without a plain jit loss path reports loss 0 —
+                # loudly, so a shape bug can't silently zero the eval loss
+                print(f"eval loss unavailable for {model.train_mode}: {e!r}")
+                loss_fn = None
 
         t0 = time.perf_counter()
         memory = dec["encode"](att, am)
@@ -376,6 +383,7 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
         if first:
             compile_time = dt
             first = False
+            first_imgs = len(data["infos"])
             redo = (att, am)           # re-timed post-loop if no other batch
         else:
             decode_time += dt
@@ -442,7 +450,13 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
                 for _ in range(sample_n):
                     if n_predictions:
                         n_predictions.pop()
+        n = min(n, ix1)
         if num_images >= 0 and n >= num_images:
+            break
+        if data["bounds"]["wrapped"]:
+            # split exhausted before num_images (reference eval_utils.py
+            # breaks on wrapped too): stop instead of re-decoding the split
+            # and over-popping predictions
             break
 
     lang_stats = None
@@ -463,7 +477,9 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
             json.dump({str(k): v for k, v in seq_kd.items()}, f)
 
     n_imgs = len(predictions)
-    timed_imgs = n_imgs - len(data["infos"])
+    # throughput counts every image the timed decodes processed (including
+    # ones trimmed from the scored set), excluding only the compile batch
+    timed_imgs = decoded_imgs - first_imgs
     if decode_time == 0 and redo is not None:
         # single-batch eval: the only decode was the compile call, so re-run
         # it (now compiled) for a meaningful rate

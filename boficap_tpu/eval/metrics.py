@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..rewards.bleu import Bleu
-from ..rewards.cider import Cider
+from ..rewards.cider import CiderD
 
 # trailing words that make a caption a "bad ending" (reference
 # AttModel.py:30-31 bad_endings list + 'the')
@@ -69,7 +69,12 @@ def language_eval(predictions: List[dict], gts: Dict,
     bleu, _ = Bleu(4).compute_score(sub_gts, res)
     for n in range(4):
         out[f"Bleu_{n + 1}"] = bleu[n]
-    cider = Cider(df="corpus")
+    # coco-caption's reported "CIDEr" is computed with count clipping and
+    # the gaussian length penalty ("vrama91: added clipping / length based
+    # gaussian penalty" in pycocoevalcap/cider/cider_scorer.py) — i.e.
+    # CIDEr-D math; mirror that so checkpoint numbers are comparable, and
+    # so oracle_CIDEr (CiderD, multi_metrics.py) upper-bounds this value
+    cider = CiderD(df="corpus")
     out["CIDEr"], _ = cider.compute_score(
         sub_gts, [{"image_id": i, "caption": res[i]} for i in ids])
     out["ROUGE_L"] = float(np.mean(

@@ -80,6 +80,23 @@ NOUN_ING = {
     "dining", "everything", "something", "nothing", "anything", "king",
     "ring", "spring", "string", "swing", "thing", "wing",
 }
+# irregular plurals: a base-form lexicon verb after one of these (or any
+# -s word) is a verb, not a compound-noun tail ("people walk" vs
+# "a gold watch")
+PLURAL_IRREG = {"people", "men", "women", "children", "sheep", "geese",
+                "police", "cattle", "mice", "feet", "teeth"}
+# compact adjective lexicon gating conjunction continuation: "black and
+# white dog" keeps one NP; "a man and woman" stays two objects
+ADJ_WORDS = {
+    "black", "white", "red", "blue", "green", "yellow", "brown", "gray",
+    "grey", "orange", "purple", "pink", "golden", "gold", "silver", "tan",
+    "beige", "dark", "light", "bright", "colorful",
+    "big", "large", "small", "little", "tall", "short", "long", "tiny",
+    "huge", "wide", "narrow", "thin", "thick", "young", "old", "new",
+    "open", "closed", "empty", "full", "clean", "dirty", "wet", "dry",
+    "hot", "cold", "fresh", "shiny", "rusty", "wooden", "metal", "plastic",
+    "striped", "spotted", "furry", "fluffy", "cute", "pretty", "beautiful",
+}
 # caption-domain verbs whose 3rd-person/base forms carry no -ing/-ed cue;
 # checked on the PORTER STEM so "sits"/"sit"/"holds" all hit
 VERB_STEMS = {porter_stem(v) for v in (
@@ -143,10 +160,13 @@ def _tag(tokens: Sequence[str]) -> List[Tuple[str, str]]:
             out.append((_W if prev_det else _V, w))
         elif (porter_stem(w) in VERB_STEMS
               and not (out and out[-1][0] == _D)
-              and (not (out and out[-1][0] == _W) or w.endswith("s"))):
-            # a lexicon stem mid-NP is a noun head ("a gold watch") unless
-            # it carries the 3sg -s inflection ("a dog sits"); plural nouns
-            # after a determiner/number are caught by the _D check above
+              and (not (out and out[-1][0] == _W) or w.endswith("s")
+                   or out[-1][1].endswith("s")
+                   or out[-1][1] in PLURAL_IRREG)):
+            # a lexicon stem mid-NP is a noun head ("a gold watch") UNLESS
+            # it carries the 3sg -s inflection ("a dog sits") or follows a
+            # plural subject ("two giraffes stand", "people walk"); plural
+            # nouns after a determiner/number are caught by the _D check
             out.append((_V, w))
         elif (w.endswith("ed") and len(w) > 4
               and not (out and out[-1][0] == _D)):
@@ -180,6 +200,7 @@ def parse_tuples(caption: str) -> Set[Tup]:
     np_end: List[int] = []          # tag index one past each NP
     np_pred: List[bool] = []        # run was a bare copular predicate
     cur: List[str] = []
+    cur_words: List[str] = []       # raw surface forms of the pending run
     cur_counts: List[str] = []      # number words modifying the pending NP
     pred = False                    # run opened right after a bare copula
     prev_tag = _B
@@ -190,6 +211,7 @@ def parse_tuples(caption: str) -> Set[Tup]:
                 # object NP; the relation scan below emits its attributes
                 pred = prev_tag == _C
             cur.append(porter_stem(w))
+            cur_words.append(w)
             prev_tag = t
             continue
         if t == _D and w in NUMBERS:
@@ -197,10 +219,12 @@ def parse_tuples(caption: str) -> Set[Tup]:
             prev_tag = t
             continue
         if (t == _J and cur and idx + 1 < len(tags)
-                and tags[idx + 1][0] == _W):
-            # conjoined modifiers continue the NP: "a black and white dog"
+                and tags[idx + 1][0] == _W
+                and cur_words and cur_words[-1] in ADJ_WORDS):
+            # conjoined MODIFIERS continue the NP: "a black and white dog"
             # -> attrs (dog, black), (dog, white), not a spurious
-            # (o, black) object
+            # (o, black) object; conjoined NOUNS ("a man and woman") still
+            # close the run so both objects survive
             prev_tag = t
             continue
         if cur:
@@ -214,7 +238,7 @@ def parse_tuples(caption: str) -> Set[Tup]:
             nps.append(cur)
             np_end.append(idx)
             np_pred.append(pred)
-            cur, cur_counts, pred = [], [], False
+            cur, cur_words, cur_counts, pred = [], [], [], False
         prev_tag = t
 
     # relations: scan tag stream tracking the most recent NP head on the

@@ -16,8 +16,10 @@ Three cutters share one span-matching + gap-filling assembler
     NP/VP groupings; the dataset format is identical, only cut quality
     differs.  Clearly a stand-in — use the real parsers when available.
 
-All token ids are 0-indexed into the vocab then offset by +4 at train time
-({0:pad 1:bos 2:eos 3:sep}, reference prepro_labels.py:337).
+Id scheme (matches run_prepro and the data loader): the h5 stores the
+TRAIN-TIME ids directly — real words start at 4, {0:pad 1:bos 2:eos 3:sep}
+reserved (reference prepro_labels.py:337 applies the same +4 at its encode
+step); no later offset is applied anywhere.
 """
 
 from __future__ import annotations
@@ -56,8 +58,10 @@ def build_vocab(imgs: List[dict], count_thr: int = 5) -> List[str]:
 
 
 def encode_captions(imgs: List[dict], max_length: int, wtoi: Dict[str, int]):
-    """-> (labels [M, L], label_start_ix, label_end_ix, label_length), ids
-    1-indexed into the vocab, pointers 1-indexed (reference :120-154)."""
+    """-> (labels [M, L], label_start_ix, label_end_ix, label_length).
+    Word ids come straight from ``wtoi`` (run_prepro builds it 4-based, see
+    module docstring); start/end pointers are 1-indexed (reference
+    :120-154)."""
     N = len(imgs)
     M = sum(len(img["final_captions"]) for img in imgs)
     labels = np.zeros((M, max_length), dtype=np.uint32)

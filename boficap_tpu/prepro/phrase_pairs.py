@@ -89,9 +89,12 @@ def apply_merges_to_h5(imgs, label_start_ix, phrase_num, phrase_length,
     """Rewrite (phrase_num, phrase_length) so adjacent phrases whose unit
     pair was merged become one phrase (reference scripts/prep_h5.py).
     Merges may chain (pair units are already-merged strings)."""
+    import ast
     merged_units = set()
     for key in merges:
-        a, b = eval(key)  # keys are str((a, b)) from learn_phrase_pairs
+        # keys are str((a, b)) from learn_phrase_pairs; literal_eval, never
+        # eval — merge tables round-trip through json files
+        a, b = ast.literal_eval(key)
         merged_units.add(a + b)
 
     pn = phrase_num.copy()

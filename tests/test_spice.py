@@ -87,6 +87,20 @@ class TestParseTuples:
         assert parse_tuples("a brown dog.") == parse_tuples("a brown dog")
         assert spice("a brown dog", ["a brown dog."]) == 1.0
 
+    def test_plural_subject_base_verb(self):
+        t = parse_tuples("two giraffes stand in a field")
+        assert ("o", "giraff") in t
+        assert ("a", "giraff", "two") in t
+        assert ("r", "giraff", "stand in", "field") in t
+        tp = parse_tuples("people walk down a street")
+        assert ("o", "peopl") in tp
+        assert ("r", "peopl", "walk down", "street") in tp
+
+    def test_conjoined_nouns_stay_separate_objects(self):
+        t = parse_tuples("a man and woman sitting on a bench")
+        assert ("o", "man") in t and ("o", "woman") in t
+        assert not any(x == ("a", "woman", "man") for x in t)
+
     def test_copular_predicate_not_relation_subject(self):
         t = parse_tuples("a bowl is full of fruit")
         assert ("a", "bowl", "full") in t
