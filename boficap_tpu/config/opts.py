@@ -235,10 +235,32 @@ def _build_parser() -> argparse.ArgumentParser:
         if isinstance(default, bool):
             parser.add_argument(flag, type=_str2bool, nargs="?", const=True, default=None)
         elif default is None:
-            parser.add_argument(flag, default=None)
+            # the DEFAULTS value carries no type; without an explicit one
+            # argparse would hand raw strings to model construction
+            # (--d_model 768 -> '768')
+            parser.add_argument(flag, type=_NONE_FLAG_TYPES.get(name, str),
+                                default=None)
         else:
             parser.add_argument(flag, type=type(default), default=None)
     return parser
+
+
+def _mesh_shape(v: str):
+    """--mesh_shape accepts an int ("8") or a dict literal ("{'data': 8}")."""
+    import ast
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        raise argparse.ArgumentTypeError(
+            f"--mesh_shape wants an int or a dict literal, got {v!r}")
+
+
+# types for flags whose DEFAULTS entry is None (reference opts.py declares
+# these as typed argparse flags; int-valued ones feed layer/shape math)
+_NONE_FLAG_TYPES = {
+    "N_enc": int, "N_dec": int, "d_model": int, "d_ff": int,
+    "mesh_shape": _mesh_shape,
+}
 
 
 def _str2bool(v: str) -> bool:
@@ -267,6 +289,18 @@ def parse_opt(argv: Optional[List[str]] = None) -> Config:
     return cfg
 
 
+def restore_saved_opt(saved) -> dict:
+    """Prepare a train-saved opt dict (infos['opt']) for re-finalization.
+
+    Train saves opts post-finalize, so ``att_feat_size`` is already widened
+    for use_box checkpoints; mark that so ``finalize`` stays idempotent even
+    for checkpoints written before the marker existed."""
+    saved = dict(saved or {})
+    if saved.get("use_box") and "att_feat_size_box_widened" not in saved:
+        saved["att_feat_size_box_widened"] = True
+    return saved
+
+
 def finalize(cfg: Config) -> Config:
     """Validity checks + derived defaults (reference opts.py:279-298)."""
     assert cfg.batch_size >= 0, "batch_size should be >= 0"
@@ -279,8 +313,12 @@ def finalize(cfg: Config) -> Config:
 
     if not cfg.get("checkpoint_path"):
         cfg.checkpoint_path = "log_%s" % cfg.id
-    if cfg.use_box:
+    # idempotent: eval/serve re-finalize a saved train opt whose
+    # att_feat_size was already widened — widening twice would build a
+    # model the checkpoint can't load into
+    if cfg.use_box and not cfg.get("att_feat_size_box_widened"):
         cfg.att_feat_size = cfg.att_feat_size + 5
+        cfg.att_feat_size_box_widened = True
     # transformer hyperparameter fallbacks (TransformerModel.py:1631-1640)
     if cfg.get("N_enc") is None:
         cfg.N_enc = cfg.num_layers

@@ -61,7 +61,6 @@ def pad_batch_to(batch: Dict[str, Any], multiple: int):
     """Pad the image dimension so it divides the mesh (repeat last rows;
     extra rows only add compute, their grads average in — harmless for DP
     throughput tests; the train loop sizes batches divisibly instead)."""
-    import numpy as np
     b = None
     for v in batch.values():
         if hasattr(v, "shape"):
@@ -70,10 +69,13 @@ def pad_batch_to(batch: Dict[str, Any], multiple: int):
     pad = (-b) % multiple
     if pad == 0:
         return batch
+    # wrap rows round-robin: v[-pad:] would under-pad whenever pad > b
+    # (e.g. b=3 -> multiple=8 needs 5 extra rows from a 3-row batch)
+    idx = np.arange(pad) % b
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape"):
-            out[k] = np.concatenate([v, v[-pad:]], axis=0)
+            out[k] = np.concatenate([v, np.asarray(v)[idx]], axis=0)
         else:
             out[k] = v
     return out

@@ -126,7 +126,11 @@ class CaptionServer:
         # cold-cache Mosaic compile mid-dispatch can take minutes)
         self._inflight: set = set()
         self._stop = threading.Event()
-        self._lat_ms: List[float] = []
+        # bounded: a long-lived server must not grow a per-request list
+        # (stats() covers the most recent window)
+        import collections
+        self._lat_ms: "collections.deque[float]" = collections.deque(
+            maxlen=8192)
         self._n_done = 0
         self._lock = threading.Lock()
         if warm:

@@ -127,3 +127,66 @@ def test_eval_cli_accepts_reference_flag_surface():
     ])
     assert args.group_size == 2 and args.diversity_lambda == 0.3
     assert args.sample_n_method == "dbs" and args.suppress_UNK == 1
+
+
+def test_none_default_flags_parse_typed():
+    """DEFAULTS entries with value None still need typed CLI parsing:
+    --d_model 768 must reach model construction as an int, not '768'."""
+    cfg = parse_opt(["--d_model", "768", "--N_enc", "3", "--N_dec", "4",
+                     "--d_ff", "1024", "--id", "typed"])
+    assert cfg.d_model == 768 and isinstance(cfg.d_model, int)
+    assert cfg.N_enc == 3 and isinstance(cfg.N_enc, int)
+    assert cfg.N_dec == 4 and isinstance(cfg.N_dec, int)
+    assert cfg.d_ff == 1024 and isinstance(cfg.d_ff, int)
+
+
+def test_mesh_shape_flag_parses_literals():
+    cfg = parse_opt(["--mesh_shape", "{'data': 4}", "--id", "ms"])
+    assert cfg.mesh_shape == {"data": 4}
+    cfg = parse_opt(["--mesh_shape", "4", "--id", "ms2"])
+    assert cfg.mesh_shape == 4
+
+
+def test_finalize_use_box_widens_once():
+    """finalize must be idempotent: eval/serve re-finalize a saved train
+    opt whose att_feat_size was already widened (+5 box geometry)."""
+    from boficap_tpu.config import finalize
+    cfg = parse_opt(["--use_box", "1", "--id", "box"])
+    assert cfg.att_feat_size == 2048 + 5
+    finalize(cfg)                       # second finalize: no re-widen
+    assert cfg.att_feat_size == 2048 + 5
+
+
+def test_restore_saved_opt_marks_pre_marker_checkpoints():
+    """Old checkpoints saved opts post-finalize (already widened) without
+    the marker; restore_saved_opt adds it so re-finalize keeps the size."""
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.config.opts import restore_saved_opt
+    saved = {"use_box": 1, "att_feat_size": 2053}   # pre-marker infos[opt]
+    opt = default_config()
+    opt.merge_from_dict(restore_saved_opt(saved))
+    finalize(opt)
+    assert opt.att_feat_size == 2053
+
+
+def test_eval_cfg_yaml_merges_below_cli(tmp_path):
+    """tools/eval.py --cfg: yaml keys merge at saved-opts precedence
+    (model/data keys work; explicit eval-CLI flags still win)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.eval import build_eval_opt, parse_eval_opt
+    y = _write(tmp_path, "override.yml", """
+        drop_prob_lm: 0.25
+        batch_size: 7
+        """)
+    infos = {"opt": {"train_mode": "UIC", "id": "ckpt",
+                     "drop_prob_lm": 0.5, "batch_size": 10}}
+    args = parse_eval_opt(["--model", "m", "--infos_path", "i",
+                           "--cfg", y])
+    opt = build_eval_opt(args, infos)
+    assert opt.drop_prob_lm == 0.25         # yaml overrides saved opt
+    assert opt.batch_size == 7              # yaml fills non-given replace key
+    args2 = parse_eval_opt(["--model", "m", "--infos_path", "i",
+                            "--cfg", y, "--batch_size", "3"])
+    opt2 = build_eval_opt(args2, infos)
+    assert opt2.batch_size == 3             # explicit CLI beats yaml

@@ -238,3 +238,42 @@ def test_serve_cli_from_checkpoint(tmp_path):
         assert srv.stats()["n"] == 1
     finally:
         srv.close()
+
+
+def test_pad_batch_to_wraps_rows():
+    """pad > batch must round-robin rows, not tail-slice (b=3 -> 8 needs 5
+    extra rows from a 3-row batch; v[-5:] would yield only 3)."""
+    from boficap_tpu.parallel.mesh import pad_batch_to
+    batch = {"x": np.arange(3 * 2).reshape(3, 2), "meta": "keep"}
+    out = pad_batch_to(batch, 8)
+    assert out["x"].shape == (8, 2)
+    np.testing.assert_array_equal(out["x"][3:], batch["x"][[0, 1, 2, 0, 1]])
+    assert out["meta"] == "keep"
+    same = pad_batch_to(batch, 3)
+    assert same["x"].shape == (3, 2)
+
+
+def test_mesh_shape_must_divide_batch():
+    """An explicit --mesh_shape that does not divide batch_size errors
+    loudly instead of silently falling back to the gcd heuristic."""
+    from boficap_tpu.config import parse_opt
+    from tools.train import train
+    opt = parse_opt(["--cfg", "configs/synthetic_smoke.yml", "--id", "msbad",
+                     "--batch_size", "4", "--mesh_shape", "{'data': 3}"])
+    with pytest.raises(ValueError, match="does not divide"):
+        train(opt)
+
+
+def test_mesh_shape_selects_device_count(tmp_path, capsys):
+    """--mesh_shape {'data': N} builds an N-device mesh even when the gcd
+    heuristic would pick a different count."""
+    from boficap_tpu.config import parse_opt
+    from tools.train import train
+    opt = parse_opt([
+        "--cfg", "configs/synthetic_smoke.yml", "--id", "msn",
+        "--batch_size", "4", "--mesh_shape", "{'data': 2}",
+        "--checkpoint_path", str(tmp_path / "ckpt"),
+        "--max_epochs", "1", "--save_checkpoint_every", "500",
+        "--losses_log_every", "500"])
+    train(opt)
+    assert "data-parallel mesh over 2 devices" in capsys.readouterr().out

@@ -51,6 +51,41 @@ def parse_eval_opt(argv=None):
     return parser.parse_args(argv)
 
 
+# reference's "replace" list (tools/eval.py:53): a truthy CLI value wins,
+# otherwise the checkpoint's saved value stays
+REPLACE_KEYS = ("input_fc_dir", "input_att_dir", "input_box_dir",
+                "input_label_h5", "input_json", "batch_size", "id")
+
+
+def build_eval_opt(args, infos):
+    """Merge: CLI > --cfg yaml > saved train opts > defaults
+    (tools/eval.py:53-61; --cfg is an extension — the reference eval has
+    no yaml path — merged at saved-opts precedence, so explicit eval-CLI
+    flags still win).  ``replace`` keys follow the reference's rule
+    (tools/eval.py:53): a truthy CLI value wins, otherwise the
+    checkpoint's saved value stays."""
+    from boficap_tpu.config.opts import restore_saved_opt
+    merged = restore_saved_opt(infos.get("opt", {}))
+    if args.cfg:
+        from boficap_tpu.config.config import load_yaml_with_base
+        merged.update(load_yaml_with_base(args.cfg))
+    opt = default_config()
+    opt.merge_from_dict(merged)
+    for k, v in vars(args).items():
+        if k in ("model", "infos_path", "cfg"):
+            continue
+        if k in REPLACE_KEYS:
+            if v:
+                opt[k] = v
+        elif v is not None and (k not in opt or v != 0 or k in
+                                ("language_eval", "verbose")):
+            opt[k] = v
+    if not opt.get("id"):
+        opt.id = infos.get("opt", {}).get("id", "model")
+    finalize(opt)
+    return opt
+
+
 def main(argv=None):
     args = parse_eval_opt(argv)
     import jax
@@ -66,29 +101,11 @@ def main(argv=None):
     with open(args.infos_path, "rb") as f:
         infos = pickle.load(f)
 
-    # merge: CLI > saved train opts > defaults (tools/eval.py:53-61).
-    # ``replace`` keys follow the reference's rule (tools/eval.py:53):
-    # a truthy CLI value wins, otherwise the checkpoint's saved value stays.
-    replace = ("input_fc_dir", "input_att_dir", "input_box_dir",
-               "input_label_h5", "input_json", "batch_size", "id")
-    opt = default_config()
-    opt.merge_from_dict(infos.get("opt", {}))
-    for k, v in vars(args).items():
-        if k in ("model", "infos_path", "cfg"):
-            continue
-        if k in replace:
-            if v:
-                opt[k] = v
-        elif v is not None and (k not in opt or v != 0 or k in
-                                ("language_eval", "verbose")):
-            opt[k] = v
-    if not opt.get("id"):
-        opt.id = infos.get("opt", {}).get("id", "model")
-    finalize(opt)
+    opt = build_eval_opt(args, infos)
 
     eval_kwargs = dict(opt)
     eval_kwargs.update(vars(args))
-    for k in replace + ("id",):
+    for k in REPLACE_KEYS + ("id",):
         eval_kwargs[k] = opt.get(k)      # merged value, not the raw CLI ""
     eval_kwargs["num_images"] = args.num_images
 

@@ -75,8 +75,9 @@ def build_server(args):
 
     with open(args.infos_path, "rb") as f:
         infos = pickle.load(f)
+    from boficap_tpu.config.opts import restore_saved_opt
     opt = default_config()
-    opt.merge_from_dict(infos.get("opt", {}))
+    opt.merge_from_dict(restore_saved_opt(infos.get("opt", {})))
     finalize(opt)
     vocab = infos["vocab"]
     model = models_setup(opt, len(vocab))

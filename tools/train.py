@@ -100,6 +100,18 @@ def train(opt):
                 f"divisible by the global device count "
                 f"({len(jax.devices())})")
         n_dev = len(jax.devices())
+    elif opt.get("mesh_shape"):
+        # explicit mesh request overrides the gcd heuristic
+        ms = opt.mesh_shape
+        n_dev = int(ms.get("data", 0) if isinstance(ms, dict) else ms)
+        if not 1 <= n_dev <= len(jax.devices()):
+            raise ValueError(
+                f"mesh_shape wants {n_dev} devices, have "
+                f"{len(jax.devices())}")
+        if opt.batch_size % n_dev != 0:
+            raise ValueError(
+                f"mesh_shape {n_dev} does not divide batch_size "
+                f"{opt.batch_size}")
     else:
         n_dev = math.gcd(len(jax.devices()), max(opt.batch_size, 1))
     mesh = make_mesh(n_dev) if n_dev > 1 else None
@@ -218,9 +230,15 @@ def train(opt):
     # cuda-synced timers, SURVEY.md §5): --profile_steps N captures the
     # first N train steps to <checkpoint_path>/profile
     profile_steps = int(opt.get("profile_steps", 0) or 0)
+    profiling = False
+    profile_stop_at = 0
     if profile_steps:
         jax.profiler.start_trace(os.path.join(opt.checkpoint_path,
                                               "profile"))
+        profiling = True
+        # relative to the RESUMED iteration; an absolute comparison would
+        # never fire on --start_from runs and trace the whole run
+        profile_stop_at = iteration + profile_steps
 
     epoch_done = True
     sc_flag = struc_flag = drop_worst_flag = False
@@ -316,9 +334,9 @@ def train(opt):
             step_time = time.time() - t_step
 
             iteration += 1
-            if profile_steps and iteration == profile_steps:
+            if profiling and iteration >= profile_stop_at:
                 jax.profiler.stop_trace()
-                profile_steps = 0
+                profiling = False
                 print("profiler trace written")
             if data["bounds"]["wrapped"]:
                 epoch += 1
@@ -443,7 +461,9 @@ def train(opt):
         print("Save ckpt on exception ...")
         infos.update(iter=iteration, epoch=epoch,
                      loader_state_dict=loader.state_dict(),
-                     best_val_score=best_val_score, opt=dict(opt))
+                     best_val_score=best_val_score,
+                     plateau=plateau.state_dict(),  # like the periodic save
+                     opt=dict(opt))
         try:
             if lead:
                 save_checkpoint(opt, state, infos, dict(histories))
@@ -453,11 +473,16 @@ def train(opt):
         stack_trace = traceback.format_exc()
         print(stack_trace)
         raise
+    finally:
+        if profiling:  # crash/early-exit before profile_stop_at
+            jax.profiler.stop_trace()
+            profiling = False
 
     # final save
     infos.update(iter=iteration, epoch=epoch,
                  loader_state_dict=loader.state_dict(),
-                 best_val_score=best_val_score, opt=dict(opt))
+                 best_val_score=best_val_score,
+                 plateau=plateau.state_dict(), opt=dict(opt))
     if lead:
         save_checkpoint(opt, state, infos, dict(histories))
     return state, infos
