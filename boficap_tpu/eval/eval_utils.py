@@ -321,6 +321,13 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     ix_to_word = loader.ix_to_word
 
     sample_n = int(eval_kwargs.get("sample_n", 1))
+    if sample_n > 1 and branch != "AIC":
+        # parity note: the reference's eval_split_n has _sample branches
+        # only for the AR train modes (AttModel.py:339-467) — for every
+        # other mode it falls through to None and crashes on unpack.  We
+        # skip instead, but say so rather than silently dropping the flag.
+        print(f"sample_n={sample_n} is AR(AIC)-only; ignoring for branch "
+              f"{branch} (the reference crashes here, AttModel.py:339-467)")
     n = 0
     loss_sum, loss_evals = 0.0, 1e-8
     predictions: List[dict] = []

@@ -52,9 +52,10 @@ def _distinct_ratio(caps: List[str], n: int) -> float:
     return len(set(grams)) / max(len(grams), 1)
 
 
-def div_stats(preds_n: List[dict]) -> Dict[str, float]:
+def div_stats(preds_n: List[dict], groups=None) -> Dict[str, float]:
     """{'div1', 'div2', 'mBLEU_4'} averaged over images."""
-    groups = _group(preds_n)
+    groups = _group(preds_n) if groups is None else groups
+    bleu4 = Bleu(4)                  # stateless across compute_score calls
     d1, d2, mb = [], [], []
     for caps in groups.values():
         d1.append(_distinct_ratio(caps, 1))
@@ -63,7 +64,7 @@ def div_stats(preds_n: List[dict]) -> Dict[str, float]:
             scores = []
             for k, cap in enumerate(caps):
                 others = caps[:k] + caps[k + 1:]
-                bleu, _ = Bleu(4).compute_score({0: others}, {0: [cap]})
+                bleu, _ = bleu4.compute_score({0: others}, {0: [cap]})
                 scores.append(bleu[3])
             mb.append(float(np.mean(scores)))
     out = {"div1": float(np.mean(d1)), "div2": float(np.mean(d2))}
@@ -72,14 +73,15 @@ def div_stats(preds_n: List[dict]) -> Dict[str, float]:
     return out
 
 
-def oracle(preds_n: List[dict], gts: Dict) -> Dict[str, float]:
+def oracle(preds_n: List[dict], gts: Dict, groups=None) -> Dict[str, float]:
     """Per-image MAX over the n candidates, averaged: the quality ceiling a
     perfect re-ranker would reach (``oracle_CIDEr`` / ``oracle_Bleu_4`` /
     ``oracle_ROUGE_L``)."""
-    groups = _group(preds_n)
+    groups = _group(preds_n) if groups is None else groups
     sub_gts = {i: gts[i] for i in groups if i in gts}
     cider = CiderD(df="corpus")
     cider._prepare_df(sub_gts)
+    bleu4 = Bleu(4)
     oc, ob, orl = [], [], []
     for i, caps in groups.items():
         refs = gts.get(i)
@@ -88,7 +90,7 @@ def oracle(preds_n: List[dict], gts: Dict) -> Dict[str, float]:
         oc.append(max(cider.score_one(c, refs) for c in caps))
         bs = []
         for c in caps:
-            bleu, _ = Bleu(4).compute_score({0: refs}, {0: [c]})
+            bleu, _ = bleu4.compute_score({0: refs}, {0: [c]})
             bs.append(bleu[3])
         ob.append(max(bs))
         orl.append(max(rouge_l(c, refs) for c in caps))
@@ -100,10 +102,10 @@ def oracle(preds_n: List[dict], gts: Dict) -> Dict[str, float]:
             "oracle_ROUGE_L": float(np.mean(orl))}
 
 
-def self_cider(preds_n: List[dict]) -> Dict[str, float]:
+def self_cider(preds_n: List[dict], groups=None) -> Dict[str, float]:
     """Mean eigenvalue-diversity score of each image's sample group
     (rewards/self_critical.py:get_self_cider_scores, on words)."""
-    groups = _group(preds_n)
+    groups = _group(preds_n) if groups is None else groups
     scorer = Cider(df="corpus")
     scorer._prepare_df({i: caps for i, caps in groups.items()})
     vals = []
@@ -115,7 +117,9 @@ def self_cider(preds_n: List[dict]) -> Dict[str, float]:
         sq = np.sqrt(eig)
         denom = max(sq.sum(), 1e-12)
         vals.append(-np.log(max(sq[-1], 1e-12) / denom) / np.log(len(eig)))
-    return {"self_cider": float(np.mean(vals)) if vals else 0.0}
+    # absent (None), never faked: a 0.0 here would read as "zero diversity"
+    # when no image even had >= 2 captions to compare (same policy as oracle)
+    return {"self_cider": float(np.mean(vals)) if vals else None}
 
 
 def multi_sample_eval(preds_n: List[dict], gts: Dict,
@@ -128,8 +132,8 @@ def multi_sample_eval(preds_n: List[dict], gts: Dict,
     vals = [_allspice(caps, gts[i]) for i, caps in groups.items()
             if gts.get(i)]
     out["allspice_approx"] = float(np.mean(vals)) if vals else None
-    out.update(div_stats(preds_n))
+    out.update(div_stats(preds_n, groups=groups))
     if eval_oracle:
-        out.update(oracle(preds_n, gts))
-    out.update(self_cider(preds_n))
+        out.update(oracle(preds_n, gts, groups=groups))
+    out.update(self_cider(preds_n, groups=groups))
     return out

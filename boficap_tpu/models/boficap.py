@@ -154,7 +154,15 @@ class BoFiCap(nn.Module):
         return self.encoder(x, src_mask, deterministic)
 
     def _decoder(self, role):
-        return self.decoders[DECODER_ROLES[self.train_mode][role]]
+        roles = DECODER_ROLES[self.train_mode]
+        if role not in roles:
+            # a bare KeyError('A') here is the opaque face of "you asked a
+            # UIC model for AR decode" — name the mismatch instead
+            raise ValueError(
+                f"train_mode {self.train_mode!r} has no {role!r} decoder "
+                f"role (has: {sorted(roles)}); pick an inference_mode this "
+                f"model serves (A->AIC, SA->SAIC, NA->NAIC)")
+        return self.decoders[roles[role]]
 
     def _lp_heads(self, h, deterministic=True):
         """[..., d] -> (length logprob [..., 20], syn logprob [..., 10])."""

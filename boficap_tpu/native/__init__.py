@@ -27,9 +27,21 @@ def build() -> str:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     include = sysconfig.get_paths()["include"]
+    # compile to a per-pid temp and os.replace (atomic): multihost training
+    # spawns N processes that all reach here concurrently on a fresh clone,
+    # and a reader must never import a half-written .so
+    tmp = f"{out}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           f"-I{include}", src, "-o", out]
-    subprocess.run(cmd, check=True, capture_output=True)
+           f"-I{include}", src, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, out)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(f"g++ failed: {(e.stderr or '').strip()[-500:]}") \
+            from e
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

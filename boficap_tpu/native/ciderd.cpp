@@ -122,20 +122,46 @@ double sim(const Vec& h, const Vec& r) {
   return total / kN;
 }
 
-std::string pystr(PyObject* o) {
+// false (with the Python error indicator set) when o is NULL (a failed
+// PyList_GetItem) or not str — the caller must return nullptr, not keep
+// going with a silently-empty string and a pending exception
+bool pystr(PyObject* o, std::string* out) {
+  if (!o) return false;
   Py_ssize_t len;
   const char* s = PyUnicode_AsUTF8AndSize(o, &len);
-  return std::string(s ? s : "", s ? size_t(len) : 0);
+  if (!s) return false;
+  out->assign(s, size_t(len));
+  return true;
+}
+
+bool check_list(PyObject* o, const char* what) {
+  if (PyList_Check(o)) return true;
+  PyErr_Format(PyExc_TypeError, "%s must be a list", what);
+  return false;
 }
 
 PyObject* set_df(PyObject*, PyObject* args) {
   PyObject *keys, *vals;
   double ref_len;
   if (!PyArg_ParseTuple(args, "OOd", &keys, &vals, &ref_len)) return nullptr;
+  if (!check_list(keys, "keys") || !check_list(vals, "vals")) return nullptr;
+  if (PyList_Size(vals) < PyList_Size(keys)) {
+    PyErr_SetString(PyExc_ValueError, "fewer vals than keys");
+    return nullptr;
+  }
   g_state.df.clear();
   Py_ssize_t n = PyList_Size(keys);
   for (Py_ssize_t i = 0; i < n; ++i) {
-    std::string k = pystr(PyList_GetItem(keys, i));
+    std::string k;
+    if (!pystr(PyList_GetItem(keys, i), &k)) {
+      g_state.df.clear();
+      return nullptr;
+    }
+    double dfv = PyFloat_AsDouble(PyList_GetItem(vals, i));
+    if (dfv == -1.0 && PyErr_Occurred()) {
+      g_state.df.clear();
+      return nullptr;
+    }
     // hash the space-joined ngram the same way count_ngrams does
     CountsN tmp;
     count_ngrams(k, tmp);
@@ -150,7 +176,7 @@ PyObject* set_df(PyObject*, PyObject* args) {
     if (ntok < 1 || ntok > kN) continue;
     // the level (ntok-1) map contains exactly one entry: the whole ngram
     for (const auto& kv : tmp[ntok - 1])
-      g_state.df[kv.first] = PyFloat_AsDouble(PyList_GetItem(vals, i));
+      g_state.df[kv.first] = dfv;
   }
   g_state.log_ref_len = std::log(std::max(ref_len, 1.0));
   g_state.has_df = true;
@@ -166,6 +192,8 @@ PyObject* clear_df(PyObject*, PyObject*) {
 PyObject* score(PyObject*, PyObject* args) {
   PyObject *cands, *refs;
   if (!PyArg_ParseTuple(args, "OO", &cands, &refs)) return nullptr;
+  if (!check_list(cands, "cands") || !check_list(refs, "refs"))
+    return nullptr;
   Py_ssize_t n = PyList_Size(cands);
   if (PyList_Size(refs) != n) {
     PyErr_SetString(PyExc_ValueError, "cands and refs length mismatch");
@@ -176,12 +204,17 @@ PyObject* score(PyObject*, PyObject* args) {
   std::vector<CountsN> cand_counts(n);
   std::vector<std::vector<CountsN>> ref_counts(n);
   for (Py_ssize_t i = 0; i < n; ++i) {
-    count_ngrams(pystr(PyList_GetItem(cands, i)), cand_counts[i]);
+    std::string s;
+    if (!pystr(PyList_GetItem(cands, i), &s)) return nullptr;
+    count_ngrams(s, cand_counts[i]);
     PyObject* rl = PyList_GetItem(refs, i);
+    if (!rl || !check_list(rl, "refs[i]")) return nullptr;
     Py_ssize_t m = PyList_Size(rl);
     ref_counts[i].resize(m);
-    for (Py_ssize_t j = 0; j < m; ++j)
-      count_ngrams(pystr(PyList_GetItem(rl, j)), ref_counts[i][j]);
+    for (Py_ssize_t j = 0; j < m; ++j) {
+      if (!pystr(PyList_GetItem(rl, j), &s)) return nullptr;
+      count_ngrams(s, ref_counts[i][j]);
+    }
   }
 
   State local;

@@ -7,11 +7,15 @@ this package's BoFiCap parameter tree.  Linear weights transpose
 (torch [out, in] -> flax [in, out]); embeddings and layer norms copy as-is.
 
 Key schema (reference captioning/models/TransformerModel.py):
-  att_embed.0.*                         -> att_embed
+  att_embed.{0|1}.*                     -> att_embed (use_bn=1's leading
+                                           BatchNorm1d folds into the Dense
+                                           exactly at inference; use_bn=2's
+                                           trailing BN sits after the ReLU,
+                                           cannot fold -> rejected loudly)
   model.encoder.layers.{i}.self_attn.linears.{0..3} -> encoder/layer{i}/self_attn/{wq,wk,wv,wo}
   model.encoder.layers.{i}.feed_forward.w_{1,2}     -> .../ffn/Dense_{0,1}
   model.encoder.layers.{i}.sublayer.{j}.norm.{a_2,b_2} -> .../sub{j}/norm/{scale,bias}
-  model.encoder.norm.*                  -> encoder/LayerNorm_0
+  model.encoder.norm.*                  -> encoder/RefLayerNorm_0
   model.decoder[_A|_SA|_NA].*           -> decoder{stack}/* per train_mode
   model.{tgt,word}_embed.lut.weight     -> word_embed/Embed_0/embedding
   model.syn_embed.lut.weight            -> syn_embed/Embed_0/embedding
@@ -76,24 +80,72 @@ def _layer_subkeys(rest: str):
     raise KeyError(rest)
 
 
+def _to_np(v):
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else \
+        np.asarray(v)
+
+
+def _convert_att_embed(state_dict: Dict[str, Any], p: Dict) -> set:
+    """Map the att_embed Sequential onto the single flax Dense; returns the
+    consumed key set.
+
+    Reference layouts (TransformerModel.py:1642-1647):
+      use_bn=0: (Linear, ReLU, Dropout)          -> Linear at index 0
+      use_bn=1: (BN, Linear, ReLU, Dropout)      -> BN at 0, Linear at 1
+      use_bn=2: (BN, Linear, ReLU, Dropout, BN)  -> + trailing BN at 4
+    A leading (pre-activation, eval-mode) BatchNorm1d is affine and folds
+    into the Linear exactly: W' = W diag(g/sigma), b' = b + W(beta - mu g/
+    sigma).  The trailing BN of use_bn=2 sits after the ReLU and cannot
+    fold into anything this model has -> rejected with a clear error."""
+    keys = {k for k in state_dict if k.startswith("att_embed.")}
+    if not keys:
+        return keys
+    if any(k.startswith("att_embed.4.") for k in keys):
+        raise NotImplementedError(
+            "use_bn=2 checkpoints (trailing BatchNorm after att_embed's "
+            "ReLU, TransformerModel.py:1647) have no folding into this "
+            "model's single att_embed Dense; retrain or export without it")
+    if "att_embed.1.weight" in keys:                 # use_bn=1: BN + Linear
+        g = _to_np(state_dict["att_embed.0.weight"])
+        beta = _to_np(state_dict["att_embed.0.bias"])
+        mu = _to_np(state_dict["att_embed.0.running_mean"])
+        var = _to_np(state_dict["att_embed.0.running_var"])
+        w = _to_np(state_dict["att_embed.1.weight"])     # torch [out, in]
+        b = _to_np(state_dict["att_embed.1.bias"])
+        scale = g / np.sqrt(var + 1e-5)                  # BatchNorm1d eps
+        _set(p, ("att_embed", "kernel"), (w * scale[None, :]).T)
+        _set(p, ("att_embed", "bias"), b + w @ (beta - mu * scale))
+        extra = keys - {"att_embed.0.weight", "att_embed.0.bias",
+                        "att_embed.0.running_mean", "att_embed.0.running_var",
+                        "att_embed.0.num_batches_tracked",
+                        "att_embed.1.weight", "att_embed.1.bias"}
+    else:                                            # use_bn=0: plain Linear
+        w = _to_np(state_dict["att_embed.0.weight"])
+        _set(p, ("att_embed", "kernel"), w.T)
+        _set(p, ("att_embed", "bias"), _to_np(state_dict["att_embed.0.bias"]))
+        extra = keys - {"att_embed.0.weight", "att_embed.0.bias"}
+    if extra:
+        raise KeyError(f"unmapped att_embed keys: {sorted(extra)}")
+    return keys
+
+
 def torch_to_flax(state_dict: Dict[str, Any], train_mode: str) -> Dict:
-    """Reference state_dict (tensors or numpy arrays) -> {'params': ...}."""
+    """Reference state_dict (tensors or numpy arrays) -> {'params': ...}.
+
+    Every key must be consumed: anything unrecognized raises instead of
+    silently dropping weights (a dropped layer corrupts the conversion in
+    ways that only surface — or worse, don't — at apply time)."""
     p: Dict[str, Any] = {}
     dmap = _decoder_map(train_mode)
+    to_np = _to_np
 
-    def to_np(v):
-        return v.detach().cpu().numpy() if hasattr(v, "detach") else \
-            np.asarray(v)
-
+    att_consumed = _convert_att_embed(state_dict, p)
     for key, val in state_dict.items():
+        if key in att_consumed:
+            continue
         v = to_np(val)
-        if key.startswith("att_embed.0."):
-            wb = key.rsplit(".", 1)[1]
-            _set(p, ("att_embed", "kernel" if wb == "weight" else "bias"),
-                 v.T if wb == "weight" else v)
-            continue
         if not key.startswith("model."):
-            continue
+            raise KeyError(f"unmapped reference key: {key}")
         k = key[len("model."):]
         if k.startswith("pos_embed."):
             continue                                   # sinusoids, recomputed

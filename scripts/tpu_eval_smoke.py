@@ -49,11 +49,16 @@ CASES = [
 
 
 def run_one(name, extra):
+    # only_lang must NOT force: tools/eval.py's cached re-score branch is
+    # `only_lang_eval and not force` — forcing would silently cover the
+    # full-decode path instead of the one this case exists for
+    only_lang = "--only_lang_eval" in extra
     cmd = [sys.executable, os.path.join(ROOT, "tools", "eval.py"),
            "--model", os.path.join(CKPT, "model_best.ckpt"),
            "--infos_path", os.path.join(CKPT, f"infos_{ID}_best.pkl"),
            "--split", "val", "--num_images", "4", "--language_eval", "1",
-           "--dump_json", "0", "--force", "1"] + extra
+           "--dump_json", "0"] + ([] if only_lang else ["--force", "1"]) \
+        + extra
     t0 = time.time()
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
@@ -64,8 +69,13 @@ def run_one(name, extra):
     dt = time.time() - t0
     full = p.stdout + p.stderr
     rate = re.findall(r"images/s ([0-9.]+)", full)
-    ok = p.returncode == 0 and ("loss" in full or "Bleu" in full
-                                or "decode_time" in full)
+    if only_lang:
+        # proof the cached short-circuit ran: language stats with no decode
+        # (a prior case's save_cached populated /tmp/eval_results)
+        ok = p.returncode == 0 and "Bleu" in full and "decode_time" not in full
+    else:
+        ok = p.returncode == 0 and ("loss" in full or "Bleu" in full
+                                    or "decode_time" in full)
     print(f"{name:<12} {'OK' if ok else 'FAIL':<5} {dt:6.1f}s "
           f"images/s={rate[-1] if rate else '?'}", flush=True)
     if not ok:

@@ -231,6 +231,13 @@ def test_multi_sample_metrics():
     assert {"div1", "div2", "mBLEU_4", "oracle_CIDEr",
             "self_cider"} <= set(out)
 
+    # absent, never faked: one caption per image means no pair to compare —
+    # None, not a legitimate-looking "zero diversity" 0.0 (same policy as
+    # oracle/allspice)
+    singles = [{"image_id": 1, "caption": "a cat"},
+               {"image_id": 2, "caption": "a dog"}]
+    assert self_cider(singles)["self_cider"] is None
+
 
 def test_eval_split_multi_sample_metrics_and_trim():
     """sample_n > 1 through eval_split: the multi-sample metric block fires
@@ -252,3 +259,28 @@ def test_eval_split_multi_sample_metrics_and_trim():
               "perplexity", "entropy"):
         assert k in ls, k
     assert ls["allspice"] is None
+
+
+def test_uic_aic_inference_mode_errors_clearly():
+    """UIC trains no AR decoder role; asking eval for inference_mode AIC
+    must name the mismatch (the reference crashes too, with an opaque
+    AttributeError: EncoderDecoder_UIC has no 'decode')."""
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.models.boficap import build_model
+    import jax
+    cfg = default_config()
+    cfg.train_mode = "UIC"
+    cfg.N_enc = cfg.N_dec = 1
+    cfg.d_model, cfg.d_ff, cfg.num_att_heads = 32, 64, 2
+    cfg.id = "uic_aic_err"
+    finalize(cfg)
+    model = build_model(cfg, 20)
+    rng = jax.random.PRNGKey(0)
+    import numpy as np
+    att = np.zeros((1, 4, cfg.att_feat_size), np.float32)
+    params = model.init(rng, att, np.ones((1, 4), np.float32),
+                        method="encode")
+    memory = model.apply(params, att, np.ones((1, 4), np.float32),
+                         method="encode")
+    with pytest.raises(ValueError, match="no 'A' decoder role"):
+        model.apply(params, memory, 8, method="init_ar_cache")

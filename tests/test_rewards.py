@@ -177,3 +177,23 @@ def test_native_ciderd_speed():
     assert dt < dt_py / 2, (
         f"native {dt*1000:.1f} ms not >2x faster than python "
         f"{dt_py*1000:.1f} ms")
+
+
+def test_native_ciderd_error_paths():
+    """Malformed inputs raise clean Python exceptions instead of returning
+    with a pending error indicator (SystemError) or corrupting the df."""
+    native = pytest.importorskip("boficap_tpu.native").get_ciderd()
+    if native is None:
+        pytest.skip("no native toolchain")
+    with pytest.raises(TypeError):
+        native.score(["a b", 7], [["a"], ["b"]])       # non-str candidate
+    with pytest.raises(TypeError):
+        native.score(["a", "b"], [["a"], 3])           # non-list ref group
+    with pytest.raises(TypeError):
+        native.score("notalist", [])
+    with pytest.raises(ValueError):
+        native.set_df(["a", "b"], [1.0], 10.0)         # fewer vals than keys
+    with pytest.raises(ValueError):
+        native.score(["a"], [])                        # length mismatch
+    native.clear_df()                                  # leave clean state
+    assert native.score(["a b"], [["a b"]]) is not None

@@ -480,3 +480,50 @@ def test_beam_search_parity():
     np.testing.assert_array_equal(np.asarray(out["seq"]), ref_seqs)
     np.testing.assert_allclose(np.asarray(out["scores"]), ref_p,
                                rtol=1e-3, atol=2e-4)
+
+
+def test_convert_use_bn_folds_exactly():
+    """use_bn=1 checkpoints: the leading BatchNorm1d folds into the Dense
+    exactly at inference (convert._convert_att_embed).  Perturb the BN
+    buffers away from their trivial init so the fold actually does work."""
+    from captioning.models.TransformerModel import TransformerModel
+    torch.manual_seed(3)
+    opt = ref_opt("UIC")
+    opt.use_bn = 1
+    ref = TransformerModel(opt)
+    with torch.no_grad():
+        bn = ref.att_embed[0]
+        bn.running_mean.normal_(0.3, 0.5)
+        bn.running_var.uniform_(0.5, 2.0)
+        bn.weight.normal_(1.0, 0.2)
+        bn.bias.normal_(0.0, 0.3)
+    ref.eval()
+    params = torch_to_flax(ref.state_dict(), "UIC")["params"]
+
+    x = np.random.RandomState(5).randn(7, 2048).astype(np.float32)
+    want = ref.att_embed(torch.from_numpy(x)).detach().numpy()  # BN+Lin+ReLU
+    k = params["att_embed"]["kernel"]
+    b = params["att_embed"]["bias"]
+    got = np.maximum(x @ np.asarray(k) + np.asarray(b), 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_convert_rejects_use_bn2():
+    """use_bn=2's trailing BN (after the ReLU) cannot fold; the converter
+    must say so instead of silently mis-mapping."""
+    from captioning.models.TransformerModel import TransformerModel
+    opt = ref_opt("UIC")
+    opt.use_bn = 2
+    ref = TransformerModel(opt)
+    with pytest.raises(NotImplementedError, match="use_bn=2"):
+        torch_to_flax(ref.state_dict(), "UIC")
+
+
+def test_convert_rejects_unknown_toplevel_key(parity_uic):
+    """Every state_dict key must be consumed — an unrecognized top-level
+    module (e.g. a fork's extra head) raises instead of dropping weights."""
+    ref, _, _ = parity_uic
+    sd = dict(ref.state_dict())
+    sd["extra_head.weight"] = torch.zeros(3, 3)
+    with pytest.raises(KeyError, match="extra_head"):
+        torch_to_flax(sd, "UIC")
