@@ -154,19 +154,19 @@ def test_native_ciderd_speed():
     for i in range(250):
         cands.append(" ".join(str(x) for x in rng.randint(4, 9500, 9)) + " 0")
         refs_aligned.append(refs[i // 5])
-    # min-of-3 on both sides: single-shot wall clocks flake when another
-    # process (e.g. a concurrent TPU CLI run) steals the core mid-timing
-    dt = float("inf")
-    for _ in range(3):
+    # interleaved min-of-5: timing native and python in ALTERNATING windows
+    # so a co-tenant load spike (e.g. a concurrent TPU bench on this host)
+    # hits both sides, not just whichever ran first; min() then drops the
+    # spiked samples symmetrically
+    py = CiderD(df="corpus")
+    gts = {i: r for i, r in enumerate(refs_aligned)}
+    res = [{"image_id": i, "caption": [c]} for i, c in enumerate(cands)]
+    dt = dt_py = float("inf")
+    for _ in range(5):
         native.clear_df()
         t0 = time.perf_counter()
         native.score(cands, refs_aligned)
         dt = min(dt, time.perf_counter() - t0)
-    py = CiderD(df="corpus")
-    gts = {i: r for i, r in enumerate(refs_aligned)}
-    res = [{"image_id": i, "caption": [c]} for i, c in enumerate(cands)]
-    dt_py = float("inf")
-    for _ in range(3):
         t0 = time.perf_counter()
         py.compute_score(gts, res)
         dt_py = min(dt_py, time.perf_counter() - t0)
