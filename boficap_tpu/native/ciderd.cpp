@@ -145,11 +145,14 @@ PyObject* set_df(PyObject*, PyObject* args) {
   double ref_len;
   if (!PyArg_ParseTuple(args, "OOd", &keys, &vals, &ref_len)) return nullptr;
   if (!check_list(keys, "keys") || !check_list(vals, "vals")) return nullptr;
-  if (PyList_Size(vals) < PyList_Size(keys)) {
-    PyErr_SetString(PyExc_ValueError, "fewer vals than keys");
+  if (PyList_Size(vals) != PyList_Size(keys)) {
+    PyErr_SetString(PyExc_ValueError, "keys and vals length mismatch");
     return nullptr;
   }
+  // from here on the old table is gone: any failure must leave the module
+  // in explicit corpus mode (has_df=false), never "cached mode, empty df"
   g_state.df.clear();
+  g_state.has_df = false;
   Py_ssize_t n = PyList_Size(keys);
   for (Py_ssize_t i = 0; i < n; ++i) {
     std::string k;

@@ -99,7 +99,11 @@ def _convert_att_embed(state_dict: Dict[str, Any], p: Dict) -> set:
     fold into anything this model has -> rejected with a clear error."""
     keys = {k for k in state_dict if k.startswith("att_embed.")}
     if not keys:
-        return keys
+        # every reference TransformerModel has att_embed (1642-1647); its
+        # absence means a truncated/partial checkpoint — converting would
+        # silently leave the flax att_embed at template init
+        raise KeyError("state_dict has no att_embed.* keys (truncated or "
+                       "non-TransformerModel checkpoint?)")
     if any(k.startswith("att_embed.4.") for k in keys):
         raise NotImplementedError(
             "use_bn=2 checkpoints (trailing BatchNorm after att_embed's "

@@ -192,8 +192,20 @@ def test_native_ciderd_error_paths():
     with pytest.raises(TypeError):
         native.score("notalist", [])
     with pytest.raises(ValueError):
-        native.set_df(["a", "b"], [1.0], 10.0)         # fewer vals than keys
+        native.set_df(["a", "b"], [1.0], 10.0)         # key/val length skew
+    with pytest.raises(ValueError):
+        native.set_df(["a"], [1.0, 2.0], 10.0)         # extra vals: also skew
     with pytest.raises(ValueError):
         native.score(["a"], [])                        # length mismatch
+    # a failed set_df must drop to corpus mode, not "cached mode, empty df"
+    # (which silently mis-scores everything after): install a real df, fail
+    # the next set_df mid-parse, and check score matches pure corpus mode
+    native.set_df(["a b"], [3.0], 100.0)
+    with pytest.raises(TypeError):
+        native.set_df(["a b", 123], [1.0, 2.0], 100.0)
+    native_corpus = native.score(["a b c"], [["a b d", "a b e"]])
+    native.clear_df()
+    expect = native.score(["a b c"], [["a b d", "a b e"]])
+    assert native_corpus == pytest.approx(expect)
     native.clear_df()                                  # leave clean state
     assert native.score(["a b"], [["a b"]]) is not None

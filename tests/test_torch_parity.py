@@ -519,6 +519,17 @@ def test_convert_rejects_use_bn2():
         torch_to_flax(ref.state_dict(), "UIC")
 
 
+def test_convert_rejects_missing_att_embed(parity_uic):
+    """The consumed-key guarantee must be two-directional: a truncated
+    checkpoint missing att_embed entirely raises instead of converting with
+    att_embed left at template init (silent garbage captions)."""
+    ref, _, _ = parity_uic
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith("att_embed.")}
+    with pytest.raises(KeyError, match="att_embed"):
+        torch_to_flax(sd, "UIC")
+
+
 def test_convert_rejects_unknown_toplevel_key(parity_uic):
     """Every state_dict key must be consumed — an unrecognized top-level
     module (e.g. a fork's extra head) raises instead of dropping weights."""
