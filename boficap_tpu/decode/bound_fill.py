@@ -45,9 +45,9 @@ def _fused_ctx(model, params, role: str):
     """Packed weights + final norm of the decoder stack serving ``role``,
     for the pallas fused decoder forward (ops/pallas_decoder_layer).  Called
     OUTSIDE any while_loop so packing doesn't rerun per iteration."""
-    from ..models.boficap import DECODER_ROLES
+    from ..models.boficap import decoder_roles
     from ..ops.pallas_decoder_layer import pack_decoder_weights
-    stack = DECODER_ROLES[model.train_mode][role]
+    stack = decoder_roles(model.train_mode, role)
     return pack_decoder_weights(params["params"][f"decoder{stack}"],
                                 model.dtype)
 

@@ -67,6 +67,23 @@ DECODER_ROLES = {
 }
 
 
+def decoder_roles(train_mode: str, role: str = None):
+    """DECODER_ROLES lookup with the mismatch named instead of a bare
+    KeyError — shared by setup, _decoder, and the fused-decode packers."""
+    roles = DECODER_ROLES.get(train_mode)
+    if roles is None:
+        raise ValueError(f"unknown train_mode {train_mode!r} "
+                         f"(known: {sorted(DECODER_ROLES)})")
+    if role is None:
+        return roles
+    if role not in roles:
+        raise ValueError(
+            f"train_mode {train_mode!r} has no {role!r} decoder role "
+            f"(has: {sorted(roles)}); pick an inference_mode this model "
+            f"serves (A->AIC, SA->SAIC, NA->NAIC)")
+    return roles[role]
+
+
 class BoFiCap(nn.Module):
     tgt_vocab: int
     d_model: int = 512
@@ -93,7 +110,7 @@ class BoFiCap(nn.Module):
         self.att_drop = nn.Dropout(self.drop_prob_lm)
         self.encoder = Encoder(self.N_enc, self.d_model, self.d_ff,
                                self.num_heads, self.dropout, self.dtype)
-        roles = DECODER_ROLES[self.train_mode]
+        roles = decoder_roles(self.train_mode)
         n_stacks = max(roles.values()) + 1
         self.decoders = [
             Decoder(self.N_dec, self.d_model, self.d_ff, self.num_heads,
@@ -154,15 +171,7 @@ class BoFiCap(nn.Module):
         return self.encoder(x, src_mask, deterministic)
 
     def _decoder(self, role):
-        roles = DECODER_ROLES[self.train_mode]
-        if role not in roles:
-            # a bare KeyError('A') here is the opaque face of "you asked a
-            # UIC model for AR decode" — name the mismatch instead
-            raise ValueError(
-                f"train_mode {self.train_mode!r} has no {role!r} decoder "
-                f"role (has: {sorted(roles)}); pick an inference_mode this "
-                f"model serves (A->AIC, SA->SAIC, NA->NAIC)")
-        return self.decoders[roles[role]]
+        return self.decoders[decoder_roles(self.train_mode, role)]
 
     def _lp_heads(self, h, deterministic=True):
         """[..., d] -> (length logprob [..., 20], syn logprob [..., 10])."""
@@ -330,19 +339,24 @@ class BoFiCap(nn.Module):
         return self._lp_heads(h, deterministic)
 
     # ---------------------------------------------------------------- filling
-    def _mix_inputs(self, word_seq, syn_seq, gate, deterministic=True):
-        """decoder_input_mode add|single|gate (reference :520-530, :570-587)."""
+    def _mix_embed(self, word_seq, syn_seq, gate):
+        """The decoder_input_mode add|single|gate word/syn embedding mix,
+        WITHOUT positions (reference :520-530, :570-587) — shared by the
+        full-frame and the windowed-SA input builders."""
         w = self.word_embed(word_seq)
         s = self.syn_embed(syn_seq)
         if self.decoder_input_mode == "add":
-            x = w + s
-        elif self.decoder_input_mode == "single":
-            x = w if gate == "sa" else s
-        else:
-            g = nn.sigmoid((self.sa_gate if gate == "sa" else self.na_gate)(
-                jnp.concatenate([w, s], axis=-1)))
-            x = g * w + (1 - g) * s
-        return self.posenc(x, deterministic=deterministic)
+            return w + s
+        if self.decoder_input_mode == "single":
+            return w if gate == "sa" else s
+        g = nn.sigmoid((self.sa_gate if gate == "sa" else self.na_gate)(
+            jnp.concatenate([w, s], axis=-1)))
+        return g * w + (1 - g) * s
+
+    def _mix_inputs(self, word_seq, syn_seq, gate, deterministic=True):
+        """decoder_input_mode add|single|gate (reference :520-530, :570-587)."""
+        return self.posenc(self._mix_embed(word_seq, syn_seq, gate),
+                           deterministic=deterministic)
 
     def mix_inputs_window(self, word_seq, syn_seq, pos_onehot, gate):
         """``_mix_inputs`` for a GATHERED window of decoder slots: embeds
@@ -352,16 +366,7 @@ class BoFiCap(nn.Module):
         matmul instead of a TPU-hostile row gather).  Inference only (no
         dropout); used by the windowed SA fill (decode/bound_fill.py)."""
         from .layers import sinusoid_np
-        w = self.word_embed(word_seq)
-        s = self.syn_embed(syn_seq)
-        if self.decoder_input_mode == "add":
-            x = w + s
-        elif self.decoder_input_mode == "single":
-            x = w if gate == "sa" else s
-        else:
-            g = nn.sigmoid((self.sa_gate if gate == "sa" else self.na_gate)(
-                jnp.concatenate([w, s], axis=-1)))
-            x = g * w + (1 - g) * s
+        x = self._mix_embed(word_seq, syn_seq, gate)
         L = pos_onehot.shape[-1]
         pe = jnp.asarray(sinusoid_np(self.posenc.max_len, self.d_model)[:L])
         rows = jnp.einsum("bwl,ld->bwd", pos_onehot.astype(jnp.float32), pe)
@@ -378,10 +383,7 @@ class BoFiCap(nn.Module):
         """NA fill: bos (or glanced) word + syn input. [B, L] -> [B, L, d]."""
         word_seq = (jnp.full(syn_seq.shape, BOS, dtype=jnp.int32)
                     if glat_input is None else glat_input)
-        if self.decoder_input_mode == "single":
-            x = self.posenc(self.syn_embed(syn_seq), deterministic=deterministic)
-        else:
-            x = self._mix_inputs(word_seq, syn_seq, "na", deterministic)
+        x = self._mix_inputs(word_seq, syn_seq, "na", deterministic)
         return self._decoder("NA")(x, memory, src_mask, tgt_mask, deterministic)
 
     def decode_a(self, word_seq, memory, src_mask, tgt_mask,
@@ -400,6 +402,14 @@ class BoFiCap(nn.Module):
         reference argmaxes with .data, so this head receives NO gradient;
         replicated as-is)."""
         B, R, d = memory.shape
+        if R > self.max_boxes:
+            # reference asserts N <= max_boxes (:1240); more regions than
+            # the head was built for would silently change nn_len_l2's
+            # flattened input width
+            raise ValueError(
+                f"nnaic_length: {R} regions > max_boxes={self.max_boxes} "
+                f"(the length head is built at max_boxes*max_length); raise "
+                f"max_boxes in the config to cover the feature store")
         if R < self.max_boxes:
             memory = jnp.concatenate(
                 [memory, jnp.zeros((B, self.max_boxes - R, d), memory.dtype)],

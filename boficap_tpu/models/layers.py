@@ -90,9 +90,12 @@ class MultiHeadAttention(nn.Module):
         B, Lq, H, Dh = qh.shape
         Lk = kh.shape[1]
         if (PALLAS_ATTENTION["enabled"] and deterministic
+                and not CAPTURE_ATTENTION["enabled"]
                 and mask is not None and mask.ndim in (2, 3)):
             # fused scores+mask+softmax+context kernel (ops/pallas_attention);
-            # inference-only: attention-prob dropout needs the unfused path
+            # inference-only: attention-prob dropout needs the unfused path,
+            # and capture needs the probs materialized (the kernel never
+            # forms them) — attention dumps force the unfused path
             from ..ops.pallas_attention import attention_core
             m3 = (jnp.broadcast_to(mask[:, None, :], (B, Lq, Lk))
                   if mask.ndim == 2 else mask)

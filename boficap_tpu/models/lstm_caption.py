@@ -75,6 +75,7 @@ class _ARMixin:
         seq = labels[:, :-1]                     # [B, L+1] inputs
         B, T = seq.shape
         carry = self._carry_init(memory, deterministic)
+        pre = self._precompute(memory)
         use_ss = ss_prob > 0.0
         ss_rng = self.make_rng("ss") if use_ss else None
 
@@ -95,23 +96,31 @@ class _ARMixin:
                 ).astype(it.dtype)
                 it = jnp.where(flip, sampled, it)
             lp, carry = self._step_core(it, carry, memory, src_mask,
-                                        deterministic)
+                                        deterministic, pre)
             prev_lp = lp
             lps.append(lp)
         return {"logprob": jnp.stack(lps, axis=1)}
+
+    def _precompute(self, memory):
+        """Loop-invariant projections of memory (p_att / ctx2att / decode
+        attention K,V), computed ONCE per forward or decode instead of per
+        AR step; arrays are [B, R, ...] so beam tiling's axis-0 gather
+        (decode/ar.py:221) composes.  Models override."""
+        return None
 
     def init_ar_cache(self, memory, max_len: int):
         del max_len
         # memory rides inside the cache so ar_step needs no extra plumbing
         return {"state": self._carry_init(memory, deterministic=True),
-                "memory": memory}
+                "memory": memory, "pre": self._precompute(memory)}
 
     def ar_step(self, it, pos, cache, src_mask, deterministic=True,
                 syn_t=None):
         del pos, syn_t
         lp, state = self._step_core(it, cache["state"], cache["memory"],
-                                    src_mask, deterministic)
-        return lp, {"state": state, "memory": cache["memory"]}
+                                    src_mask, deterministic, cache["pre"])
+        return lp, {"state": state, "memory": cache["memory"],
+                    "pre": cache["pre"]}
 
 
 class FCModel(_ARMixin, nn.Module):
@@ -146,8 +155,9 @@ class FCModel(_ARMixin, nn.Module):
         state, _ = self.core(state, memory[:, 0], deterministic)
         return state
 
-    def _step_core(self, it, state, memory, src_mask, deterministic=True):
-        del memory, src_mask
+    def _step_core(self, it, state, memory, src_mask, deterministic=True,
+                   pre=None):
+        del memory, src_mask, pre
         x = self.embed(it)
         state, h = self.core(state, x, deterministic)
         lp = jax.nn.log_softmax(self.logit(h).astype(jnp.float32), -1)
@@ -206,12 +216,17 @@ class UpDownModel(_ARMixin, nn.Module):
         return {"att": self.att_lstm.init_state(B),
                 "lang": self.lang_lstm.init_state(B)}
 
-    def _step_core(self, it, state, memory, src_mask, deterministic=True):
+    def _precompute(self, memory):
+        return {"p_att": self.p_att(memory)}
+
+    def _step_core(self, it, state, memory, src_mask, deterministic=True,
+                   pre=None):
+        p_att = pre["p_att"] if pre is not None else self.p_att(memory)
         fc = masked_mean(memory, src_mask)
         h_lang_prev = state["lang"][1]
         x = jnp.concatenate([h_lang_prev, fc, self.embed(it)], -1)
         att_state, h_att = self.att_lstm(state["att"], x, deterministic)
-        ctx = self.attention(h_att, memory, self.p_att(memory), src_mask)
+        ctx = self.attention(h_att, memory, p_att, src_mask)
         lang_state, h_lang = self.lang_lstm(
             state["lang"], jnp.concatenate([ctx, h_att], -1), deterministic)
         lp = jax.nn.log_softmax(self.logit(h_lang).astype(jnp.float32), -1)
@@ -260,10 +275,14 @@ class Att2in2Model(_ARMixin, nn.Module):
         z = jnp.zeros((B, self.rnn_size), self.dtype)
         return (z, z)
 
-    def _step_core(self, it, state, memory, src_mask, deterministic=True):
+    def _precompute(self, memory):
+        return {"p_att": self.ctx2att(memory)}
+
+    def _step_core(self, it, state, memory, src_mask, deterministic=True,
+                   pre=None):
         h_prev, c_prev = state
-        att_res = self.attention(h_prev, memory, self.ctx2att(memory),
-                                 src_mask)
+        p_att = pre["p_att"] if pre is not None else self.ctx2att(memory)
+        att_res = self.attention(h_prev, memory, p_att, src_mask)
         s = self.i2h(self.embed(it)) + self.h2h(h_prev)
         R = self.rnn_size
         in_gate = nn.sigmoid(s[:, :R])
@@ -349,12 +368,22 @@ class AoANet(_ARMixin, nn.Module):
         return {"state": self.core.init_state(B),
                 "ctx": jnp.zeros((B, self.d_model), self.dtype)}
 
-    def _step_core(self, it, carry, memory, src_mask, deterministic=True):
+    def _precompute(self, memory):
+        # decode attention K/V projections of the refined memory, once
+        kh, vh = self.dec_att.project_kv(memory)
+        return {"kh": kh, "vh": vh}
+
+    def _step_core(self, it, carry, memory, src_mask, deterministic=True,
+                   pre=None):
+        if pre is None:
+            kh, vh = self.dec_att.project_kv(memory)
+        else:
+            kh, vh = pre["kh"], pre["vh"]
         fc = masked_mean(memory, src_mask)
         x = jnp.concatenate([self.embed(it), fc + carry["ctx"]], -1)
         state, h = self.core(carry["state"], x, deterministic)
-        att = self.dec_att(h[:, None, :], memory, memory, src_mask,
-                           deterministic)[:, 0]
+        qh = self.dec_att.project_q(h[:, None, :])
+        att = self.dec_att.attend(qh, kh, vh, src_mask, deterministic)[:, 0]
         ctx = self.dec_aoa(h, att)
         lp = jax.nn.log_softmax(self.logit(ctx).astype(jnp.float32), -1)
         return lp, {"state": state, "ctx": ctx}

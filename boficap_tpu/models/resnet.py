@@ -211,7 +211,11 @@ def load_torch_resnet_state(sd: Dict[str, Any],
 def normalize_images(imgs: np.ndarray) -> np.ndarray:
     """uint8/float [B, H, W, 3] in [0, 255] or [0, 1] -> ImageNet-normalized
     float32 (reference preprocess, dataloaderraw.py:16-19)."""
-    x = np.asarray(imgs, np.float32)
-    if x.max() > 1.5:
+    arr = np.asarray(imgs)
+    x = arr.astype(np.float32)
+    # integer inputs are ALWAYS 0-255 (a batch of near-black uint8 frames
+    # can max out below 1.5 — dtype, not value, decides); the value
+    # heuristic only disambiguates float inputs of unknown provenance
+    if np.issubdtype(arr.dtype, np.integer) or x.max() > 1.5:
         x = x / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD

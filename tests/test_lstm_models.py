@@ -116,3 +116,25 @@ def test_lstm_classic_scst_step():
     diff = sum(float(jnp.abs(jnp.asarray(a) - b).sum()) for a, b in
                zip(p0, jax.tree_util.tree_leaves(state2.params)))
     assert diff > 0
+
+
+def test_lstm_precompute_matches_inline():
+    """The hoisted loop-invariant projections (p_att / ctx2att / dec_att
+    K,V in the AR cache) must produce bit-identical step logprobs to the
+    inline per-step computation (pre=None fallback)."""
+    for cm in ["updown", "aoa", "att2in2"]:
+        cfg, data, model, tx, state = setup_lstm(cm)
+        batch = data.get_batch("train")
+        att = jnp.asarray(batch["att_feats"][:2])
+        am = jnp.asarray(batch["att_masks"][:2])
+        memory = model.apply(state.params, att, am, method="encode")
+        src_mask = am.astype(bool)
+        cache = model.apply(state.params, memory, 8, method="init_ar_cache")
+        it = jnp.array([5, 7], jnp.int32)
+        lp_pre, _ = model.apply(state.params, it, 0, cache, src_mask,
+                                method="ar_step")
+        lp_inline, _ = model.apply(
+            state.params, it, 0, {**cache, "pre": None}, src_mask,
+            method="ar_step")
+        np.testing.assert_array_equal(np.asarray(lp_pre),
+                                      np.asarray(lp_inline))

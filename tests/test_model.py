@@ -183,3 +183,17 @@ def test_uic_s_forward():
     out = model.apply(params, *args, glat_p=-1.0, deterministic=True)
     for k in ("a_logprob", "sa_logprob", "na_logprob", "len_logprob", "syn_logprob"):
         assert k in out and np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_nnaic_length_rejects_region_overflow():
+    """More regions than max_boxes must raise (the reference asserts
+    N <= max_boxes, TransformerModel.py:1240) instead of silently changing
+    the flattened length-head width."""
+    import pytest
+    from tests.test_decode import _setup
+    model, params, memory, src_mask = _setup("NNAIC", seed=11)
+    big = jnp.concatenate([memory] * 40, axis=1)   # R >> max_boxes
+    if big.shape[1] <= model.max_boxes:
+        big = jnp.concatenate([big, big], axis=1)
+    with pytest.raises(ValueError, match="max_boxes"):
+        model.apply(params, big, method="nnaic_length")

@@ -474,3 +474,29 @@ def test_use_stacked_batch_guard():
     assert not _use_stacked(bf16_model, False, 256)
     assert not _use_stacked(f32_model, False, 64)
     assert _use_stacked(f32_model, True, 256)      # interpret: no limits
+
+
+def test_attention_capture_forces_unfused():
+    """With pallas attention enabled, enabling capture must still sow probs
+    (the fused kernel never materializes them — capture forces the unfused
+    path instead of silently returning empty intermediates)."""
+    import jax.numpy as jnp
+    from boficap_tpu.models.layers import (set_capture_attention,
+                                           set_pallas_attention)
+    from tests.test_decode import _setup
+    model, params, memory, src_mask = _setup("AIC", seed=53)
+    import tests.test_model as tm
+    batch = tm.make_batch(seed=53)
+    set_capture_attention(True)
+    set_pallas_attention(True, interpret=True)
+    try:
+        out, inter = model.apply(
+            params, jnp.asarray(batch["att_feats"]),
+            jnp.asarray(batch["att_masks"]),
+            jnp.asarray(batch["labels"]), deterministic=True,
+            mutable=["intermediates"])
+    finally:
+        set_pallas_attention(False)
+        set_capture_attention(False)
+    maps = jax.tree_util.tree_leaves(inter["intermediates"])
+    assert len(maps) > 0 and np.asarray(maps[0]).ndim == 4

@@ -19,8 +19,8 @@ import torch.nn.functional as F  # noqa: E402
 import jax  # noqa: E402
 
 from boficap_tpu.models.resnet import (  # noqa: E402
-    _adaptive_pool_matrix, init_resnet_params, load_torch_resnet_state,
-    normalize_images, resnet_features)
+    IMAGENET_MEAN, IMAGENET_STD, _adaptive_pool_matrix, init_resnet_params,
+    load_torch_resnet_state, normalize_images, resnet_features)
 
 LAYERS = (1, 1, 1, 1)
 MID = (64, 128, 256, 512)
@@ -147,3 +147,18 @@ def test_resnet101_shapes_and_import_roundtrip():
     imgs = np.zeros((1, 448, 448, 3), np.float32)
     fc, att = jax.jit(resnet_features)(params, imgs)
     assert fc.shape == (1, 2048) and att.shape == (1, 196, 2048)
+
+
+def test_normalize_images_dark_uint8():
+    """dtype, not a value heuristic, decides the /255: a batch of
+    near-black uint8 frames (max <= 1.5) must still scale."""
+    dark = np.ones((1, 4, 4, 3), np.uint8)
+    want = (np.full((1, 4, 4, 3), 1 / 255.0, np.float32)
+            - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(normalize_images(dark), want, rtol=1e-6)
+    # float inputs keep the value heuristic: [0,1] floats pass through
+    x01 = np.full((1, 2, 2, 3), 0.5, np.float32)
+    got = normalize_images(x01)
+    np.testing.assert_allclose(
+        got, np.broadcast_to((0.5 - IMAGENET_MEAN) / IMAGENET_STD,
+                             x01.shape), rtol=1e-6)
