@@ -293,8 +293,11 @@ def main():
     att1, am1 = att[:1], am[:1]
     _warm(caption_unfused, att1, am1, KEY)
     t_na1_unf = timed(caption_unfused, att1, am1, n_iters=FAST_ITERS)
-    _warm(caption_fused, att1, am1, KEY)
-    t_na1_fus = timed(caption_fused, att1, am1, n_iters=FAST_ITERS)
+    if FUSED:
+        _warm(caption_fused, att1, am1, KEY)
+        t_na1_fus = timed(caption_fused, att1, am1, n_iters=FAST_ITERS)
+    else:
+        t_na1_fus = float("inf")   # pallas kernels have no CPU/GPU path
     t_na1 = min(t_na1_unf, t_na1_fus)
 
     # XE train-step throughput at the reference's recipe batch (10 images x
@@ -323,7 +326,16 @@ def main():
     targs = tuple(jnp.asarray(x) for x in (att_t, am_t, lab, pn_t, pl_t,
                                            ps_t))
     tx = optax.adam(5e-4)
-    tstate = create_state(params, tx)
+
+    def fresh_state():
+        # xe_step donates the state (donate_argnums=(0,)); seed it with
+        # device COPIES so the module-level params can never be consumed —
+        # the retry below rebuilds from them after a failed donating step
+        return create_state(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params),
+            tx)
+
+    tstate = fresh_state()
     xe_step = make_xe_step(model, tx)
 
     # pre-built keys: a fold_in per step would dispatch a SECOND program
@@ -347,7 +359,7 @@ def main():
             if i == 3:
                 raise
             time.sleep(2.0 * (i + 1))
-            tstate = create_state(params, tx)  # donated buffers may be stale
+            tstate = fresh_state()   # the failed step consumed its donation
     t_tr = float("inf")
     for _ in range(N_REPEATS):
         t0 = time.perf_counter()
@@ -391,8 +403,9 @@ def main():
                                   "serve B<=128 — BENCH_BATCH env "
                                   "overrides; see BENCH_NOTES.md)",
             "timing_protocol": "pipelined-N-dispatch, pre-built rng keys, "
-                               "min of 3 repeats, single value-fetch sync, "
-                               "RTT subtracted (see timed())",
+                               f"min of {N_REPEATS} repeats, single "
+                               "value-fetch sync, RTT subtracted "
+                               "(see timed())",
             "device": str(jax.devices()[0].platform),
         },
     }))

@@ -16,6 +16,7 @@ reported separately as compile_time.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pickle
@@ -83,43 +84,63 @@ def _resolve_pallas_fill(flag, model) -> bool:
     return forced
 
 
-def make_decoders(model: BoFiCap, params, eval_kwargs):
-    """jit'd decode callables keyed by branch."""
-    beam_size = eval_kwargs.get("beam_size", 1)
-    sample_method = eval_kwargs.get("sample_method", "greedy")
-    temperature = eval_kwargs.get("temperature", 1.0)
-    group_size = int(eval_kwargs.get("group_size", 1) or 1)
-    diversity_lambda = float(eval_kwargs.get("diversity_lambda", 0.5) or 0.5)
-    decoding_constraint = bool(eval_kwargs.get("decoding_constraint", 0))
-    block_trigrams = bool(eval_kwargs.get("block_trigrams", 0))
-    # reference beam_search suppresses UNK only when the top vocab id IS UNK
-    # (CaptionModel.py:171-173); eval_split stashes the resolved index
-    suppress_unk_idx = eval_kwargs.get("_suppress_unk_idx")
-    bad_endings_ix = eval_kwargs.get("_bad_endings_ix")
-    fused = _resolve_pallas_fill(eval_kwargs.get("use_pallas_fill", "auto"),
-                                 model)
+def _decode_cfg(model: BoFiCap, eval_kwargs) -> tuple:
+    """The static decode knobs as one hashable tuple — the memoization key
+    for _build_decoders."""
+    return (
+        model,
+        int(eval_kwargs.get("beam_size", 1) or 1),
+        eval_kwargs.get("sample_method", "greedy"),
+        float(eval_kwargs.get("temperature", 1.0) or 1.0),
+        int(eval_kwargs.get("group_size", 1) or 1),
+        float(eval_kwargs.get("diversity_lambda", 0.5) or 0.5),
+        bool(eval_kwargs.get("decoding_constraint", 0)),
+        bool(eval_kwargs.get("block_trigrams", 0)),
+        # reference beam_search suppresses UNK only when the top vocab id
+        # IS UNK (CaptionModel.py:171-173); eval_split stashes the index
+        eval_kwargs.get("_suppress_unk_idx"),
+        eval_kwargs.get("_bad_endings_ix"),
+        eval_kwargs.get("length_penalty", "") or "",
+        _resolve_pallas_fill(eval_kwargs.get("use_pallas_fill", "auto"),
+                             model),
+        int(eval_kwargs.get("pb_packed_width", 0) or 0),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decoders(cfg: tuple):
+    """Weight-free jit decode programs for one static-knob tuple.  params
+    is an ARGUMENT, not a closure constant: the HLO carries no weights, so
+    the in-memory jit cache survives params updates (train-time periodic
+    eval was recompiling every decode program per eval with the fresh
+    weights baked in) and the persistent compile cache hits across
+    processes — the same design serve.py uses for its bucket programs."""
+    (model, beam_size, sample_method, temperature, group_size,
+     diversity_lambda, decoding_constraint, block_trigrams,
+     suppress_unk_idx, bad_endings_ix, length_penalty, fused,
+     pb_width_i) = cfg
 
     @jax.jit
-    def encode(att, am):
+    def encode(params, att, am):
         if fused:
             return bf.fused_encode(model, params, att, am)
         return model.apply(params, att, am, deterministic=True,
                            method="encode")
 
     @jax.jit
-    def dec_na(memory, src_mask, rng):
+    def dec_na(params, memory, src_mask, rng):
         return bf.na_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
                             temperature=temperature, fused_fill=fused)
 
     @jax.jit
-    def dec_sa(memory, src_mask, rng):
+    def dec_sa(params, memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
                             temperature=temperature, fused_fill=fused)
 
     @jax.jit
-    def dec_ar(memory, src_mask, rng):
+    def dec_ar(params, memory, src_mask, rng):
         return ar_mod.ar_sample(model, params, rng, memory, src_mask,
                                 sample_method=sample_method,
                                 temperature=temperature,
@@ -128,49 +149,49 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
                                 bad_endings_ix=bad_endings_ix)
 
     @jax.jit
-    def dec_beam(memory, src_mask):
+    def dec_beam(params, memory, src_mask):
         if group_size > 1:
             # diverse beam search (reference beam_search with group_size>1)
             return ar_mod.ar_diverse_beam_search(
                 model, params, memory, src_mask, beam_size=beam_size,
                 group_size=group_size, diversity_lambda=diversity_lambda,
-                length_penalty=eval_kwargs.get("length_penalty", ""),
+                length_penalty=length_penalty,
                 suppress_unk_idx=suppress_unk_idx,
                 temperature=temperature,
                 decoding_constraint=decoding_constraint,
                 bad_endings_ix=bad_endings_ix)
         return ar_mod.ar_beam_search(
             model, params, memory, src_mask, beam_size=beam_size,
-            length_penalty=eval_kwargs.get("length_penalty", ""),
+            length_penalty=length_penalty,
             suppress_unk_idx=suppress_unk_idx,
             temperature=temperature,
             decoding_constraint=decoding_constraint,
             bad_endings_ix=bad_endings_ix)
 
     @jax.jit
-    def dec_nnaic(memory, src_mask, rng):
+    def dec_nnaic(params, memory, src_mask, rng):
         return bf.nnaic_decode(model, params, rng, memory, src_mask,
                                sample_method=sample_method,
                                temperature=temperature, fused_fill=fused)
 
     @jax.jit
-    def dec_sa_syn(memory, src_mask, rng):
+    def dec_sa_syn(params, memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
                             temperature=temperature, predictor_use_syn=True,
                             fused_fill=fused)
 
     @jax.jit
-    def dec_uic_s_ar(memory, src_mask, rng):
+    def dec_uic_s_ar(params, memory, src_mask, rng):
         return bf.uic_s_ar_decode(model, params, rng, memory, src_mask,
                                   sample_method=sample_method,
                                   temperature=temperature)
 
     from ..decode.pb import pb_decode as _pb
-    pb_width = eval_kwargs.get("pb_packed_width", 0) or None
+    pb_width = pb_width_i or None
 
     @jax.jit
-    def dec_pb(memory, src_mask, rng):
+    def dec_pb(params, memory, src_mask, rng):
         # one while_loop program (decode/pb.py::pb_decode); returns real
         # per-word logprobs/entropies like the sibling decoders (the old
         # host loop reported them absent).  pb_packed_width raises the
@@ -184,6 +205,14 @@ def make_decoders(model: BoFiCap, params, eval_kwargs):
             "AIC": dec_ar, "beam": dec_beam, "NNAIC": dec_nnaic,
             "UIC_s_SAIC": dec_sa_syn, "UIC_s_AIC": dec_uic_s_ar,
             "PB_pad": dec_pb}
+
+
+def make_decoders(model: BoFiCap, params, eval_kwargs):
+    """jit'd decode callables keyed by branch — weight-free programs
+    memoized on the static knobs, bound to THESE params by partial (see
+    _build_decoders)."""
+    fns = _build_decoders(_decode_cfg(model, eval_kwargs))
+    return {k: functools.partial(f, params) for k, f in fns.items()}
 
 
 def sample_n_captions(model, params, memory, src_mask, rng,
@@ -250,6 +279,26 @@ def sample_n_captions(model, params, memory, src_mask, rng,
     return np.asarray(out["seq"]).reshape(B, n, -1)
 
 
+@functools.lru_cache(maxsize=16)
+def _build_eval_loss_fn(model: BoFiCap):
+    """Weight-free teacher-forced XE loss program (params as an argument,
+    like _build_decoders — train-time periodic eval reuses it across
+    params updates instead of recompiling)."""
+    from ..train.steps import xe_loss_fn
+
+    @jax.jit
+    def loss_fn(params, att, am, labels, pn, pl, ps, masks):
+        batch = {"att_feats": att, "att_masks": am, "labels": labels,
+                 "masks": masks, "phrase_num": pn, "phrase_length": pl,
+                 "phrase_syn": ps}
+        loss, _ = xe_loss_fn(model, params, batch,
+                             jax.random.PRNGKey(0), glat_p=None,
+                             deterministic=True)
+        return loss
+
+    return loss_fn
+
+
 def _branch_for(train_mode: str, inference_mode: str) -> str:
     if train_mode in ("AIC", "auto"):
         return "AIC"
@@ -305,17 +354,7 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     verbose_loss = eval_kwargs.get("verbose_loss", 1)
     loss_fn = None
     if verbose_loss:
-        from ..train.steps import xe_loss_fn
-
-        @jax.jit
-        def loss_fn(att, am, labels, pn, pl, ps, masks):
-            batch = {"att_feats": att, "att_masks": am, "labels": labels,
-                     "masks": masks, "phrase_num": pn, "phrase_length": pl,
-                     "phrase_syn": ps}
-            loss, _ = xe_loss_fn(model, params, batch,
-                                 jax.random.PRNGKey(0), glat_p=None,
-                                 deterministic=True)
-            return loss
+        loss_fn = functools.partial(_build_eval_loss_fn(model), params)
 
     loader.reset_iterator(split)
     ix_to_word = loader.ix_to_word

@@ -190,3 +190,35 @@ def test_eval_cfg_yaml_merges_below_cli(tmp_path):
                             "--cfg", y, "--batch_size", "3"])
     opt2 = build_eval_opt(args2, infos)
     assert opt2.batch_size == 3             # explicit CLI beats yaml
+
+
+def test_eval_cfg_yaml_overrides_untyped_parser_defaults(tmp_path):
+    """An eval yaml must be able to retune eval-surface knobs (beam_size,
+    split, ...) whose argparse defaults are concrete values: only a flag
+    the user actually typed may beat the yaml."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.eval import build_eval_opt, parse_eval_opt
+    y = _write(tmp_path, "evalknobs.yml", """
+        beam_size: 5
+        split: val
+        inference_mode: NAIC
+        """)
+    infos = {"opt": {"train_mode": "UIC", "id": "ckpt", "beam_size": 9}}
+    args = parse_eval_opt(["--model", "m", "--infos_path", "i", "--cfg", y])
+    opt = build_eval_opt(args, infos)
+    assert opt.beam_size == 5               # yaml > untyped parser default
+    assert opt.split == "val"
+    assert opt.inference_mode == "NAIC"
+    args2 = parse_eval_opt(["--model", "m", "--infos_path", "i",
+                            "--cfg", y, "--beam_size=2",
+                            "--inference_mode", "SAIC"])
+    opt2 = build_eval_opt(args2, infos)
+    assert opt2.beam_size == 2              # typed flag (=form) beats yaml
+    assert opt2.inference_mode == "SAIC"    # typed flag beats yaml
+    assert opt2.split == "val"              # untyped stays yaml
+    # without a yaml, the reference rule holds: the eval parser's default
+    # beats the checkpoint's saved opt for eval-namespace flags
+    args3 = parse_eval_opt(["--model", "m", "--infos_path", "i"])
+    opt3 = build_eval_opt(args3, infos)
+    assert opt3.beam_size == 1

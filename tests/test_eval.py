@@ -284,3 +284,32 @@ def test_uic_aic_inference_mode_errors_clearly():
                          method="encode")
     with pytest.raises(ValueError, match="no 'A' decoder role"):
         model.apply(params, memory, 8, method="init_ar_cache")
+
+
+def test_make_decoders_programs_are_weight_free_and_reused():
+    """Decode programs must be memoized across params updates (train-time
+    periodic eval): same static knobs -> the SAME underlying jit program,
+    with params bound as an argument — and the bound params must actually
+    be the ones used (fresh weights change the output)."""
+    import jax
+    from boficap_tpu.eval.eval_utils import make_decoders
+    cfg, data, model, tx, state = setup("UIC")
+    kwargs = {"beam_size": 1, "sample_method": "greedy"}
+    d1 = make_decoders(model, state.params, kwargs)
+    # a "params update": re-init with another seed
+    batch = data.get_batch("train")
+    import jax.numpy as jnp
+    p2 = jax.tree_util.tree_map(lambda x: x * 1.5, state.params)
+    d2 = make_decoders(model, p2, kwargs)
+    for k in d1:
+        assert d1[k].func is d2[k].func, f"{k} program rebuilt"
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    m1 = d1["encode"](att, am)
+    m2 = d2["encode"](att, am)
+    assert not np.allclose(np.asarray(m1), np.asarray(m2)), \
+        "params are baked in, not bound"
+    # different static knobs -> a different program
+    d3 = make_decoders(model, state.params, {"beam_size": 3,
+                                             "sample_method": "greedy"})
+    assert d3["beam"].func is not d1["beam"].func

@@ -277,3 +277,55 @@ def test_mesh_shape_selects_device_count(tmp_path, capsys):
         "--losses_log_every", "500"])
     train(opt)
     assert "data-parallel mesh over 2 devices" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_scst_then_structure_schedule(tmp_path):
+    """self_critical_after < structure_after on an AIC model: the RL step
+    must be REBUILT when the schedule crosses into the structure stage
+    (the two steps have different signatures; a latched scst step crashed
+    here with TypeError)."""
+    from tools.train import train
+    cfg = train_cfg(tmp_path, train_mode="AIC", max_epochs=3,
+                    self_critical_after=1, structure_after=2,
+                    structure_loss_type="new_self_critical",
+                    train_sample_n=2, cached_tokens="corpus",
+                    save_checkpoint_every=1000, language_eval=0)
+    state, infos = train(cfg)
+    assert infos["epoch"] >= 3
+
+
+@pytest.mark.slow
+def test_classic_scst_on_phrase_mode_warns_and_trains_xe(tmp_path, capsys):
+    """The reference implements classic SCST only for AIC
+    (loss_wrapper.py:40-82); a phrase train_mode with sc_flag set must
+    keep XE training with a loud warning instead of crashing (was a
+    KeyError: 'scst_reward')."""
+    from tools.train import train
+    cfg = train_cfg(tmp_path, train_mode="UIC", max_epochs=2,
+                    self_critical_after=1, structure_after=-1,
+                    save_checkpoint_every=1000, language_eval=0)
+    state, infos = train(cfg)
+    assert infos["epoch"] >= 2
+    out = capsys.readouterr().out
+    assert "no classic SCST path" in out
+
+
+def test_periodic_infos_carry_updated_best_val_score(tmp_path):
+    """The main infos pickle written at the SAME eval that found a new
+    best must already contain the new best_val_score (reference
+    train.py:343-357 order) — otherwise a kill between the two saves
+    resumes with a stale best and later overwrites the genuine
+    model_best with a worse model."""
+    import pickle
+    from tools.train import train
+    cfg = train_cfg(tmp_path, max_epochs=1, save_checkpoint_every=8)
+    state, infos = train(cfg)
+    with open(os.path.join(cfg.checkpoint_path,
+                           f"infos_{cfg.id}.pkl"), "rb") as f:
+        main_infos = pickle.load(f)
+    with open(os.path.join(cfg.checkpoint_path,
+                           f"infos_{cfg.id}_best.pkl"), "rb") as f:
+        best_infos = pickle.load(f)
+    assert main_infos["best_val_score"] == best_infos["best_val_score"]
+    assert main_infos["best_val_score"] is not None

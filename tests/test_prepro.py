@@ -115,3 +115,84 @@ def test_kd_splice():
     # val/test untouched
     img_val = out["images"][4]
     assert img_val["sentences"][1]["tokens"][0] == "a"
+
+
+def test_kd_chain_eval_dump_to_retrain(tmp_path, monkeypatch):
+    """The full KD loop as a user runs it (README 'Data pipeline'):
+    AIC teacher beam-eval with --KD_file dumps KD_dataset/<file> (top-3
+    beams per image, eval_utils.py:654-656) -> KD_coco splice -> prepro
+    re-cut -> CaptionData -> one XE step on the distilled corpus."""
+    import jax
+    import jax.numpy as jnp
+    from tests.test_train import setup
+    from boficap_tpu.eval.eval_utils import eval_split
+    from boficap_tpu.train import steps as steps_mod
+
+    monkeypatch.chdir(tmp_path)
+    cfg, data, model, tx, state = setup("AIC")
+    kwargs = {"split": "train", "num_images": 3, "language_eval": 0,
+              "beam_size": 3, "KD_file": "kd_test.json",
+              "train_mode": "AIC", "verbose": False}
+    eval_split(model, state.params, data, kwargs, inference_mode="")
+    kd_path = tmp_path / "KD_dataset" / "kd_test.json"
+    assert kd_path.exists()
+    kd = json.load(open(kd_path))
+    # batch-granular like the reference dump: the last batch's tail images
+    # land in the dict too (it's keyed by image id, KD runs use the whole
+    # split anyway)
+    assert len(kd) >= 3
+    # top-3 beams per image (the KD recipe slice; decode_sequence may
+    # drop all-stop beams of this untrained model)
+    assert all(1 <= len(v) <= 3 for v in kd.values())
+
+    # splice the teacher captions into a dataset whose cocoids match the
+    # dumped image ids (scripts/KD_coco.py drives splice_kd_captions)
+    kd = {k: [c if c else "a a a" for c in v] for k, v in kd.items()}
+    ds = tiny_dataset()
+    for img, cid in zip(ds["images"], sorted(int(k) for k in kd)):
+        if img["split"] == "train":
+            img["cocoid"] = cid
+    spliced = splice_kd_captions(ds, kd)
+    for img in spliced["images"]:
+        if str(img["cocoid"]) in kd and img["split"] == "train":
+            assert img["sentences"][1]["tokens"] == kd[
+                str(img["cocoid"])][0].split()
+
+    # re-cut + retrain one step on the distilled corpus
+    dj = tmp_path / "dataset_kd.json"
+    json.dump(spliced, open(dj, "w"))
+    oj = str(tmp_path / "kdtalk.json")
+    oh = str(tmp_path / "kdtalk_label.h5")
+    run_prepro(str(dj), oj, oh, max_length=20, word_count_threshold=0,
+               cutter="heuristic")
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.data.dataset import CaptionData
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.train import optim as optim_mod
+    from boficap_tpu.train.state import create_state
+    cfg2 = default_config()
+    cfg2.train_mode = "UIC"
+    cfg2.input_json = oj
+    cfg2.input_label_h5 = oh
+    cfg2.input_att_dir = "synthetic"
+    cfg2.batch_size = 2
+    cfg2.max_boxes = 9
+    cfg2.N_enc = cfg2.N_dec = 1
+    cfg2.d_model, cfg2.d_ff, cfg2.num_att_heads = 32, 64, 2
+    cfg2.noamopt = True
+    cfg2.id = "kd"
+    finalize(cfg2)
+    d2 = CaptionData(cfg2)
+    student = build_model(cfg2, d2.vocab_size)
+    batch = d2.get_batch("train")
+    f = steps_mod._flat(batch)
+    params = student.init(
+        {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["att_feats"]), jnp.asarray(batch["att_masks"]),
+        f["labels"], f.get("phrase_num"), f.get("phrase_length"),
+        f.get("phrase_syn"), glat_p=-1.0, deterministic=True)
+    tx2 = optim_mod.build_optimizer(cfg2)
+    st = create_state(params, tx2)
+    step_fn = steps_mod.make_xe_step(student, tx2)
+    st, m = steps_mod.run_xe_step(step_fn, st, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))

@@ -32,7 +32,9 @@ from boficap_tpu.train.state import load_params
 
 
 def parse_eval_opt(argv=None):
-    parser = argparse.ArgumentParser()
+    # allow_abbrev=False so the explicit-flag scan below sees the exact
+    # option strings the user typed (and matches the train parser)
+    parser = argparse.ArgumentParser(allow_abbrev=False)
     parser.add_argument("--model", type=str, required=True,
                         help="path to model .ckpt")
     parser.add_argument("--infos_path", type=str, required=True,
@@ -48,7 +50,19 @@ def parse_eval_opt(argv=None):
     parser.add_argument("--remove_bad_endings", type=int, default=0)
     parser.add_argument("--length_penalty", type=str, default="")
     add_eval_options(parser)
-    return parser.parse_args(argv)
+    tokens = list(sys.argv[1:] if argv is None else argv)
+    args = parser.parse_args(tokens)
+    # which flags were EXPLICITLY given (argparse can't tell an untouched
+    # default from a typed one; build_eval_opt needs the difference so a
+    # --cfg yaml can override parser defaults without losing to them)
+    explicit = set()
+    for action in parser._actions:
+        for opt_str in action.option_strings:
+            if any(t == opt_str or t.startswith(opt_str + "=")
+                   for t in tokens):
+                explicit.add(action.dest)
+    args._explicit = explicit
+    return args
 
 
 # reference's "replace" list (tools/eval.py:53): a truthy CLI value wins,
@@ -58,27 +72,43 @@ REPLACE_KEYS = ("input_fc_dir", "input_att_dir", "input_box_dir",
 
 
 def build_eval_opt(args, infos):
-    """Merge: CLI > --cfg yaml > saved train opts > defaults
-    (tools/eval.py:53-61; --cfg is an extension — the reference eval has
-    no yaml path — merged at saved-opts precedence, so explicit eval-CLI
-    flags still win).  ``replace`` keys follow the reference's rule
-    (tools/eval.py:53): a truthy CLI value wins, otherwise the
-    checkpoint's saved value stays."""
+    """Merge: explicit CLI > --cfg yaml > eval-parser defaults > saved
+    train opts > train defaults.  The reference (tools/eval.py:53-61)
+    lets flags in the eval parser's namespace keep their CLI/default
+    values over the checkpoint's saved opts — kept here; --cfg is an
+    extension the reference eval lacks, slotted between parser defaults
+    and explicit flags so a yaml can retune eval knobs (beam_size,
+    split, ...) without a typed flag losing to it.  ``replace`` keys
+    follow the reference's rule (tools/eval.py:53): a truthy CLI value
+    wins, otherwise the checkpoint's saved (or yaml) value stays."""
     from boficap_tpu.config.opts import restore_saved_opt
     merged = restore_saved_opt(infos.get("opt", {}))
+    yaml_keys = frozenset()
     if args.cfg:
         from boficap_tpu.config.config import load_yaml_with_base
-        merged.update(load_yaml_with_base(args.cfg))
+        y = load_yaml_with_base(args.cfg)
+        yaml_keys = frozenset(y)
+        merged.update(y)
     opt = default_config()
     opt.merge_from_dict(merged)
+    # namespaces built by hand (tests) predate _explicit: treat every
+    # flag as typed, which is the old behavior
+    explicit = getattr(args, "_explicit", frozenset(vars(args)))
     for k, v in vars(args).items():
-        if k in ("model", "infos_path", "cfg"):
+        if k in ("model", "infos_path", "cfg", "_explicit"):
             continue
         if k in REPLACE_KEYS:
-            if v:
+            if v:                # parser defaults here are all falsy
                 opt[k] = v
+        elif k in explicit:
+            if v is not None:
+                opt[k] = v
+        elif k in yaml_keys:
+            pass                 # yaml beats an untyped parser default
         elif v is not None and (k not in opt or v != 0 or k in
                                 ("language_eval", "verbose")):
+            # reference rule: eval-namespace flags keep their parser
+            # defaults over the checkpoint's saved opts
             opt[k] = v
     if not opt.get("id"):
         opt.id = infos.get("opt", {}).get("id", "model")
@@ -103,14 +133,14 @@ def main(argv=None):
 
     opt = build_eval_opt(args, infos)
 
+    # opt holds the final merged value of every eval flag; args is only
+    # consulted for the two checkpoint paths (and --cfg, consumed above)
     eval_kwargs = dict(opt)
-    eval_kwargs.update(vars(args))
-    for k in REPLACE_KEYS + ("id",):
-        eval_kwargs[k] = opt.get(k)      # merged value, not the raw CLI ""
-    eval_kwargs["num_images"] = args.num_images
+    eval_kwargs["model"] = args.model
+    eval_kwargs["infos_path"] = args.infos_path
 
     # cached-result short circuit (tools/eval.py:65-97)
-    if args.only_lang_eval and not args.force:
+    if opt.get("only_lang_eval") and not opt.get("force"):
         cached = eval_utils.load_cached(eval_kwargs)
         if cached is not None:
             from boficap_tpu.eval.metrics import language_eval
@@ -122,22 +152,22 @@ def main(argv=None):
                 from boficap_tpu.eval.multi_metrics import multi_sample_eval
                 stats.update(multi_sample_eval(
                     cached["n_predictions"], cached["gts_words"],
-                    eval_oracle=bool(getattr(args, "eval_oracle", 1))))
+                    eval_oracle=bool(opt.get("eval_oracle", 1))))
             print(stats)
             return stats
         print("no cached predictions; running full eval")
 
-    if args.image_folder:
+    if opt.get("image_folder"):
         # eval over a raw image folder (reference tools/eval.py:109-118):
         # features are extracted on the fly; the vocab MUST come from the
         # train infos (the folder has no cocotalk json), and there are no
         # gt captions, so language metrics are off.
         from boficap_tpu.data.raw import DataLoaderRaw
         loader = DataLoaderRaw(
-            args.image_folder,
+            opt.image_folder,
             batch_size=int(opt.get("batch_size", 10) or 10),
-            coco_json=args.coco_json or "",
-            cnn_model=getattr(args, "cnn_model", "resnet101"))
+            coco_json=opt.get("coco_json") or "",
+            cnn_model=opt.get("cnn_model", "resnet101"))
         loader.ix_to_word = infos["vocab"]
         loader.vocab_size = len(infos["vocab"])
         loader.seq_length = int(opt.get("max_length", 20) or 20)
@@ -145,13 +175,13 @@ def main(argv=None):
             print("--image_folder has no gt captions; language_eval -> 0")
         eval_kwargs["language_eval"] = 0
         if not eval_kwargs.get("image_root"):
-            eval_kwargs["image_root"] = args.image_folder
+            eval_kwargs["image_root"] = opt.image_folder
     else:
         loader = CaptionData(opt)
     model = models_setup(opt, loader.vocab_size)
 
     # init a parameter template, then load the checkpoint bytes into it
-    ex = loader.get_batch(args.split)
+    ex = loader.get_batch(opt.split)
     import jax
     from boficap_tpu.train import steps as steps_mod
     f = steps_mod._flat(ex)
@@ -171,13 +201,13 @@ def main(argv=None):
         f["labels"], f.get("phrase_num"), f.get("phrase_length"),
         f.get("phrase_syn"), glat_p=None, deterministic=True)
     params = load_params(args.model, template)
-    loader.reset_iterator(args.split)
+    loader.reset_iterator(opt.split)
 
     # attention-heatmap dump (reference's glo accumulator: fed from
     # MultiHeadedAttention draw=True, TransformerModel.py:1461-1462, printed
     # at tools/eval.py:126).  One teacher-forced batch with capture on; all
     # sown maps are saved whole, plus the reference-style 10x10 mean print.
-    if getattr(args, "dump_attention", 0):
+    if opt.get("dump_attention"):
         from boficap_tpu.models.layers import set_capture_attention
         set_capture_attention(True)
         try:
@@ -203,7 +233,7 @@ def main(argv=None):
         print(np.array_str(acc, precision=3, suppress_small=True))
 
     result = eval_utils.eval_split(model, params, loader, eval_kwargs,
-                                   inference_mode=args.inference_mode)
+                                   inference_mode=opt.inference_mode)
     print(f"decode_time {result['decode_time']:.3f}s "
           f"(compile {result['compile_time']:.3f}s), "
           f"images/s {result['images_per_s']:.2f}")
@@ -214,7 +244,7 @@ def main(argv=None):
         "predictions": result["predictions"],
         "n_predictions": result.get("n_predictions") or [],
         "gts_words": result["gts_words"]})
-    if args.dump_json:
+    if opt.get("dump_json"):
         os.makedirs("vis", exist_ok=True)
         with open("vis/vis.json", "w") as f:
             json.dump(result["predictions"], f)
@@ -224,7 +254,7 @@ def main(argv=None):
     # eval artifacts dir like the reference (eval_utils.py:660-664)
     os.makedirs("eval_results", exist_ok=True)
     with open(os.path.join("eval_results",
-                           f"{opt.id}_{args.split}.json"), "w") as f:
+                           f"{opt.id}_{opt.split}.json"), "w") as f:
         json.dump({"predictions": result["predictions"],
                    "lang_stats": result["lang_stats"],
                    "decode_time": result["decode_time"],

@@ -213,6 +213,8 @@ def train(opt):
         model, tx, label_smoothing=opt.label_smoothing,
         debug_checks=bool(opt.get("debug_checks", False)))
     rl_sample = rl_step = None
+    rl_step_kind = None          # "scst" | "struc"; rebuilt on change
+    warned_sc_ignored = False
     metrics_log = os.path.join(opt.checkpoint_path, "metrics.jsonl")
     os.makedirs(opt.checkpoint_path, exist_ok=True)
 
@@ -261,16 +263,37 @@ def train(opt):
                               and epoch >= opt.structure_after)
                 drop_worst_flag = (opt.drop_worst_after != -1
                                    and epoch >= opt.drop_worst_after)
-                if (sc_flag or struc_flag) and rl_sample is None:
-                    init_scorer(opt.cached_tokens)
-                    rl_sample = steps_mod.make_rl_sample(
-                        model, sample_method=opt.train_sample_method,
-                        temperature=opt.temperature,
-                        sample_n=opt.train_sample_n)
-                    if struc_flag:
-                        rl_step = steps_mod.make_rl_step(model, tx, opt)
-                    else:  # classic SCST (sc_flag, loss_wrapper.py:66-82)
-                        rl_step = steps_mod.make_scst_step(model, tx, opt)
+                if (sc_flag and not struc_flag
+                        and model.train_mode not in ("AIC", "auto")):
+                    # the reference implements classic SCST (sc_flag) only
+                    # in its AIC branch — every phrase train_mode ignores
+                    # the flag and keeps XE (loss_wrapper.py:40-82 vs :83+).
+                    # Match it, but loudly instead of silently.
+                    if not warned_sc_ignored:
+                        print(f"WARNING: self_critical_after set but "
+                              f"train_mode={model.train_mode} has no classic"
+                              f" SCST path (reference implements sc_flag "
+                              f"only for AIC); continuing with XE — use "
+                              f"structure_after for the RL stage")
+                        warned_sc_ignored = True
+                    sc_flag = False
+                if sc_flag or struc_flag:
+                    # (re)build on the FIRST RL epoch and again if the
+                    # schedule moves from classic SCST into the structure
+                    # stage (self_critical_after < structure_after) — the
+                    # two steps have different signatures
+                    needed = "struc" if struc_flag else "scst"
+                    if rl_sample is None:
+                        init_scorer(opt.cached_tokens)
+                        rl_sample = steps_mod.make_rl_sample(
+                            model, sample_method=opt.train_sample_method,
+                            temperature=opt.temperature,
+                            sample_n=opt.train_sample_n)
+                    if rl_step_kind != needed:
+                        rl_step = (steps_mod.make_rl_step(model, tx, opt)
+                                   if needed == "struc" else
+                                   steps_mod.make_scst_step(model, tx, opt))
+                        rl_step_kind = needed
                 epoch_done = False
 
             if opt.use_warmup and iteration < opt.noamopt_warmup and \
@@ -419,6 +442,14 @@ def train(opt):
                                 tb.add_scalar(f"val/{name}/{mk}", mv,
                                               iteration)
 
+                # decide new-best BEFORE the periodic save (the reference
+                # updates infos['best_val_score'] first, train.py:343-357)
+                # so a kill between the two saves can't resume with a stale
+                # best and later overwrite the genuine model_best
+                is_best = (best_val_score is None
+                           or current_score > best_val_score)
+                if is_best:
+                    best_val_score = current_score
                 infos.update(iter=iteration, epoch=epoch,
                              loader_state_dict=loader.state_dict(),
                              best_val_score=best_val_score,
@@ -429,9 +460,7 @@ def train(opt):
                     if opt.save_history_ckpt:
                         save_checkpoint(opt, state, infos, dict(histories),
                                         append=str(iteration))
-                if best_val_score is None or current_score > best_val_score:
-                    best_val_score = current_score
-                    infos["best_val_score"] = best_val_score
+                if is_best:
                     if lead:
                         save_checkpoint(opt, state, infos, dict(histories),
                                         append="best")
