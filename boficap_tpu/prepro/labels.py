@@ -28,7 +28,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..constants import SYN_CP, SYN_NP, SYN_VP
+from ..constants import LENGTH_DIM, SYN_CP, SYN_NP, SYN_VP
 
 FUNCTION_WORDS = {
     "a", "an", "the", "in", "on", "at", "of", "with", "for", "to", "by",
@@ -88,9 +88,25 @@ def encode_captions(imgs: List[dict], max_length: int, wtoi: Dict[str, int]):
 # Cutters: tokens -> list of (span_start, span_len, syn_label) proposals
 # ---------------------------------------------------------------------------
 
+def split_run(L: int, limit: int = 5) -> List[int]:
+    """The reference's split of an L-word run into <=limit-word chunks
+    (prepro_labels.py:204-272): part = ((L-1)//limit)+1 near-equal chunks,
+    the first part-1 of size ceil(L/part), the last takes the remainder."""
+    if L <= limit:
+        return [L]
+    part = ((L - 1) // limit) + 1
+    n = L // part
+    if L % part != 0:
+        n += 1
+    return [n] * (part - 1) + [L - n * (part - 1)]
+
+
 def heuristic_chunks(tokens: List[str]) -> List[Tuple[int, int, int]]:
     """Function-word boundary chunking; verb-ish chunks labeled VP, others
-    NP.  No external parser needed."""
+    NP.  No external parser needed.  Chunks longer than 5 words are split
+    like the reference spaCy cutter's (prepro_labels.py:219-249) — without
+    it a function-word-free caption becomes ONE caption-long phrase, which
+    overflows the 20-class length head downstream."""
     spans = []
     start = 0
     for i, w in enumerate(tokens):
@@ -103,7 +119,10 @@ def heuristic_chunks(tokens: List[str]) -> List[Tuple[int, int, int]]:
     for s, n in spans:
         verby = any(t.endswith(VERBY_SUFFIXES) and t not in FUNCTION_WORDS
                     for t in tokens[s:s + n])
-        out.append((s, n, SYN_VP if verby else SYN_NP))
+        syn = SYN_VP if verby else SYN_NP
+        for piece in split_run(n):
+            out.append((s, piece, syn))
+            s += piece
     return out
 
 
@@ -180,24 +199,34 @@ def assemble_phrases(n_tokens: int, spans: List[Tuple[int, int, int]],
                      max_length: int):
     """Sorted non-overlapping spans + CP gap filling
     (reference prepro_labels_stanford.py:281-300).  Returns
-    (phrase_length [max_length], phrase_label [max_length], phrase_num)."""
+    (phrase_length [max_length], phrase_label [max_length], phrase_num).
+
+    Any phrase (span or gap) of LENGTH_DIM(=20)+ words is split with the
+    reference's split_run rule: the length head has LENGTH_DIM classes
+    (class 0 = stop), so a phrase of 20+ words is untrainable — the
+    reference's own stanford cutter would emit it and its criterion would
+    crash on the out-of-range class (a latent defect, not replicated;
+    phrases of 6-19 words pass through untouched like the reference's)."""
     pl = np.zeros(max_length, dtype=np.uint32)
     lab = np.zeros(max_length, dtype=np.uint32)
     cnt = 0
     end = 0
+
+    def emit(n, syn):
+        nonlocal cnt
+        for piece in split_run(n, LENGTH_DIM - 1) if n >= LENGTH_DIM \
+                else (n,):
+            pl[cnt] = piece
+            lab[cnt] = syn
+            cnt += 1
+
     for s, n, syn in spans:
         if s > end:
-            pl[cnt] = s - end
-            lab[cnt] = SYN_CP
-            cnt += 1
-        pl[cnt] = n
-        lab[cnt] = syn
-        cnt += 1
+            emit(s - end, SYN_CP)
+        emit(n, syn)
         end = s + n
     if n_tokens > end:
-        pl[cnt] = n_tokens - end
-        lab[cnt] = SYN_CP
-        cnt += 1
+        emit(n_tokens - end, SYN_CP)
     return pl, lab, cnt
 
 

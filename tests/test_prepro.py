@@ -196,3 +196,36 @@ def test_kd_chain_eval_dump_to_retrain(tmp_path, monkeypatch):
     step_fn = steps_mod.make_xe_step(student, tx2)
     st, m = steps_mod.run_xe_step(step_fn, st, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_heuristic_cutter_splits_long_chunks():
+    """Function-word-free runs split into <=5-word phrases with the
+    reference's near-equal rule (prepro_labels.py:219-249)."""
+    from boficap_tpu.prepro.labels import heuristic_chunks, split_run
+    spans = heuristic_chunks(["w"] * 20)
+    assert [n for _, n, _ in spans] == [5, 5, 5, 5]
+    assert split_run(7) == [4, 3]
+    assert split_run(11) == [4, 4, 3]
+    assert split_run(5) == [5]
+    # spans tile the run contiguously
+    pos = 0
+    for s, n, _ in spans:
+        assert s == pos
+        pos += n
+
+
+def test_assemble_phrases_caps_untrainable_lengths():
+    """A 20+-word phrase/gap overflows the 20-class length head (the
+    reference criterion crashes there); assemble_phrases splits it."""
+    from boficap_tpu.prepro.labels import assemble_phrases
+    # one parser span covering all 20 tokens
+    pl, lab, cnt = assemble_phrases(20, [(0, 20, SYN_VP)], 20)
+    assert pl[:cnt].max() < 20 and pl[:cnt].sum() == 20
+    assert all(lab[:cnt] == SYN_VP)
+    # a 20-token gap (no spans at all)
+    pl2, lab2, cnt2 = assemble_phrases(20, [], 20)
+    assert pl2[:cnt2].max() < 20 and pl2[:cnt2].sum() == 20
+    # 6..19-word phrases pass through untouched (reference stanford
+    # behavior)
+    pl3, lab3, cnt3 = assemble_phrases(12, [(0, 12, SYN_NP)], 20)
+    assert cnt3 == 1 and pl3[0] == 12
