@@ -217,6 +217,10 @@ def add_eval_options(parser: argparse.ArgumentParser) -> None:
     # attention-heatmap dump (reference glo accumulator, utils/glo.py +
     # tools/eval.py:126): writes vis/attn.npz and prints a 10x10 summary
     parser.add_argument("--dump_attention", type=int, default=0)
+    # XLA cost analysis of the decode programs (the TPU-native counterpart
+    # of the reference's commented-out thop FLOPs hooks,
+    # TransformerModel.py:472-473,516-517,585-586 + configs/test_flops.yaml)
+    parser.add_argument("--report_flops", type=int, default=0)
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -368,6 +368,171 @@ def ar_diverse_beam_search(model, params, memory, src_mask, *,
     }
 
 
+def ar_old_beam_search(model, params, memory, src_mask, *, beam_size: int,
+                       group_size: int = 1, diversity_lambda: float = 0.5,
+                       temperature: float = 1.0, length_penalty: str = "",
+                       decoding_constraint: bool = False,
+                       remove_bad_endings: bool = False,
+                       bad_endings_ix: Optional[tuple] = None,
+                       suppress_unk_idx: Optional[int] = None
+                       ) -> Dict[str, Any]:
+    """Legacy beam search (reference ``CaptionModel.old_beam_search``
+    :224-381, reached only through ``AttModel._old_sample_beam`` :223-261 —
+    which no reference flow ever dispatches; kept here with the same
+    standing: a tested library entry point outside the eval dispatch).
+
+    Where it deliberately differs from :func:`ar_beam_search` (the modern
+    ``beam_search``), matching the legacy quirks exactly:
+
+      * the per-step stored log-probs are the PARENT beam's full
+        unaugmented distribution row (``v['r']`` :264,283), not the chosen
+        token's scalar — returned as ``row_logprobs`` [B, K, L, V];
+      * each done beam reports ``unaug_p`` = that row buffer summed over
+        time AND vocab (:365), a quirk kept verbatim;
+      * a beam that emits eos has its cumulative score set to the absolute
+        constant -1000 (:371), not score-1000 as in the modern pool;
+      * ``remove_bad_endings`` blocks only column 0/pad (:332-333) — not
+        the eos the fork actually terminates on;
+      * ``suppress_unk_idx``, when given, subtracts 1000 every step; the
+        caller decides when to pass it, reproducing the reference's
+        ``elif self.unk_idx is not None`` (:336-337) that fires even with
+        ``suppress_UNK=0`` whenever ``opt.unk_idx`` is set.
+
+    Groups are staggered along global time exactly as the legacy loop runs
+    them (:326-327), with group g at local step t-g penalized by earlier
+    groups' current alive beams at that column (:227-235).  Returns
+    ``{'seq': [B, K, L], 'row_logprobs': [B, K, L, V], 'scores': [B, K],
+    'unaug_p': [B, K]}`` — groups concatenated group-major, each group's
+    done beams sorted best-first by length-penalized score (:379-380).
+    Token-exact vs the reference:
+    test_torch_parity::test_old_beam_search_parity.
+    """
+    bdash = beam_size // group_size
+    assert bdash * group_size == beam_size, "group_size must divide beam_size"
+    G = group_size
+    L = model.max_length
+    B = memory.shape[0]
+    K = bdash
+    V = model.tgt_vocab
+    penalty = length_penalty_fn(length_penalty)
+
+    mem_k = jnp.repeat(memory, K, axis=0)
+    mask_k = None if src_mask is None else jnp.repeat(src_mask, K, axis=0)
+    cache0 = model.apply(params, mem_k, L + 1, method="init_ar_cache")
+
+    def step(state, pos, div_counts):
+        logprob, cache = model.apply(
+            params, state["it"], pos, state["cache"], mask_k,
+            method="ar_step")
+        if temperature != 1.0:
+            # the legacy loop re-normalizes every post-init logprob table as
+            # log_softmax(logprobs / T) (CaptionModel.py:380-381)
+            logprob = jnp.where(
+                pos > 0, jax.nn.log_softmax(logprob / temperature, axis=-1),
+                logprob)
+        if decoding_constraint:
+            # scatter an exact -inf at the previous word (:329-330) — the
+            # legacy loop mutates BEFORE cloning the unaug rows, so the
+            # stored 'r' rows (and hence unaug_p) carry the -inf too
+            oh = jax.nn.one_hot(state["it"], V, dtype=bool)
+            logprob = jnp.where(oh & (pos > 0), -jnp.inf, logprob)
+        if remove_bad_endings and bad_endings_ix:
+            bad = jnp.asarray(bad_endings_ix, jnp.int32)
+            prev_bad = (state["it"][:, None] == bad[None, :]).any(-1)
+            # column 0 (pad) ONLY, exact -inf — legacy quirk (:332-333)
+            logprob = logprob.at[:, PAD].set(
+                jnp.where((pos > 0) & prev_bad, -jnp.inf, logprob[:, PAD]))
+        if suppress_unk_idx is not None:
+            logprob = logprob.at[:, suppress_unk_idx].add(-1000.0)
+        lp_unaug = logprob.reshape(B, K, V)   # = the rows stored as 'r'
+        lp = lp_unaug
+        if div_counts is not None:
+            lp = lp - diversity_lambda * div_counts[:, None, :]
+        # candidate selection: the legacy cols×rows enumeration + sort
+        # (:252-265) is equivalent to a global top-K over K·V (any global
+        # top-K candidate is within the top-K words of its own row)
+        cand = state["sum_lp"][:, :, None] + lp
+        scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+        beam_ix = idx // V
+        word = (idx % V).astype(jnp.int32)
+
+        def g(x):
+            return jnp.take_along_axis(
+                x, beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2)),
+                axis=1)
+
+        seq = g(state["seq"]).at[:, :, pos].set(word)
+        row_lp = g(state["row_lp"]).at[:, :, pos, :].set(g(lp_unaug))
+
+        flat_ix = (jnp.arange(B)[:, None] * K + beam_ix).reshape(-1)
+        cache = jax.tree_util.tree_map(lambda c: c[flat_ix], cache)
+
+        is_end = (word == EOS) | (pos == L - 1)
+        cand_p = jnp.where(is_end, penalty(pos + 1, scores), NEG_INF)
+        all_p = jnp.concatenate([state["done_p"], cand_p], axis=1)
+        done_p, keep = jax.lax.top_k(all_p, K)
+
+        def merge(pool, cand_arr):
+            allv = jnp.concatenate([pool, cand_arr], axis=1)
+            return jnp.take_along_axis(
+                allv, keep.reshape(keep.shape + (1,) * (allv.ndim - 2)),
+                axis=1)
+
+        done_seq = merge(state["done_seq"], seq)
+        done_row = merge(state["done_row"], row_lp)
+        done_unaug = jnp.take_along_axis(
+            jnp.concatenate(
+                [state["done_unaug"], row_lp.sum((2, 3))], axis=1),
+            keep, axis=1)
+        # absolute -1000 reset on eos (:371), NOT score-1000
+        sum_lp = jnp.where(word == EOS, -1000.0, scores)
+        return {"it": word.reshape(-1), "cache": cache, "sum_lp": sum_lp,
+                "seq": seq, "row_lp": row_lp, "done_p": done_p,
+                "done_seq": done_seq, "done_row": done_row,
+                "done_unaug": done_unaug}
+
+    def init_state():
+        s = _beam_init(B, K, L, cache0)
+        for k in ("tok_lp", "done_tok"):
+            del s[k]
+        s["row_lp"] = jnp.zeros((B, K, L, V), jnp.float32)
+        s["done_row"] = jnp.zeros((B, K, L, V), jnp.float32)
+        s["done_unaug"] = jnp.zeros((B, K), jnp.float32)
+        return s
+
+    def body(states, t):
+        states = list(states)
+        for grp in range(G):
+            local = t - grp
+            pos = jnp.clip(local, 0, L - 1)
+            div_counts = None
+            if grp > 0:
+                # counts over groups <g's alive beams at column ``local`` —
+                # already advanced this global step (:227-235,326-327)
+                col_ix = jnp.broadcast_to(pos, (B, K))[:, :, None]
+                div_counts = sum(
+                    jax.nn.one_hot(
+                        jnp.take_along_axis(states[j]["seq"], col_ix,
+                                            axis=2)[..., 0], V)
+                    .sum(1) for j in range(grp))
+            valid = (local >= 0) & (local < L)
+            states[grp] = jax.lax.cond(
+                valid,
+                lambda s, dc=div_counts, p=pos: step(s, p, dc),
+                lambda s: s, states[grp])
+        return tuple(states), None
+
+    final, _ = jax.lax.scan(body, tuple(init_state() for _ in range(G)),
+                            jnp.arange(L + G - 1))
+    return {
+        "seq": jnp.concatenate([s["done_seq"] for s in final], axis=1),
+        "row_logprobs": jnp.concatenate([s["done_row"] for s in final],
+                                        axis=1),
+        "scores": jnp.concatenate([s["done_p"] for s in final], axis=1),
+        "unaug_p": jnp.concatenate([s["done_unaug"] for s in final], axis=1),
+    }
+
+
 def ar_diverse_sample(model, params, rng, memory, src_mask, *,
                       group_size: int, diversity_lambda: float = 0.5,
                       sample_method: str = "greedy", temperature: float = 1.0,

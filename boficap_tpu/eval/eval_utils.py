@@ -299,6 +299,49 @@ def _build_eval_loss_fn(model: BoFiCap):
     return loss_fn
 
 
+def report_flops(model: BoFiCap, params, example_batch,
+                 eval_kwargs: Dict[str, Any], inference_mode: str = ""
+                 ) -> Dict[str, Dict[str, float]]:
+    """XLA cost analysis of the programs this eval would run — the
+    TPU-native counterpart of the reference's FLOPs hooks (thop.profile
+    calls, shipped commented out at TransformerModel.py:472-473,516-517,
+    585-586, with configs/test_flops.yaml as their driver config).  Where
+    thop counted module FLOPs module-by-module, XLA's compiler reports the
+    cost of the ACTUAL compiled program (post-fusion, whole decode loop
+    included).  Lowers the weight-free encode + branch-decode programs at
+    the example batch's shapes — no device execution — and returns
+    {program: {'flops', 'bytes_accessed', 'per_image_gflops'}}."""
+    train_mode = eval_kwargs.get("train_mode", model.train_mode)
+    branch = _branch_for(train_mode, inference_mode)
+    beam_size = int(eval_kwargs.get("beam_size", 1) or 1)
+    fns = _build_decoders(_decode_cfg(model, eval_kwargs))
+    att = jnp.asarray(example_batch["att_feats"])
+    am = jnp.asarray(example_batch["att_masks"])
+    B = int(att.shape[0])
+    # abstract memory: shape flows from encode without running anything
+    mem_s = jax.eval_shape(fns["encode"], params, att, am)
+    src_mask = am.astype(bool)
+    rng = jax.random.PRNGKey(0)
+    programs = {"encode": (fns["encode"], (params, att, am))}
+    if branch == "AIC" and beam_size > 1:
+        programs["beam"] = (fns["beam"], (params, mem_s, src_mask))
+    else:
+        programs[branch] = (fns[branch], (params, mem_s, src_mask, rng))
+    out: Dict[str, Dict[str, float]] = {}
+    for name, (fn, args) in programs.items():
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):      # some backends wrap it
+            cost = cost[0] if cost else {}
+        cost = cost or {}
+        flops = float(cost.get("flops", 0.0))
+        out[name] = {
+            "flops": flops,
+            "bytes_accessed": float(cost.get("bytes accessed", 0.0)),
+            "per_image_gflops": flops / B / 1e9,
+        }
+    return out
+
+
 def _branch_for(train_mode: str, inference_mode: str) -> str:
     if train_mode in ("AIC", "auto"):
         return "AIC"

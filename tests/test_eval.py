@@ -59,6 +59,36 @@ def test_eval_split_runs(mode, infer, beam):
         assert np.isfinite(p["perplexity"])
 
 
+def test_report_flops():
+    """--report_flops: XLA cost analysis of the eval's compiled programs
+    (the reference's commented-out thop hooks, TransformerModel.py:472-473,
+    driven by configs/test_flops.yaml).  Program selection must follow the
+    branch/beam dispatch, and every reported cost must be a positive finite
+    FLOP count.  (No cross-program FLOP comparisons: XLA may count a
+    while_loop body once, trip count unknown, so loopy programs are not
+    comparable to single-pass ones.)"""
+    from boficap_tpu.eval.eval_utils import report_flops
+    cfg, data, model, tx, state = setup("UIC")
+    batch = data.get_batch("val")
+    na = report_flops(model, state.params, batch,
+                      {"train_mode": "UIC"}, inference_mode="NAIC")
+    assert set(na) == {"encode", "NAIC"}
+    for c in na.values():
+        assert c["flops"] > 0 and np.isfinite(c["flops"])
+        assert c["per_image_gflops"] > 0
+        assert c["bytes_accessed"] >= 0
+
+    cfg2, data2, model2, tx2, state2 = setup("AIC")
+    batch2 = data2.get_batch("val")
+    ar = report_flops(model2, state2.params, batch2, {"train_mode": "AIC"})
+    assert set(ar) == {"encode", "AIC"}
+    assert ar["AIC"]["flops"] > 0
+    beam = report_flops(model2, state2.params, batch2,
+                        {"train_mode": "AIC", "beam_size": 3})
+    assert set(beam) == {"encode", "beam"}
+    assert beam["beam"]["flops"] > 0
+
+
 def test_sample_n_eval():
     """eval_split_n machinery: n captions per image via repeated sampling
     and via all-beams (reference eval_utils.py:671-722)."""

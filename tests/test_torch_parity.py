@@ -444,6 +444,65 @@ def test_uic_sa_decode_parity(parity_uic):
                                ent[filled], rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("K,G,dc", [(4, 1, 0), (4, 2, 1)])
+def test_old_beam_search_parity(K, G, dc):
+    """Legacy old_beam_search (CaptionModel.py:224-381) vs ar_old_beam_search
+    with converted weights, via the reference's own _old_sample_beam
+    (AttModel.py:223-261, dead code there — never dispatched): done-beam
+    tokens, penalized scores, the stored PARENT full unaug logprob rows
+    ('logps'), and the sum-over-time-AND-vocab 'unaug_p' quirk must all
+    match, for both a single group and staggered diverse groups with a
+    decoding constraint."""
+    from captioning.models.TransformerModel import TransformerModel
+
+    from boficap_tpu.decode.ar import ar_old_beam_search
+    torch.manual_seed(13)
+    ref = TransformerModel(ref_opt("AIC"))
+    ref.eval()
+    model = build_model(our_cfg("AIC"), V)
+    params = torch_to_flax(ref.state_dict(), "AIC")
+    att, am, *_ = make_inputs(seed=14)
+
+    with torch.no_grad():
+        seq_best, logps_best = ref._old_sample_beam(
+            torch.zeros(B, 2048), torch.from_numpy(att),
+            torch.from_numpy(am),
+            opt={"beam_size": K, "group_size": G, "diversity_lambda": 0.5,
+                 "decoding_constraint": dc, "sample_n": 1})
+    ref_seqs = np.zeros((B, K, L), np.int64)
+    ref_p = np.zeros((B, K), np.float64)
+    ref_rows = np.zeros((B, K, L, V + 4), np.float32)
+    ref_unaug = np.zeros((B, K), np.float64)
+    for b in range(B):
+        assert len(ref.done_beams[b]) == K
+        for i, beam in enumerate(ref.done_beams[b]):
+            s = beam["seq"].numpy()
+            ref_seqs[b, i, :len(s)] = s
+            ref_p[b, i] = beam["p"]
+            ref_rows[b, i] = beam["logps"].numpy()
+            ref_unaug[b, i] = beam["unaug_p"]
+
+    memory = model.apply(params, jnp.asarray(att), jnp.asarray(am),
+                         deterministic=True, method="encode")
+    out = ar_old_beam_search(model, params, memory,
+                             jnp.asarray(am).astype(bool), beam_size=K,
+                             group_size=G, diversity_lambda=0.5,
+                             decoding_constraint=bool(dc))
+    got_seq = np.asarray(out["seq"])
+    np.testing.assert_array_equal(got_seq, ref_seqs)
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref_p,
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["row_logprobs"]), ref_rows,
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["unaug_p"]), ref_unaug,
+                               rtol=1e-3, atol=5e-3)
+    # _old_sample_beam's sample_n=1 return: first done beam per image, with
+    # its full [L, V] logprob rows as seqLogprobs (AttModel.py:258-259)
+    np.testing.assert_array_equal(got_seq[:, 0], seq_best.numpy())
+    np.testing.assert_allclose(np.asarray(out["row_logprobs"])[:, 0],
+                               logps_best.numpy(), rtol=1e-3, atol=2e-4)
+
+
 def test_beam_search_parity():
     """Single-group batched beam search vs the reference beam_search
     (group_size=1) with converted weights: done beams, their order, and

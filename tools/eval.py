@@ -232,6 +232,17 @@ def main(argv=None):
         print("attention 10x10 accumulator (saved full maps to vis/attn.npz)")
         print(np.array_str(acc, precision=3, suppress_small=True))
 
+    flops = None
+    if opt.get("report_flops"):
+        # XLA cost analysis of this eval's compiled programs (the
+        # reference's commented-out thop hooks + configs/test_flops.yaml)
+        flops = eval_utils.report_flops(model, params, ex, eval_kwargs,
+                                        inference_mode=opt.inference_mode)
+        for name, c in flops.items():
+            print(f"flops[{name}]: {c['flops'] / 1e9:.3f} GFLOP/batch "
+                  f"({c['per_image_gflops']:.3f} GFLOP/image), "
+                  f"bytes {c['bytes_accessed'] / 1e6:.1f} MB")
+
     result = eval_utils.eval_split(model, params, loader, eval_kwargs,
                                    inference_mode=opt.inference_mode)
     print(f"decode_time {result['decode_time']:.3f}s "
@@ -258,7 +269,8 @@ def main(argv=None):
         json.dump({"predictions": result["predictions"],
                    "lang_stats": result["lang_stats"],
                    "decode_time": result["decode_time"],
-                   "images_per_s": result["images_per_s"]}, f)
+                   "images_per_s": result["images_per_s"],
+                   **({"flops": flops} if flops else {})}, f)
     return result
 
 
