@@ -388,7 +388,10 @@ def main():
             "xe_train_step_ms": round(t_tr * 1000, 2),
             "xe_train_batch": f"{TB}x{S}",
             "na_p50_b1_unfused_ms": round(t_na1_unf * 1000, 3),
-            "na_p50_b1_fused_ms": round(t_na1_fus * 1000, 3),
+            # None (not inf) off-TPU: json.dumps would emit the non-RFC
+            # token `Infinity` and break strict consumers of this line
+            "na_p50_b1_fused_ms": (round(t_na1_fus * 1000, 3)
+                                   if np.isfinite(t_na1_fus) else None),
             "na_unfused_ms_per_batch": round(t_na_unf * 1000, 3),
             "encode_ms_per_batch": round(t_enc * 1000, 3),
             "encode_fused_ms": round(t_enc_fused * 1000, 3),

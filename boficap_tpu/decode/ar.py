@@ -157,6 +157,79 @@ def ar_sample(model, params, rng, memory, src_mask, *,
             "entropy": out["ent"]}
 
 
+def _topk_candidates(sum_lp, lp, B, K, V):
+    """Global top-K over the K·V candidate expansion (equivalent to the
+    reference's per-row cols×rows enumeration + sort, CaptionModel.py:
+    102-130 / :252-265: any global top-K candidate is within the top-K
+    words of its own row).  Returns (scores, beam_ix, word, g) where g()
+    gathers beam-major [B, K, ...] arrays by the winning parent beam."""
+    cand = sum_lp[:, :, None] + lp                           # [B, K, V]
+    scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)   # [B, K]
+    beam_ix = idx // V
+    word = (idx % V).astype(jnp.int32)
+
+    def g(x):
+        return jnp.take_along_axis(
+            x, beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2)),
+            axis=1)
+
+    return scores, beam_ix, word, g
+
+
+def _gather_cache(cache, beam_ix, B, K):
+    """Reorder the flat [B*K, ...] KV cache by each row's parent beam."""
+    flat_ix = (jnp.arange(B)[:, None] * K + beam_ix).reshape(-1)
+    return jax.tree_util.tree_map(lambda c: c[flat_ix], cache)
+
+
+def _merge_done_pool(done_p, cand_p, K, payloads):
+    """Merge newly ended beams into the persistent top-K done pool
+    (reference's done_beams list + final sort, CaptionModel.py:193-209).
+    ``payloads`` is a list of (pool_array, candidate_array) pairs gathered
+    by the same keep index; returns (new_done_p, [merged payloads])."""
+    all_p = jnp.concatenate([done_p, cand_p], axis=1)
+    new_p, keep = jax.lax.top_k(all_p, K)
+    merged = []
+    for pool, cand in payloads:
+        allv = jnp.concatenate([pool, cand], axis=1)
+        merged.append(jnp.take_along_axis(
+            allv, keep.reshape(keep.shape + (1,) * (allv.ndim - 2)),
+            axis=1))
+    return new_p, merged
+
+
+def _staggered_groups_scan(step, init_states, G, B, K, V, L):
+    """Drive G beam groups staggered along one global time axis (the
+    reference's diverse-group loop order, CaptionModel.py:58-68 /
+    :227-235,326-327): at global step t, group g — processed in group
+    order — takes its local step t-g, penalized by counts of each word in
+    groups <g's CURRENT alive beams at that column (already advanced this
+    global step)."""
+
+    def body(states, t):
+        states = list(states)
+        for grp in range(G):
+            local = t - grp
+            pos = jnp.clip(local, 0, L - 1)
+            div_counts = None
+            if grp > 0:
+                col_ix = jnp.broadcast_to(pos, (B, K))[:, :, None]
+                div_counts = sum(
+                    jax.nn.one_hot(
+                        jnp.take_along_axis(states[j]["seq"], col_ix,
+                                            axis=2)[..., 0], V).sum(1)
+                    for j in range(grp))
+            valid = (local >= 0) & (local < L)
+            states[grp] = jax.lax.cond(
+                valid,
+                lambda s, dc=div_counts, p=pos: step(s, p, dc),
+                lambda s: s, states[grp])
+        return tuple(states), None
+
+    final, _ = jax.lax.scan(body, tuple(init_states), jnp.arange(L + G - 1))
+    return final
+
+
 def _make_beam_step(model, params, mask_k, B, K, V, L, penalty, *,
                     diversity_lambda: float, temperature: float,
                     suppress_unk_idx, bad_endings_ix, decoding_constraint):
@@ -200,35 +273,20 @@ def _make_beam_step(model, params, mask_k, B, K, V, L, penalty, *,
         lp = lp_unaug
         if div_counts is not None:
             lp = lp - diversity_lambda * div_counts[:, None, :]
-        cand = state["sum_lp"][:, :, None] + lp                  # [B, K, V]
-        flat = cand.reshape(B, K * V)
-        scores, idx = jax.lax.top_k(flat, K)                     # [B, K]
-        beam_ix = idx // V
-        word = (idx % V).astype(jnp.int32)
-
-        def g(x):  # gather beam-major arrays [B, K, ...] by beam_ix
-            return jnp.take_along_axis(
-                x, beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2)),
-                axis=1)
+        scores, beam_ix, word, g = _topk_candidates(
+            state["sum_lp"], lp, B, K, V)
 
         seq = g(state["seq"]).at[:, :, pos].set(word)
         tok = jnp.take_along_axis(g(lp_unaug), word[:, :, None],
                                   axis=2)[:, :, 0]
         tok_lp = g(state["tok_lp"]).at[:, :, pos].set(tok)
+        cache = _gather_cache(cache, beam_ix, B, K)
 
-        # flat gather of the cache (leading dim B*K)
-        flat_ix = (jnp.arange(B)[:, None] * K + beam_ix).reshape(-1)
-        cache = jax.tree_util.tree_map(lambda c: c[flat_ix], cache)
-
-        # done pool merge
         is_end = (word == EOS) | (pos == L - 1)
         cand_p = jnp.where(is_end, penalty(pos + 1, scores), NEG_INF)
-        all_p = jnp.concatenate([state["done_p"], cand_p], axis=1)
-        all_seq = jnp.concatenate([state["done_seq"], seq], axis=1)
-        all_tok = jnp.concatenate([state["done_tok"], tok_lp], axis=1)
-        done_p, keep = jax.lax.top_k(all_p, K)
-        done_seq = jnp.take_along_axis(all_seq, keep[:, :, None], axis=1)
-        done_tok = jnp.take_along_axis(all_tok, keep[:, :, None], axis=1)
+        done_p, (done_seq, done_tok) = _merge_done_pool(
+            state["done_p"], cand_p, K,
+            [(state["done_seq"], seq), (state["done_tok"], tok_lp)])
 
         sum_lp = jnp.where(word == EOS, scores - 1000.0, scores)
         return {
@@ -334,32 +392,9 @@ def ar_diverse_beam_search(model, params, memory, src_mask, *,
                            bad_endings_ix=bad_endings_ix,
                            decoding_constraint=decoding_constraint)
 
-    def body(states, t):
-        states = list(states)
-        for g in range(G):
-            local = t - g
-            pos = jnp.clip(local, 0, L - 1)
-            div_counts = None
-            if g > 0:
-                # counts over groups <g's alive beams' column ``local`` —
-                # groups <g were already advanced THIS global step, matching
-                # the reference's in-iteration read order
-                # (CaptionModel.py:58-62)
-                col_ix = jnp.broadcast_to(pos, (B, K))[:, :, None]
-                div_counts = sum(
-                    jax.nn.one_hot(
-                        jnp.take_along_axis(states[j]["seq"], col_ix,
-                                            axis=2)[..., 0], V).sum(1)
-                    for j in range(g))
-            valid = (local >= 0) & (local < L)
-            states[g] = jax.lax.cond(
-                valid,
-                lambda s, dc=div_counts, p=pos: step(s, p, dc),
-                lambda s: s, states[g])
-        return tuple(states), None
-
-    init = tuple(_beam_init(B, K, L, cache) for _ in range(G))
-    final, _ = jax.lax.scan(body, init, jnp.arange(L + G - 1))
+    final = _staggered_groups_scan(
+        step, (_beam_init(B, K, L, cache) for _ in range(G)),
+        G, B, K, V, L)
     return {
         "seq": jnp.concatenate([s["done_seq"] for s in final], axis=1),
         "tok_logprobs": jnp.concatenate([s["done_tok"] for s in final],
@@ -448,42 +483,19 @@ def ar_old_beam_search(model, params, memory, src_mask, *, beam_size: int,
         lp = lp_unaug
         if div_counts is not None:
             lp = lp - diversity_lambda * div_counts[:, None, :]
-        # candidate selection: the legacy cols×rows enumeration + sort
-        # (:252-265) is equivalent to a global top-K over K·V (any global
-        # top-K candidate is within the top-K words of its own row)
-        cand = state["sum_lp"][:, :, None] + lp
-        scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
-        beam_ix = idx // V
-        word = (idx % V).astype(jnp.int32)
-
-        def g(x):
-            return jnp.take_along_axis(
-                x, beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2)),
-                axis=1)
+        scores, beam_ix, word, g = _topk_candidates(
+            state["sum_lp"], lp, B, K, V)
 
         seq = g(state["seq"]).at[:, :, pos].set(word)
         row_lp = g(state["row_lp"]).at[:, :, pos, :].set(g(lp_unaug))
-
-        flat_ix = (jnp.arange(B)[:, None] * K + beam_ix).reshape(-1)
-        cache = jax.tree_util.tree_map(lambda c: c[flat_ix], cache)
+        cache = _gather_cache(cache, beam_ix, B, K)
 
         is_end = (word == EOS) | (pos == L - 1)
         cand_p = jnp.where(is_end, penalty(pos + 1, scores), NEG_INF)
-        all_p = jnp.concatenate([state["done_p"], cand_p], axis=1)
-        done_p, keep = jax.lax.top_k(all_p, K)
-
-        def merge(pool, cand_arr):
-            allv = jnp.concatenate([pool, cand_arr], axis=1)
-            return jnp.take_along_axis(
-                allv, keep.reshape(keep.shape + (1,) * (allv.ndim - 2)),
-                axis=1)
-
-        done_seq = merge(state["done_seq"], seq)
-        done_row = merge(state["done_row"], row_lp)
-        done_unaug = jnp.take_along_axis(
-            jnp.concatenate(
-                [state["done_unaug"], row_lp.sum((2, 3))], axis=1),
-            keep, axis=1)
+        done_p, (done_seq, done_row, done_unaug) = _merge_done_pool(
+            state["done_p"], cand_p, K,
+            [(state["done_seq"], seq), (state["done_row"], row_lp),
+             (state["done_unaug"], row_lp.sum((2, 3)))])
         # absolute -1000 reset on eos (:371), NOT score-1000
         sum_lp = jnp.where(word == EOS, -1000.0, scores)
         return {"it": word.reshape(-1), "cache": cache, "sum_lp": sum_lp,
@@ -500,30 +512,8 @@ def ar_old_beam_search(model, params, memory, src_mask, *, beam_size: int,
         s["done_unaug"] = jnp.zeros((B, K), jnp.float32)
         return s
 
-    def body(states, t):
-        states = list(states)
-        for grp in range(G):
-            local = t - grp
-            pos = jnp.clip(local, 0, L - 1)
-            div_counts = None
-            if grp > 0:
-                # counts over groups <g's alive beams at column ``local`` —
-                # already advanced this global step (:227-235,326-327)
-                col_ix = jnp.broadcast_to(pos, (B, K))[:, :, None]
-                div_counts = sum(
-                    jax.nn.one_hot(
-                        jnp.take_along_axis(states[j]["seq"], col_ix,
-                                            axis=2)[..., 0], V)
-                    .sum(1) for j in range(grp))
-            valid = (local >= 0) & (local < L)
-            states[grp] = jax.lax.cond(
-                valid,
-                lambda s, dc=div_counts, p=pos: step(s, p, dc),
-                lambda s: s, states[grp])
-        return tuple(states), None
-
-    final, _ = jax.lax.scan(body, tuple(init_state() for _ in range(G)),
-                            jnp.arange(L + G - 1))
+    final = _staggered_groups_scan(
+        step, (init_state() for _ in range(G)), G, B, K, V, L)
     return {
         "seq": jnp.concatenate([s["done_seq"] for s in final], axis=1),
         "row_logprobs": jnp.concatenate([s["done_row"] for s in final],

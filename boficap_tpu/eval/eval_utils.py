@@ -84,11 +84,23 @@ def _resolve_pallas_fill(flag, model) -> bool:
     return forced
 
 
+def _trace_globals() -> tuple:
+    """Snapshot of the module-level flags that steer tracing inside
+    MultiHeadAttention (layers.py:92-118).  Two equal models traced under
+    different flag states produce different programs, so any memoized
+    program must key on this too — models.setup() flips PALLAS_ATTENTION
+    per config, and attention capture is toggled around eval."""
+    from ..models.layers import CAPTURE_ATTENTION, PALLAS_ATTENTION
+    return (PALLAS_ATTENTION["enabled"], PALLAS_ATTENTION["interpret"],
+            CAPTURE_ATTENTION["enabled"])
+
+
 def _decode_cfg(model: BoFiCap, eval_kwargs) -> tuple:
     """The static decode knobs as one hashable tuple — the memoization key
     for _build_decoders."""
     return (
         model,
+        _trace_globals(),
         int(eval_kwargs.get("beam_size", 1) or 1),
         eval_kwargs.get("sample_method", "greedy"),
         float(eval_kwargs.get("temperature", 1.0) or 1.0),
@@ -115,7 +127,7 @@ def _build_decoders(cfg: tuple):
     eval was recompiling every decode program per eval with the fresh
     weights baked in) and the persistent compile cache hits across
     processes — the same design serve.py uses for its bucket programs."""
-    (model, beam_size, sample_method, temperature, group_size,
+    (model, _globals_key, beam_size, sample_method, temperature, group_size,
      diversity_lambda, decoding_constraint, block_trigrams,
      suppress_unk_idx, bad_endings_ix, length_penalty, fused,
      pb_width_i) = cfg
@@ -279,11 +291,16 @@ def sample_n_captions(model, params, memory, src_mask, rng,
     return np.asarray(out["seq"]).reshape(B, n, -1)
 
 
-@functools.lru_cache(maxsize=16)
 def _build_eval_loss_fn(model: BoFiCap):
+    return _build_eval_loss_fn_cached(model, _trace_globals())
+
+
+@functools.lru_cache(maxsize=16)
+def _build_eval_loss_fn_cached(model: BoFiCap, _globals_key: tuple):
     """Weight-free teacher-forced XE loss program (params as an argument,
     like _build_decoders — train-time periodic eval reuses it across
-    params updates instead of recompiling)."""
+    params updates instead of recompiling).  Keyed on the trace-time
+    attention flags too (see _trace_globals)."""
     from ..train.steps import xe_loss_fn
 
     @jax.jit
@@ -299,9 +316,35 @@ def _build_eval_loss_fn(model: BoFiCap):
     return loss_fn
 
 
+def _stash_decode_constraints(model, ix_to_word, eval_kwargs
+                              ) -> Dict[str, Any]:
+    """Resolve suppress_UNK / remove_bad_endings into the vocab-index keys
+    the decode programs are keyed on.  Shared by eval_split and
+    report_flops so both build (and the jit cache reuses) the SAME
+    programs."""
+    ix_to_word = ix_to_word or {}
+    # reference CaptionModel.py:171-173: beam search knocks the top vocab id
+    # down by 1000 iff suppress_UNK is on AND that id decodes to 'UNK'
+    if eval_kwargs.get("suppress_UNK", 0) and hasattr(model, "tgt_vocab"):
+        top = str(int(model.tgt_vocab) - 1)
+        if ix_to_word.get(top) == "UNK":
+            eval_kwargs = dict(eval_kwargs,
+                               _suppress_unk_idx=int(model.tgt_vocab) - 1)
+    # reference AttModel.py:104 + :355-360 / CaptionModel.py:169-170:
+    # remove_bad_endings forbids STOPPING right after a bad-ending word
+    # during AR sampling and beam search (plus the string-level strip in
+    # decode_sequence)
+    if eval_kwargs.get("remove_bad_endings", 0):
+        bad_ix = tuple(sorted(
+            int(k) for k, v in ix_to_word.items() if v in BAD_ENDINGS))
+        if bad_ix:
+            eval_kwargs = dict(eval_kwargs, _bad_endings_ix=bad_ix)
+    return eval_kwargs
+
+
 def report_flops(model: BoFiCap, params, example_batch,
-                 eval_kwargs: Dict[str, Any], inference_mode: str = ""
-                 ) -> Dict[str, Dict[str, float]]:
+                 eval_kwargs: Dict[str, Any], inference_mode: str = "",
+                 ix_to_word=None) -> Dict[str, Dict[str, float]]:
     """XLA cost analysis of the programs this eval would run — the
     TPU-native counterpart of the reference's FLOPs hooks (thop.profile
     calls, shipped commented out at TransformerModel.py:472-473,516-517,
@@ -314,6 +357,9 @@ def report_flops(model: BoFiCap, params, example_batch,
     train_mode = eval_kwargs.get("train_mode", model.train_mode)
     branch = _branch_for(train_mode, inference_mode)
     beam_size = int(eval_kwargs.get("beam_size", 1) or 1)
+    # same constraint stash as eval_split: without it the programs costed
+    # (and AOT-compiled) here would differ from the ones the eval runs
+    eval_kwargs = _stash_decode_constraints(model, ix_to_word, eval_kwargs)
     fns = _build_decoders(_decode_cfg(model, eval_kwargs))
     att = jnp.asarray(example_batch["att_feats"])
     am = jnp.asarray(example_batch["att_masks"])
@@ -376,22 +422,8 @@ def eval_split(model: BoFiCap, params, loader, eval_kwargs: Dict[str, Any],
     KD_file = eval_kwargs.get("KD_file", "")
     branch = _branch_for(train_mode, inference_mode)
 
-    # reference CaptionModel.py:171-173: beam search knocks the top vocab id
-    # down by 1000 iff suppress_UNK is on AND that id decodes to 'UNK'
-    if eval_kwargs.get("suppress_UNK", 0) and hasattr(model, "tgt_vocab"):
-        top = str(int(model.tgt_vocab) - 1)
-        if getattr(loader, "ix_to_word", {}).get(top) == "UNK":
-            eval_kwargs = dict(eval_kwargs,
-                               _suppress_unk_idx=int(model.tgt_vocab) - 1)
-    # reference AttModel.py:104 + :355-360 / CaptionModel.py:169-170:
-    # remove_bad_endings forbids STOPPING right after a bad-ending word
-    # during AR sampling and beam search (plus the string-level strip below)
-    if eval_kwargs.get("remove_bad_endings", 0):
-        bad_ix = tuple(sorted(
-            int(k) for k, v in getattr(loader, "ix_to_word", {}).items()
-            if v in BAD_ENDINGS))
-        if bad_ix:
-            eval_kwargs = dict(eval_kwargs, _bad_endings_ix=bad_ix)
+    eval_kwargs = _stash_decode_constraints(
+        model, getattr(loader, "ix_to_word", {}), eval_kwargs)
 
     dec = make_decoders(model, params, eval_kwargs)
     verbose_loss = eval_kwargs.get("verbose_loss", 1)

@@ -222,3 +222,22 @@ def test_eval_cfg_yaml_overrides_untyped_parser_defaults(tmp_path):
     args3 = parse_eval_opt(["--model", "m", "--infos_path", "i"])
     opt3 = build_eval_opt(args3, infos)
     assert opt3.beam_size == 1
+
+
+def test_eval_opt_hand_built_namespace_falsy_defers_to_saved():
+    """Programmatic callers build argparse.Namespace objects without the
+    parser's _explicit marker: their falsy values must route through the
+    legacy precedence chain (defer to the checkpoint's saved opts), not be
+    treated as typed flags — beam_size=0 must not clobber a saved 5."""
+    import argparse
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.eval import build_eval_opt
+    infos = {"opt": {"train_mode": "UIC", "id": "ckpt", "beam_size": 5,
+                     "drop_prob_lm": 0.5}}
+    args = argparse.Namespace(model="m", infos_path="i", cfg="",
+                              beam_size=0, split="test")
+    opt = build_eval_opt(args, infos)
+    assert opt.beam_size == 5      # falsy hand-built value defers to saved
+    assert opt.split == "test"     # truthy hand-built value still applies

@@ -343,3 +343,52 @@ def test_make_decoders_programs_are_weight_free_and_reused():
     d3 = make_decoders(model, state.params, {"beam_size": 3,
                                              "sample_method": "greedy"})
     assert d3["beam"].func is not d1["beam"].func
+
+
+def test_decode_program_cache_keys_on_trace_globals():
+    """models.setup() / capture toggles flip module-level flags that steer
+    tracing inside MultiHeadAttention: two equal models traced under
+    different flag states are DIFFERENT programs, so the memoized decode
+    and eval-loss builders must key on the flag snapshot too (a stale
+    cached program would silently ignore a later use_pallas/capture
+    toggle)."""
+    from boficap_tpu.eval.eval_utils import _decode_cfg, _trace_globals
+    from boficap_tpu.models import layers as L
+    cfg, data, model, tx, state = setup("UIC")
+    kwargs = {"beam_size": 1, "sample_method": "greedy"}
+    before = _decode_cfg(model, kwargs)
+    old = dict(L.CAPTURE_ATTENTION)
+    try:
+        L.CAPTURE_ATTENTION["enabled"] = True
+        assert _decode_cfg(model, kwargs) != before
+        assert _trace_globals() != before[1]
+    finally:
+        L.CAPTURE_ATTENTION.update(old)
+    old_p = dict(L.PALLAS_ATTENTION)
+    try:
+        L.PALLAS_ATTENTION["enabled"] = not old_p["enabled"]
+        assert _decode_cfg(model, kwargs) != before
+    finally:
+        L.PALLAS_ATTENTION.update(old_p)
+    assert _decode_cfg(model, kwargs) == before
+
+
+def test_report_flops_builds_the_same_programs_as_eval_split():
+    """report_flops must stash the suppress_UNK / bad-endings vocab indices
+    exactly as eval_split does — otherwise every program is compiled twice
+    per --report_flops run and the costed variant is not the one timed."""
+    from boficap_tpu.eval.eval_utils import (_decode_cfg,
+                                             _stash_decode_constraints)
+    cfg, data, model, tx, state = setup("UIC")
+    top = str(int(model.tgt_vocab) - 1)
+    ix_to_word = dict(data.ix_to_word)
+    ix_to_word[top] = "UNK"
+    kwargs = {"beam_size": 1, "sample_method": "greedy", "suppress_UNK": 1}
+    stashed = _stash_decode_constraints(model, ix_to_word, kwargs)
+    assert stashed["_suppress_unk_idx"] == int(model.tgt_vocab) - 1
+    # same stash twice -> same cache key (idempotent)
+    again = _stash_decode_constraints(model, ix_to_word, stashed)
+    assert _decode_cfg(model, again) == _decode_cfg(model, stashed)
+    # and the un-stashed kwargs would have produced a DIFFERENT key —
+    # the bug report_flops had before it stashed
+    assert _decode_cfg(model, kwargs) != _decode_cfg(model, stashed)

@@ -91,9 +91,11 @@ def build_eval_opt(args, infos):
         merged.update(y)
     opt = default_config()
     opt.merge_from_dict(merged)
-    # namespaces built by hand (tests) predate _explicit: treat every
-    # flag as typed, which is the old behavior
-    explicit = getattr(args, "_explicit", frozenset(vars(args)))
+    # namespaces built by hand (tests) predate _explicit: route every flag
+    # through the legacy precedence chain below (falsy values defer to the
+    # checkpoint's saved opts) — treating them all as typed would let e.g.
+    # beam_size=0 clobber a saved beam_size=5
+    explicit = getattr(args, "_explicit", frozenset())
     for k, v in vars(args).items():
         if k in ("model", "infos_path", "cfg", "_explicit"):
             continue
@@ -236,8 +238,10 @@ def main(argv=None):
     if opt.get("report_flops"):
         # XLA cost analysis of this eval's compiled programs (the
         # reference's commented-out thop hooks + configs/test_flops.yaml)
-        flops = eval_utils.report_flops(model, params, ex, eval_kwargs,
-                                        inference_mode=opt.inference_mode)
+        flops = eval_utils.report_flops(
+            model, params, ex, eval_kwargs,
+            inference_mode=opt.inference_mode,
+            ix_to_word=getattr(loader, "ix_to_word", {}))
         for name, c in flops.items():
             print(f"flops[{name}]: {c['flops'] / 1e9:.3f} GFLOP/batch "
                   f"({c['per_image_gflops']:.3f} GFLOP/image), "

@@ -409,8 +409,12 @@ def train(opt):
                 # process evaluate independently on its own devices
                 eval_params = state.params
                 if opt.get("multihost"):
-                    eval_params = jax.tree_util.tree_map(
-                        lambda x: np.asarray(x), state.params)
+                    # one host fetch + ONE re-upload: eval_split's
+                    # weight-free programs take params as a jit argument,
+                    # so leaving the tree as host numpy would device_put
+                    # the full weights again on every per-batch call
+                    eval_params = jax.device_put(jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), state.params))
                 results = {}
                 for im in modes:
                     results[im or opt.train_mode] = eval_split(
