@@ -119,6 +119,31 @@ def _decode_cfg(model: BoFiCap, eval_kwargs) -> tuple:
     )
 
 
+def _jit_checked(globals_key: tuple):
+    """jax.jit whose traced body first verifies the module-level attention
+    flags still match the snapshot this program family was keyed on.  The
+    check runs at TRACE time — the Python body executes during tracing,
+    i.e. exactly when layers.py consumes PALLAS_ATTENTION /
+    CAPTURE_ATTENTION — and costs nothing at execution.  This enforces the
+    build-then-trace contract of _decode_cfg: a flag toggled between
+    make_decoders()/_build_eval_loss_fn() and the first call would
+    otherwise trace a program under the NEW flags but cache it under the
+    OLD snapshot key (and serve stale programs on later lookups)."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def body(*a, **k):
+            now = _trace_globals()
+            if now != globals_key:
+                raise RuntimeError(
+                    "attention trace flags changed between decoder build "
+                    f"(snapshot {globals_key}) and first trace (now {now})"
+                    "; rebuild the decode/loss programs after toggling "
+                    "PALLAS_ATTENTION/CAPTURE_ATTENTION")
+            return fn(*a, **k)
+        return jax.jit(body)
+    return deco
+
+
 @functools.lru_cache(maxsize=64)
 def _build_decoders(cfg: tuple):
     """Weight-free jit decode programs for one static-knob tuple.  params
@@ -131,27 +156,28 @@ def _build_decoders(cfg: tuple):
      diversity_lambda, decoding_constraint, block_trigrams,
      suppress_unk_idx, bad_endings_ix, length_penalty, fused,
      pb_width_i) = cfg
+    jit_ = _jit_checked(_globals_key)
 
-    @jax.jit
+    @jit_
     def encode(params, att, am):
         if fused:
             return bf.fused_encode(model, params, att, am)
         return model.apply(params, att, am, deterministic=True,
                            method="encode")
 
-    @jax.jit
+    @jit_
     def dec_na(params, memory, src_mask, rng):
         return bf.na_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
                             temperature=temperature, fused_fill=fused)
 
-    @jax.jit
+    @jit_
     def dec_sa(params, memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
                             temperature=temperature, fused_fill=fused)
 
-    @jax.jit
+    @jit_
     def dec_ar(params, memory, src_mask, rng):
         return ar_mod.ar_sample(model, params, rng, memory, src_mask,
                                 sample_method=sample_method,
@@ -160,7 +186,7 @@ def _build_decoders(cfg: tuple):
                                 block_trigrams=block_trigrams,
                                 bad_endings_ix=bad_endings_ix)
 
-    @jax.jit
+    @jit_
     def dec_beam(params, memory, src_mask):
         if group_size > 1:
             # diverse beam search (reference beam_search with group_size>1)
@@ -180,20 +206,20 @@ def _build_decoders(cfg: tuple):
             decoding_constraint=decoding_constraint,
             bad_endings_ix=bad_endings_ix)
 
-    @jax.jit
+    @jit_
     def dec_nnaic(params, memory, src_mask, rng):
         return bf.nnaic_decode(model, params, rng, memory, src_mask,
                                sample_method=sample_method,
                                temperature=temperature, fused_fill=fused)
 
-    @jax.jit
+    @jit_
     def dec_sa_syn(params, memory, src_mask, rng):
         return bf.sa_decode(model, params, rng, memory, src_mask,
                             sample_method=sample_method,
                             temperature=temperature, predictor_use_syn=True,
                             fused_fill=fused)
 
-    @jax.jit
+    @jit_
     def dec_uic_s_ar(params, memory, src_mask, rng):
         return bf.uic_s_ar_decode(model, params, rng, memory, src_mask,
                                   sample_method=sample_method,
@@ -202,7 +228,7 @@ def _build_decoders(cfg: tuple):
     from ..decode.pb import pb_decode as _pb
     pb_width = pb_width_i or None
 
-    @jax.jit
+    @jit_
     def dec_pb(params, memory, src_mask, rng):
         # one while_loop program (decode/pb.py::pb_decode); returns real
         # per-word logprobs/entropies like the sibling decoders (the old
@@ -303,7 +329,7 @@ def _build_eval_loss_fn_cached(model: BoFiCap, _globals_key: tuple):
     attention flags too (see _trace_globals)."""
     from ..train.steps import xe_loss_fn
 
-    @jax.jit
+    @_jit_checked(_globals_key)
     def loss_fn(params, att, am, labels, pn, pl, ps, masks):
         batch = {"att_feats": att, "att_masks": am, "labels": labels,
                  "masks": masks, "phrase_num": pn, "phrase_length": pl,
@@ -358,7 +384,15 @@ def report_flops(model: BoFiCap, params, example_batch,
     branch = _branch_for(train_mode, inference_mode)
     beam_size = int(eval_kwargs.get("beam_size", 1) or 1)
     # same constraint stash as eval_split: without it the programs costed
-    # (and AOT-compiled) here would differ from the ones the eval runs
+    # (and AOT-compiled) here would differ from the ones the eval runs —
+    # and the stash needs the vocab, so an omitted ix_to_word would
+    # silently cost constraint-free programs instead
+    if not ix_to_word and (eval_kwargs.get("suppress_UNK", 0)
+                           or eval_kwargs.get("remove_bad_endings", 0)):
+        raise ValueError(
+            "report_flops: suppress_UNK/remove_bad_endings require "
+            "ix_to_word (the vocab) to build the same constrained "
+            "programs eval_split runs; pass ix_to_word=infos['vocab']")
     eval_kwargs = _stash_decode_constraints(model, ix_to_word, eval_kwargs)
     fns = _build_decoders(_decode_cfg(model, eval_kwargs))
     att = jnp.asarray(example_batch["att_feats"])

@@ -104,12 +104,14 @@ def test_eval_cli(tmp_path):
     assert os.path.isfile(tmp_path / "vis" / "imgs" / "img1.jpg")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8dev():
     import __graft_entry__ as ge
     assert len(jax.devices()) >= 8      # conftest forces 8 virtual CPUs
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -117,6 +119,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_na_decode_sharded_matches_single_device():
     """NA decode (bounding while_loop + fill) under a data-sharded batch on
     the 8-device mesh must equal the unsharded single-device result — the
@@ -159,6 +162,7 @@ def test_na_decode_sharded_matches_single_device():
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
+@pytest.mark.slow
 def test_dp_tp_step_matches_single_device():
     """One XE step on a 2-D (data=4, model=2) mesh — Megatron TP param
     sharding + batch sharding — must produce the same loss and updated
@@ -264,6 +268,7 @@ def test_mesh_shape_must_divide_batch():
         train(opt)
 
 
+@pytest.mark.slow
 def test_mesh_shape_selects_device_count(tmp_path, capsys):
     """--mesh_shape {'data': N} builds an N-device mesh even when the gcd
     heuristic would pick a different count."""
@@ -311,6 +316,7 @@ def test_classic_scst_on_phrase_mode_warns_and_trains_xe(tmp_path, capsys):
     assert "no classic SCST path" in out
 
 
+@pytest.mark.slow
 def test_periodic_infos_carry_updated_best_val_score(tmp_path):
     """The main infos pickle written at the SAME eval that found a new
     best must already contain the new best_val_score (reference

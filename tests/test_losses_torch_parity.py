@@ -22,6 +22,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: torch oracles / subprocesses
+
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference")

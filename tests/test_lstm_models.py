@@ -53,6 +53,7 @@ def setup_lstm(caption_model):
     return cfg, data, model, tx, create_state(params, tx)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cm", ["fc", "updown", "aoa", "att2in2"])
 def test_lstm_xe_learns(cm):
     cfg, data, model, tx, state = setup_lstm(cm)

@@ -12,6 +12,8 @@ is exercised.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: torch oracles / subprocesses
+
 torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402

@@ -15,6 +15,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: torch oracles / subprocesses
+
 torch = pytest.importorskip("torch")
 
 # stub optional deps the reference imports at module scope

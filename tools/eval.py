@@ -92,9 +92,14 @@ def build_eval_opt(args, infos):
     opt = default_config()
     opt.merge_from_dict(merged)
     # namespaces built by hand (tests) predate _explicit: route every flag
-    # through the legacy precedence chain below (falsy values defer to the
-    # checkpoint's saved opts) — treating them all as typed would let e.g.
-    # beam_size=0 clobber a saved beam_size=5
+    # through the legacy precedence chain below.  Deferral to the
+    # checkpoint's saved opts is narrower than "falsy": only None and 0
+    # defer (outside language_eval/verbose, which keep their parser
+    # defaults); an empty STRING (e.g. length_penalty='') intentionally
+    # clobbers a saved non-empty value, matching the reference rule that
+    # eval-namespace flags keep their parser defaults over saved opts
+    # (reference tools/eval.py:53-61).  Treating them all as typed would
+    # let e.g. beam_size=0 clobber a saved beam_size=5
     explicit = getattr(args, "_explicit", frozenset())
     for k, v in vars(args).items():
         if k in ("model", "infos_path", "cfg", "_explicit"):
