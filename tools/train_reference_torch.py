@@ -192,18 +192,23 @@ def train_reference(args):
 
 
 def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
-                     max_images=None):
+                     max_images=None, with_logprobs=False):
     """Greedy eval through the reference's OWN ``_sample`` dispatcher
     (AttModel.py:419-437 -> core_NAIC/core_SAIC), one image per batch: at
     B=1 the core_NAIC fill mask is the sample's own plan, so the
     reference's ``last[j]`` defect (TransformerModel.py:1872-1874) cannot
     distort the comparison.  Returns {mode: {image_id: caption}} plus the
-    gt references {image_id: [words...]}."""
+    gt references {image_id: [words...]}; with ``with_logprobs`` also the
+    dense per-position word logprobs {mode: {image_id: [L, V] array}}, so
+    a caller can tell a genuine divergence from a sub-noise argmax tie
+    (cross-backend f32 matmuls legitimately differ by ~1e-3 relative on
+    trained weights — oneDNN XLA:CPU vs torch MKL)."""
     import torch
     from boficap_tpu.eval.eval_utils import decode_sequence
 
     ref.eval()
     caps = {m: {} for m in modes}
+    lps = {m: {} for m in modes}
     gts_words = {}
     loader.reset_iterator(split)
     seen = set()
@@ -229,14 +234,18 @@ def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
                     seq = out[0].numpy()
                     caps[m][img_id] = decode_sequence(
                         loader.ix_to_word, seq)[0]
-            gts_words[img_id] = [
-                " ".join(loader.ix_to_word[str(int(w))]
-                         for w in row if int(w) > 0)
-                for row in data["gts"][i]]
+                    if with_logprobs:
+                        lps[m][img_id] = out[1][0].numpy().copy()
+            # same ids->words rule eval_split applies to its gts
+            # (decode_sequence stops at the first id <= 3)
+            gts_words[img_id] = decode_sequence(
+                loader.ix_to_word, np.asarray(data["gts"][i]))
         if done or data["bounds"]["wrapped"]:
             break
         if max_images and len(seen) >= max_images:
             break
+    if with_logprobs:
+        return caps, gts_words, lps
     return caps, gts_words
 
 
