@@ -55,11 +55,17 @@ def _fused_ctx(model, params, role: str):
 def _use_stacked(model, interpret: bool, batch: int = 0) -> bool:
     """Whole-stack megakernels (ops/pallas_stack) need the weight blob AND
     the persistent cross-layer activation scratch to fit VMEM together —
-    bf16 only on real hardware (an f32 blob is ~16 MB), a 128-aligned lane
-    dim for Mosaic, and batch <= 128 (the activation scratch is [B, L, D]:
-    at B=256 the decoder stack is 44 KB over the 16 MB scoped limit —
-    larger batches route through the per-layer kernel family instead);
-    interpret mode has no such limits."""
+    bf16 only on real hardware (an f32 blob is ~16 MB) and a 128-aligned
+    lane dim for Mosaic.  Above 128 rows the dec/enc stacks support
+    batch-CHUNKED grids (pallas_stack._chunk_rows: scratch holds one
+    chunk, weights re-fetch per chunk; token-identical, tested), but the
+    per-layer family measured FASTER there (B=256 NA: per-layer 69.0k vs
+    stacked-chunked 66.9k img/s on v5e — the per-chunk weight re-fetches
+    outweigh the saved launches), so large batches default to per-layer;
+    pass stacked=True to force the chunked stacks.  The WINDOWED (SA)
+    family has no chunked variant — its in-kernel K/V-cache scatter
+    carries [B, L, D] cache blocks that don't chunk without splitting the
+    cache update.  Interpret mode has no such limits."""
     return interpret or (model.dtype == jnp.bfloat16
                          and model.d_model % 128 == 0
                          and batch <= 128)

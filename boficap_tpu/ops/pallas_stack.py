@@ -127,6 +127,22 @@ def pack_stack(packed: List[Dict[str, Any]], variant: str):
     return {"blob": jnp.stack(blobs), "b512": b512, "b2048": b2048}
 
 
+def _chunk_rows(B: int, G: int, cap: int = 128) -> int:
+    """Largest multiple of G that divides B and is <= cap: the batch-chunk
+    height for the persistent activation scratch.  At B <= cap this is B
+    (one chunk — the original unchunked grid); beyond it the kernels run a
+    (B//GB, NL, GB//G) grid re-fetching weights once per chunk."""
+    if B <= cap:
+        return B
+    best = G
+    d = G
+    while d <= cap:
+        if B % d == 0:
+            best = d
+        d += G
+    return best
+
+
 def _wslice(wbuf, k: int, d_model: int):
     """k-th [D, D] matrix in the blob scratch."""
     return wbuf[k * d_model:(k + 1) * d_model, :]
@@ -230,9 +246,20 @@ def _blockfill(N, M, Lq, Lk):
 def _dec_stack_kernel(x_ref, mem_ref, tm_ref, sm_ref, b512_ref, b2048_ref,
                       blob_ref, o_ref, xc_ref, wbuf, sems, *,
                       num_heads: int, n_layers: int, d_ff: int,
-                      r_self: int, r_cross: int, rows: int):
-    l = pl.program_id(0)
-    i = pl.program_id(1)
+                      r_self: int, r_cross: int, rows: int,
+                      chunked: bool = False):
+    # chunked (B > 128): grid = (C, NL, GB//G) — the batch is processed in
+    # chunks of GB rows so the persistent activation scratch is [GB, L, D]
+    # instead of [B, L, D] (which blows the 16 MB VMEM scope at B=256 by
+    # 44 KB).  Each chunk re-fetches the layer weights (the DMA fires at
+    # i == 0 of every (chunk, layer) pair) — ~7 MB of extra HBM traffic per
+    # extra chunk, overlapped by the same staggered waits.
+    if chunked:
+        l = pl.program_id(1)
+        i = pl.program_id(2)
+    else:
+        l = pl.program_id(0)
+        i = pl.program_id(1)
     G, Lq, D = x_ref.shape
     R = mem_ref.shape[1]
     dtype = x_ref.dtype
@@ -292,29 +319,44 @@ def _dec_stack_call(x, memory, tm_big, sm_big, blob, b512, b2048,
     G = math.gcd(B, block_b)
     tm_big = tm_big.astype(jnp.bfloat16)    # 0/1; halves the mask VMEM
     sm_big = sm_big.astype(jnp.bfloat16)
+    GB = _chunk_rows(B, G)
+    if GB == B:
+        def il(l, i):
+            return (jnp.where(l == 0, i, 0), 0, 0)
 
-    def il(l, i):
-        return (jnp.where(l == 0, i, 0), 0, 0)
+        def ii(l, i):
+            return (i, 0, 0)
 
-    def ii(l, i):
-        return (i, 0, 0)
+        def ll(l, i):
+            return (l, 0, 0)
 
-    def im(l, i):
-        return (i, 0, 0)
+        grid = (NL, B // G)
+        chunked = False
+    else:
+        K = GB // G
 
-    def ll(l, i):
-        return (l, 0, 0)
+        def il(c, l, i):
+            return (jnp.where(l == 0, c * K + i, 0), 0, 0)
+
+        def ii(c, l, i):
+            return (c * K + i, 0, 0)
+
+        def ll(c, l, i):
+            return (l, 0, 0)
+
+        grid = (B // GB, NL, K)
+        chunked = True
 
     return pl.pallas_call(
         functools.partial(_dec_stack_kernel, num_heads=num_heads,
                           n_layers=NL, d_ff=d_ff, r_self=r_self,
-                          r_cross=r_cross, rows=rows),
-        grid=(NL, B // G),
+                          r_cross=r_cross, rows=rows, chunked=chunked),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((G, L, D), il, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, R, D), ii, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * L, G * L), im, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * L, G * R), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * L, G * L), ii, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * L, G * R), ii, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b512.shape[1], D), ll, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d_ff), ll, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -322,7 +364,7 @@ def _dec_stack_call(x, memory, tm_big, sm_big, blob, b512, b2048,
         out_specs=pl.BlockSpec((G, L, D), ii, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((B, L, D), x.dtype),
+            pltpu.VMEM((GB, L, D), x.dtype),
             pltpu.VMEM((rows, D), blob.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -361,9 +403,16 @@ def fused_decoder_stack_forward(x, memory, tgt_mask, src_mask, stacked,
 def _enc_stack_kernel(x_ref, m_ref, b512_ref, b2048_ref, blob_ref,
                       o_ref, xc_ref, wbuf, sems, *,
                       num_heads: int, n_layers: int, d_ff: int,
-                      r_self: int, r_cross: int, rows: int):
-    l = pl.program_id(0)
-    i = pl.program_id(1)
+                      r_self: int, r_cross: int, rows: int,
+                      chunked: bool = False):
+    # see _dec_stack_kernel: chunked grids keep the activation scratch at
+    # [GB, R, D] for B > 128
+    if chunked:
+        l = pl.program_id(1)
+        i = pl.program_id(2)
+    else:
+        l = pl.program_id(0)
+        i = pl.program_id(1)
     G, R, D = x_ref.shape
     dtype = x_ref.dtype
     N = G * R
@@ -410,21 +459,39 @@ def _enc_stack_call(x, m_big, blob, b512, b2048, num_heads: int,
     r_self, r_cross, rows = _layout("enc", D, d_ff)
     G = math.gcd(B, block_b)
     m_big = m_big.astype(jnp.bfloat16)      # 0/1; halves the mask VMEM
+    GB = _chunk_rows(B, G)
+    if GB == B:
+        def il(l, i):
+            return (jnp.where(l == 0, i, 0), 0, 0)
 
-    def il(l, i):
-        return (jnp.where(l == 0, i, 0), 0, 0)
+        def ii(l, i):
+            return (i, 0, 0)
 
-    def ii(l, i):
-        return (i, 0, 0)
+        def ll(l, i):
+            return (l, 0, 0)
 
-    def ll(l, i):
-        return (l, 0, 0)
+        grid = (NL, B // G)
+        chunked = False
+    else:
+        K = GB // G
+
+        def il(c, l, i):
+            return (jnp.where(l == 0, c * K + i, 0), 0, 0)
+
+        def ii(c, l, i):
+            return (c * K + i, 0, 0)
+
+        def ll(c, l, i):
+            return (l, 0, 0)
+
+        grid = (B // GB, NL, K)
+        chunked = True
 
     return pl.pallas_call(
         functools.partial(_enc_stack_kernel, num_heads=num_heads,
                           n_layers=NL, d_ff=d_ff, r_self=r_self,
-                          r_cross=r_cross, rows=rows),
-        grid=(NL, B // G),
+                          r_cross=r_cross, rows=rows, chunked=chunked),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((G, R, D), il, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G * R, G * R), ii, memory_space=pltpu.VMEM),
@@ -435,7 +502,7 @@ def _enc_stack_call(x, m_big, blob, b512, b2048, num_heads: int,
         out_specs=pl.BlockSpec((G, R, D), ii, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, R, D), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((B, R, D), x.dtype),
+            pltpu.VMEM((GB, R, D), x.dtype),
             pltpu.VMEM((rows, D), blob.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],

@@ -500,3 +500,63 @@ def test_attention_capture_forces_unfused():
         set_capture_attention(False)
     maps = jax.tree_util.tree_leaves(inter["intermediates"])
     assert len(maps) > 0 and np.asarray(maps[0]).ndim == 4
+
+
+def test_stack_chunked_grid_matches_unchunked(monkeypatch):
+    """B > the chunk cap routes the dec/enc stacks through the chunked
+    (B//GB, NL, GB//G) grid with a per-chunk activation scratch
+    (pallas_stack._chunk_rows) — results must be identical to the
+    one-chunk grid.  The cap is shrunk to 4 so B=8 runs 2 chunks in
+    interpret mode (on hardware the cap is 128: the B=256 VMEM fix)."""
+    import jax.numpy as jnp
+    from boficap_tpu.decode import bound_fill as bf
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.ops import pallas_stack as pst
+    from tests.test_model import tiny_cfg, make_batch
+
+    cfg = tiny_cfg("UIC")
+    cfg.dtype = "float32"
+    model = build_model(cfg, 50)
+    batch = make_batch(B=8, seed=31)
+    att = jnp.asarray(batch["att_feats"])
+    am = jnp.asarray(batch["att_masks"])
+    params = model.init(
+        {"params": jax.random.PRNGKey(31)}, att, am,
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["phrase_num"]),
+        jnp.asarray(batch["phrase_length"]),
+        jnp.asarray(batch["phrase_syn"]), glat_p=-1.0, deterministic=True)
+    memory = model.apply(params, att, am, deterministic=True,
+                         method="encode")
+    src_mask = am.astype(bool)
+
+    base_mem = bf.fused_encode(model, params, att, am, interpret=True,
+                               stacked=True)
+    base_na = bf.na_decode(model, params, jax.random.PRNGKey(0), memory,
+                           src_mask, fused_fill=True, fused_interpret=True,
+                           stacked=True)
+
+    orig = pst._chunk_rows
+    monkeypatch.setattr(pst, "_chunk_rows",
+                        lambda B, G, cap=128: orig(B, G, cap=4))
+    # jit caches key on shapes+statics only; the chunk routing happens at
+    # trace time inside _dec/_enc_stack_call which are themselves jit'd on
+    # shapes — clear them so the patched cap takes effect
+    pst._dec_stack_call.clear_cache()
+    pst._enc_stack_call.clear_cache()
+    try:
+        chunk_mem = bf.fused_encode(model, params, att, am, interpret=True,
+                                    stacked=True)
+        chunk_na = bf.na_decode(model, params, jax.random.PRNGKey(0),
+                                memory, src_mask, fused_fill=True,
+                                fused_interpret=True, stacked=True)
+    finally:
+        pst._dec_stack_call.clear_cache()
+        pst._enc_stack_call.clear_cache()
+    np.testing.assert_allclose(np.asarray(base_mem), np.asarray(chunk_mem),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(base_na["seq"]),
+                                  np.asarray(chunk_na["seq"]))
+    for key in ("tok_logprobs", "entropy"):
+        np.testing.assert_allclose(np.asarray(base_na[key]),
+                                   np.asarray(chunk_na[key]),
+                                   rtol=2e-3, atol=2e-4)
