@@ -431,17 +431,27 @@ def main():
     # measured wall time, against the 275 TFLOP/s bf16 roofline measured on
     # this chip (BENCH_NOTES.md: d512 matmul sweep).
     ROOFLINE_BF16 = 275e12
-    try:
-        cost = xe_step.lower(tstate, *targs_256, None, tkeys[0],
-                             glat).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        xe_flops_256 = float((cost or {}).get("flops", 0.0))
-    except Exception:
-        xe_flops_256 = 0.0
+
+    def _xe_flops(targs_b):
+        try:
+            cost = xe_step.lower(tstate, *targs_b, None, tkeys[0],
+                                 glat).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else {}
+            return float((cost or {}).get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    xe_flops_256 = _xe_flops(targs_256)
+    xe_flops_64 = _xe_flops(targs_64)
     tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
-    est_mfu = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
+    mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
                if xe_flops_256 else None)
+    mfu_64 = (xe_flops_64 / t_tr64 / ROOFLINE_BF16
+              if xe_flops_64 else None)
+    # best operating point (b64x5 outruns b256x5 per image on this chip)
+    est_mfu = max(x for x in (mfu_256, mfu_64, 0.0) if x is not None) \
+        or None
 
     # (c) RL-stage step decomposition at the reference RL recipe batch
     # (10 imgs x train_sample_n=5, configs/uic_sd_kd100_sd_nscl.yml):
@@ -522,10 +532,17 @@ def main():
     # fill), tunnel-RTT subtracted per chained sample like timed(); the
     # fused/unfused program with the lower p50 is the serving route
     # (serve.py routes the same way).
-    def latency_samples(fn, *args, chain=8, reps=20):
+    def latency_samples(fn, *args, reps=20):
+        """Each sample is the mean of a chained run sized so the chain's
+        device time dominates the tunnel-RTT subtraction noise (~±10 ms):
+        chain ~ 50 ms / t_exec.  True per-execution tails are unmeasurable
+        through the tunnel; chain-mean percentiles still capture the
+        cross-dispatch variation serving would see."""
+        _warm(fn, *args, KEY)
+        t_est = timed(fn, *args, n_iters=64)
+        chain = int(np.clip(0.05 / max(t_est, 1e-5), 8, 512))
         skeys = [jax.random.fold_in(KEY, 7000 + i) for i in range(chain)]
         _fetch(skeys[-1])
-        _warm(fn, *args, KEY)
         out = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -540,15 +557,23 @@ def main():
     serve_stats = {}
     for nb in (1, 8, 64):
         a_b, m_b = att[:nb], am[:nb]
-        cands = [latency_samples(caption_unfused, a_b, m_b)]
+        cands = [(latency_samples(caption_unfused, a_b, m_b),
+                  caption_unfused)]
         if FUSED:
-            cands.append(latency_samples(caption_fused, a_b, m_b))
-        best_s = min(cands, key=lambda s: np.percentile(s, 50))
+            cands.append((latency_samples(caption_fused, a_b, m_b),
+                          caption_fused))
+        best_s, best_fn = min(cands, key=lambda s: np.percentile(s[0], 50))
         p50 = float(np.percentile(best_s, 50))
         p99 = float(np.percentile(best_s, 99))
+        # the min-estimator floor separates device time from the 1-core
+        # host's dispatch jitter, which dominates small-batch percentiles
+        # on this box (percentiles are chain means incl. host dispatch;
+        # the floor is the same protocol's best of N_REPEATS)
+        floor = timed(best_fn, a_b, m_b, n_iters=256)
         serve_stats[f"b{nb}"] = {
             "p50_ms": round(p50 * 1000, 3),
             "p99_ms": round(p99 * 1000, 3),
+            "floor_ms": round(floor * 1000, 3),
             "captions_per_s": round(nb / p50, 1),
         }
 
@@ -582,6 +607,8 @@ def main():
             "xe_train_b256_tflops_per_s": (round(tflops_s, 1)
                                            if tflops_s else None),
             "est_train_mfu": (round(est_mfu, 3) if est_mfu else None),
+            "est_train_mfu_b64": (round(mfu_64, 3) if mfu_64 else None),
+            "est_train_mfu_b256": (round(mfu_256, 3) if mfu_256 else None),
             "mfu_roofline_tflops": ROOFLINE_BF16 / 1e12,
             # RL-stage step decomposition at the recipe batch (10x5, UIC,
             # new_self_critical): jit sample + native-C++ CIDEr-D host
@@ -609,10 +636,11 @@ def main():
             "pallas_fused_fill": FUSED,
             "paper_na_vs_ar_speedup": PAPER_NA_VS_AR_SPEEDUP,
             "fetch_rtt_ms": round(RTT_S * 1000, 2),
-            "note_batch_scaling": "NA 66.5k img/s at B=256 (per-layer "
-                                  "kernel family; the whole-stack kernels "
-                                  "serve B<=128 — BENCH_BATCH env "
-                                  "overrides; see BENCH_NOTES.md)",
+            "note_batch_scaling": "NA 69.0k img/s at B=256 (per-layer "
+                                  "kernel family, the measured-faster "
+                                  "route; chunked whole-stack kernels "
+                                  "now serve any B at 66.9k — "
+                                  "BENCH_NOTES.md r3)",
             "timing_protocol": "pipelined-N-dispatch, pre-built rng keys, "
                                f"min of {N_REPEATS} repeats, single "
                                "value-fetch sync, RTT subtracted "

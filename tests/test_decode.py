@@ -259,6 +259,7 @@ def oracle_ar_greedy(model, params, memory, src_mask):
     return seq, lps
 
 
+@pytest.mark.slow
 def test_ar_kv_cache_matches_full_recompute():
     """Eager step-by-step KV-cache decode must EXACTLY reproduce the
     no-cache full-recompute decode on the same token stream.  (Comparing two

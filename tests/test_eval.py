@@ -89,6 +89,7 @@ def test_report_flops():
     assert beam["beam"]["flops"] > 0
 
 
+@pytest.mark.slow
 def test_sample_n_eval():
     """eval_split_n machinery: n captions per image via repeated sampling
     and via all-beams (reference eval_utils.py:671-722)."""

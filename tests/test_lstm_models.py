@@ -68,6 +68,7 @@ def test_lstm_xe_learns(cm):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cm", ["fc", "updown", "aoa", "att2in2"])
 def test_lstm_greedy_and_beam(cm):
     cfg, data, model, tx, state = setup_lstm(cm)
@@ -96,6 +97,7 @@ def test_lstm_scheduled_sampling_runs():
     assert np.isfinite(np.asarray(out["logprob"])).all()
 
 
+@pytest.mark.slow
 def test_lstm_classic_scst_step():
     cfg, data, model, tx, state = setup_lstm("fc")
     init_scorer("corpus")
@@ -119,6 +121,7 @@ def test_lstm_classic_scst_step():
     assert diff > 0
 
 
+@pytest.mark.slow
 def test_lstm_precompute_matches_inline():
     """The hoisted loop-invariant projections (p_att / ctx2att / dec_att
     K,V in the AR cache) must produce bit-identical step logprobs to the

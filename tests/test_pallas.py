@@ -502,6 +502,7 @@ def test_attention_capture_forces_unfused():
     assert len(maps) > 0 and np.asarray(maps[0]).ndim == 4
 
 
+@pytest.mark.slow
 def test_stack_chunked_grid_matches_unchunked(monkeypatch):
     """B > the chunk cap routes the dec/enc stacks through the chunked
     (B//GB, NL, GB//G) grid with a per-chunk activation scratch

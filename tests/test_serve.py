@@ -32,6 +32,7 @@ def _setup(mode="UIC"):
 @pytest.mark.parametrize("train_mode,mode", [("UIC", "NAIC"),
                                              ("UIC", "SAIC"),
                                              ("auto", "AIC")])
+@pytest.mark.slow
 def test_serve_batching_and_padding_exactness(train_mode, mode):
     """N concurrent requests each get THEIR image's caption, and bucket
     padding never changes a request's output: every per-sample path is

@@ -127,6 +127,7 @@ def test_rl_stage_end_to_end():
     assert diff > 0
 
 
+@pytest.mark.slow
 def test_rl_rescore_matches_sampling_logprobs():
     """The differentiable re-score reproduces the sampling loop's stored
     logprobs at supervised positions (the central RL-correctness claim)."""
@@ -305,6 +306,7 @@ def test_uic_s_drop_worst_step():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_rl_step_mixes_lm_loss_below_weight_one():
     """structure_loss_weight < 1 adds the (1-w)*lm_loss XE term per branch
     (reference loss_wrapper.py:169/220-222) — requires the gt batch and
