@@ -547,6 +547,13 @@ class BoFiCap(nn.Module):
         inputs (TransformerModel.py:1694-1703); encoding once is a pure win.
         """
         L = self.max_length
+        # word-decoder passes keep the UN-repeated memory: DecoderLayer
+        # groups the seq_per_img caption rows over one image's keys
+        # (layers.DecoderLayer._cross — identical math, one cross K/V
+        # projection per image).  The predictor paths (bound_teacher /
+        # nnaic_length / pb_length_predict) stack their own query layouts
+        # and keep the repeated view.
+        mem_dec, srcm_dec = memory, src_mask
         if labels.shape[0] != memory.shape[0]:
             k = labels.shape[0] // memory.shape[0]
             memory = jnp.repeat(memory, k, axis=0)
@@ -560,7 +567,7 @@ class BoFiCap(nn.Module):
             tgt = (seq != EOS) & (seq != PAD)
             tgt = tgt.at[:, 0].set(True)
             tgt_mask = tgt[:, None, :] & causal_mask(seq.shape[1])[None]
-            h = self.decode_a(seq, memory, src_mask, tgt_mask, deterministic)
+            h = self.decode_a(seq, mem_dec, srcm_dec, tgt_mask, deterministic)
             out["logprob"] = self.generate(h)
             return out
 
@@ -571,7 +578,7 @@ class BoFiCap(nn.Module):
             keep = (seq != EOS) & (seq != PAD)
             keep = keep.at[:, 0].set(True)
             new_seq = jnp.where(keep, BOS, PAD).astype(seq.dtype)
-            h = self.decode_a(new_seq, memory, src_mask, keep[:, None, :],
+            h = self.decode_a(new_seq, mem_dec, srcm_dec, keep[:, None, :],
                               deterministic)
             out["logprob"] = self.generate(h)
             out["length_pred"] = self.nnaic_length(memory, deterministic)
@@ -590,7 +597,7 @@ class BoFiCap(nn.Module):
                 lp_words, phrase_length, memory, src_mask, use_syn=False,
                 deterministic=deterministic)
             copied = po.copy_init(labels, phrase_length, L)
-            h_sa = self.decode_sa(copied, word_syn, memory, src_mask, sa_mask,
+            h_sa = self.decode_sa(copied, word_syn, mem_dec, srcm_dec, sa_mask,
                                   deterministic)
             out["sa_len_logprob"], out["sa_syn_logprob"] = sa_len_lp, sa_syn_lp
             out["sa_logprob"] = self.generate(h_sa)
@@ -613,7 +620,7 @@ class BoFiCap(nn.Module):
             if use_glat:
                 # glancing training (reference :437-464): no-grad NA decode,
                 # mismatch-rate-scaled random re-reveal of gt tokens
-                h0 = self.decode_na(word_syn, memory, src_mask, na_mask,
+                h0 = self.decode_na(word_syn, mem_dec, srcm_dec, na_mask,
                                     deterministic)
                 pred = jnp.argmax(
                     jax.lax.stop_gradient(self.generate(h0)), axis=-1)
@@ -627,7 +634,7 @@ class BoFiCap(nn.Module):
                 keep = jax.random.uniform(rng, real.shape) < keep_prob
                 glanced = jnp.where(keep, real, BOS)
                 out["glat_mismatch"] = jnp.mean(mismatch)
-            h_na = self.decode_na(word_syn, memory, src_mask, na_mask,
+            h_na = self.decode_na(word_syn, mem_dec, srcm_dec, na_mask,
                                   deterministic, glat_input=glanced)
             out["na_logprob"] = self.generate(h_na)
             return out
@@ -645,8 +652,8 @@ class BoFiCap(nn.Module):
             dummy_mask = jnp.ones((B, L, L), bool)
             out["pb_len_logprob"] = len_lp
             out["pb_logprob"] = self.pb_decode(
-                dummy_ids, dummy_slot, labels, phrase_length, memory,
-                src_mask, dummy_mask, deterministic)
+                dummy_ids, dummy_slot, labels, phrase_length, mem_dec,
+                srcm_dec, dummy_mask, deterministic)
             return out
 
         if mode in ("UIC_s", "UIC_u"):
@@ -660,12 +667,12 @@ class BoFiCap(nn.Module):
             pad_keep = (seq != EOS) & (seq != PAD)
             pad_keep = pad_keep.at[:, 0].set(True)
             a_mask = (pad_keep[:, None, :] & causal_mask(seq.shape[1])[None])[:, 1:, 1:]
-            h_a = self.decode_a(labels[:, :-2], memory, src_mask, a_mask,
+            h_a = self.decode_a(labels[:, :-2], mem_dec, srcm_dec, a_mask,
                                 deterministic, syn_seq=word_syn)
             copied = po.copy_init(labels, phrase_length, L)
-            h_sa = self.decode_sa(copied, word_syn, memory, src_mask, sa_mask,
+            h_sa = self.decode_sa(copied, word_syn, mem_dec, srcm_dec, sa_mask,
                                   deterministic)
-            h_na = self.decode_na(word_syn, memory, src_mask, na_mask,
+            h_na = self.decode_na(word_syn, mem_dec, srcm_dec, na_mask,
                                   deterministic)
             out["a_logprob"] = self.generate(h_a)
             out["a_logits"] = self.generate_logits(h_a)

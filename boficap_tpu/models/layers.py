@@ -265,9 +265,31 @@ class DecoderLayer(nn.Module):
             nkv = self.sub0.norm_only(kv)
             x = self.sub0(x, lambda y: self.self_attn(y, nkv, nkv, tgt_mask,
                                                       deterministic), deterministic)
-        x = self.sub1(x, lambda y: self.src_attn(y, memory, memory, src_mask,
-                                                 deterministic), deterministic)
+        x = self.sub1(x, lambda y: self._cross(y, memory, src_mask,
+                                               deterministic), deterministic)
         return self.sub2(x, lambda y: self.ffn(y, deterministic), deterministic)
+
+    def _cross(self, y, memory, src_mask, deterministic: bool):
+        """Cross-attention, GROUPED when the query batch is a multiple of
+        the memory batch (teacher-forced training passes the encoder memory
+        UN-repeated: one image row serves its seq_per_img caption rows).
+
+        The g caption rows of an image are folded into the query-length
+        axis ([B*g, L, d] -> [B, g*L, d]) over that image's [R] keys —
+        row-for-row identical to repeating the memory (softmax rows are
+        independent), but the K/V projections run once per image instead
+        of g times and XLA stops materializing g copies of the memory's
+        K/V head layout (a measured ~20% of XE-step device time was these
+        [B*g, R, H, Dh] relayout copies + repeated projections).  Row
+        order matches jnp.repeat (caption rows are image-major).  With
+        attention capture on, the sown probs for a grouped pass are
+        [B, H, g*L, R] (same numbers, folded layout)."""
+        B = memory.shape[0]
+        if y.shape[0] != B and y.shape[0] % B == 0:
+            yr = y.reshape(B, -1, y.shape[-1])
+            out = self.src_attn(yr, memory, memory, src_mask, deterministic)
+            return out.reshape(y.shape)
+        return self.src_attn(y, memory, memory, src_mask, deterministic)
 
     def cross_only(self, x, memory, src_mask, deterministic: bool = True):
         """N_len == 0 predictor variant: one cross-attention sublayer
