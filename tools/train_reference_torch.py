@@ -72,8 +72,8 @@ def _import_reference():
 
     torch.Tensor.new_zeros = _new_zeros_no_leaf_grad
     from captioning.models.TransformerModel import TransformerModel
-    from captioning.modules.losses import LanguageModelCriterion_UIC
-    return torch, TransformerModel, LanguageModelCriterion_UIC
+    from captioning.modules import losses as ref_losses
+    return torch, TransformerModel, ref_losses
 
 
 def reference_opt(args, vocab_size: int) -> argparse.Namespace:
@@ -82,7 +82,8 @@ def reference_opt(args, vocab_size: int) -> argparse.Namespace:
     (consumed by TransformerModel.__init__, :1631-1640) and the data paths
     our eval CLI reads back after conversion."""
     return argparse.Namespace(
-        train_mode="UIC", caption_model="transformer",
+        train_mode=getattr(args, "train_mode", "UIC"),
+        caption_model="transformer",
         N_enc=args.n_layers, N_dec=args.n_layers, N_len=1,
         d_model=args.d_model, d_ff=args.d_ff,
         num_att_heads=args.heads, dropout=0.1, drop_prob_lm=0.5,
@@ -104,7 +105,7 @@ def reference_opt(args, vocab_size: int) -> argparse.Namespace:
 def loader_cfg(args):
     from boficap_tpu.config import default_config, finalize
     cfg = default_config()
-    cfg.train_mode = "UIC"
+    cfg.train_mode = getattr(args, "train_mode", "UIC")
     cfg.input_json = os.path.join(args.data, "data.json")
     cfg.input_label_h5 = os.path.join(args.data, "label.h5")
     cfg.input_att_dir = os.path.join(args.data, "att")
@@ -123,14 +124,18 @@ def _flat_batch(data):
     labels = np.asarray(data["labels"])
     B, S, L2 = labels.shape
     fl = lambda x: np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:])
-    return {
+    out = {
         "att": np.repeat(np.asarray(data["att_feats"]), S, axis=0),
         "am": np.repeat(np.asarray(data["att_masks"]), S, axis=0),
         "labels": fl(labels).astype(np.int64),
-        "pn": np.asarray(data["phrase_num"]).reshape(-1).astype(np.int64),
-        "pl": fl(data["phrase_length"]).astype(np.int64),
-        "ps": fl(data["phrase_syn"]).astype(np.int64),
+        "masks": fl(data["masks"]).astype(np.float32),
     }
+    if data.get("phrase_num") is not None:
+        out["pn"] = np.asarray(
+            data["phrase_num"]).reshape(-1).astype(np.int64)
+        out["pl"] = fl(data["phrase_length"]).astype(np.int64)
+        out["ps"] = fl(data["phrase_syn"]).astype(np.int64)
+    return out
 
 
 def train_reference(args):
@@ -145,10 +150,12 @@ def train_reference(args):
 
     opt = reference_opt(args, loader.vocab_size)
     opt.vocab = vocab            # AttModel.py:103 reads it off the opt
+    mode = opt.train_mode
     torch.manual_seed(args.seed)
     ref = TransformerModel(opt)
     ref.train()
-    crit = Crit()
+    crit = (Crit.LanguageModelCriterion() if mode in ("AIC", "auto")
+            else Crit.LanguageModelCriterion_UIC())
     optim = torch.optim.Adam(ref.parameters(), lr=args.lr,
                              betas=(0.9, 0.98), eps=1e-9)
 
@@ -156,22 +163,35 @@ def train_reference(args):
     for it in range(args.iters):
         data = loader.get_batch("train")
         f = _flat_batch(data)
-        ext_syn = np.asarray(po.extend_syn_seq(f["pl"], f["ps"], L))
-        ext_word = np.asarray(po.copy_init(f["labels"], f["pl"], L))
-        ext_mask = np.asarray(po.blockwise_mask(f["pl"], L))
-
         optim.zero_grad()
-        out = ref._forward(
-            torch.zeros(f["labels"].shape[0], 2048),
-            torch.from_numpy(f["att"]), torch.from_numpy(f["labels"]),
-            torch.from_numpy(f["am"]), torch.from_numpy(f["pn"]),
-            torch.from_numpy(f["pl"]), torch.from_numpy(f["ps"]),
-            torch.from_numpy(ext_syn.astype(np.int64)),
-            torch.from_numpy(ext_word.astype(np.int64)),
-            torch.from_numpy(ext_mask), glat_p=-1.0)
-        loss = crit(*out, torch.from_numpy(f["pn"]),
-                    torch.from_numpy(f["pl"]), torch.from_numpy(f["ps"]),
-                    torch.from_numpy(f["labels"]), reduction="mean")[0]
+        if mode in ("AIC", "auto"):
+            # reference XE path (loss_wrapper.py:63): teacher-forced causal
+            # forward on labels[:, :-1], NLL over labels[:, 1:]
+            lp = ref._forward(
+                torch.zeros(f["labels"].shape[0], 2048),
+                torch.from_numpy(f["att"]),
+                torch.from_numpy(f["labels"][:, :-1]),
+                torch.from_numpy(f["am"]))
+            loss = crit(lp, torch.from_numpy(f["labels"][:, 1:]),
+                        torch.from_numpy(f["masks"][:, 1:]),
+                        reduction="mean")
+        else:
+            ext_syn = np.asarray(po.extend_syn_seq(f["pl"], f["ps"], L))
+            ext_word = np.asarray(po.copy_init(f["labels"], f["pl"], L))
+            ext_mask = np.asarray(po.blockwise_mask(f["pl"], L))
+            out = ref._forward(
+                torch.zeros(f["labels"].shape[0], 2048),
+                torch.from_numpy(f["att"]), torch.from_numpy(f["labels"]),
+                torch.from_numpy(f["am"]), torch.from_numpy(f["pn"]),
+                torch.from_numpy(f["pl"]), torch.from_numpy(f["ps"]),
+                torch.from_numpy(ext_syn.astype(np.int64)),
+                torch.from_numpy(ext_word.astype(np.int64)),
+                torch.from_numpy(ext_mask), glat_p=-1.0)
+            loss = crit(*out, torch.from_numpy(f["pn"]),
+                        torch.from_numpy(f["pl"]),
+                        torch.from_numpy(f["ps"]),
+                        torch.from_numpy(f["labels"]),
+                        reduction="mean")[0]
         loss.backward()
         torch.nn.utils.clip_grad_norm_(ref.parameters(), 5.0)
         optim.step()
@@ -249,9 +269,50 @@ def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
     return caps, gts_words
 
 
+def torch_eval_beam(ref, loader, split="val", beam_size=3,
+                    max_images=None):
+    """Beam-search eval through the reference's own ``_sample_beam``
+    (AttModel.py:263-305 -> CaptionModel.beam_search), one image per batch.
+    Returns ({image_id: caption}, gts)."""
+    import torch
+    from boficap_tpu.eval.eval_utils import decode_sequence
+
+    ref.eval()
+    caps = {}
+    gts_words = {}
+    loader.reset_iterator(split)
+    seen = set()
+    while True:
+        data = loader.get_batch(split)
+        done = False
+        for i, info in enumerate(data["infos"]):
+            img_id = info["id"]
+            if img_id in seen:
+                done = True
+                continue
+            seen.add(img_id)
+            att = torch.from_numpy(np.asarray(data["att_feats"][i:i + 1]))
+            am = torch.from_numpy(np.asarray(data["att_masks"][i:i + 1]))
+            with torch.no_grad():
+                seq, _, _ = ref._sample_beam(
+                    torch.zeros(1, 2048), att, am,
+                    opt={"beam_size": beam_size, "group_size": 1,
+                         "sample_method": "greedy", "sample_n": 1})
+            caps[img_id] = decode_sequence(loader.ix_to_word,
+                                           seq.numpy())[0]
+            gts_words[img_id] = decode_sequence(
+                loader.ix_to_word, np.asarray(data["gts"][i]))
+        if done or data["bounds"]["wrapped"]:
+            break
+        if max_images and len(seen) >= max_images:
+            break
+    return caps, gts_words
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="data_synth")
+    ap.add_argument("--train_mode", default="UIC", choices=["UIC", "AIC"])
     ap.add_argument("--out", default="ref_trained")
     ap.add_argument("--id", default="ref")
     ap.add_argument("--iters", type=int, default=400)
@@ -271,7 +332,8 @@ def main(argv=None):
     ref, loader, model_path, infos_path = train_reference(args)
     if args.eval_after:
         from boficap_tpu.eval.metrics import language_eval
-        caps, gts = torch_eval_split(ref, loader, "val")
+        modes = ("AIC",) if args.train_mode == "AIC" else ("NAIC", "SAIC")
+        caps, gts = torch_eval_split(ref, loader, "val", modes=modes)
         for m, d in caps.items():
             preds = [{"image_id": k, "caption": v} for k, v in d.items()]
             stats = language_eval(preds, gts)
