@@ -327,13 +327,26 @@ def main():
                                            ps_t))
     tx = optax.adam(5e-4)
 
+    def _retry_oom(fn, tries: int = 4, sleep_s: float = 45.0):
+        """The chip is co-tenant shared: transient RESOURCE_EXHAUSTED under
+        a neighbor's HBM pressure clears within a minute (observed; r2
+        notes recorded the same flake class).  Retry with a real wait —
+        the same step runs clean in isolation."""
+        for i in range(tries):
+            try:
+                return fn()
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or i == tries - 1:
+                    raise
+                time.sleep(sleep_s)
+
     def fresh_state():
         # xe_step donates the state (donate_argnums=(0,)); seed it with
         # device COPIES so the module-level params can never be consumed —
         # the retry below rebuilds from them after a failed donating step
-        return create_state(
+        return _retry_oom(lambda: create_state(
             jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params),
-            tx)
+            tx))
 
     tstate = fresh_state()
     xe_step = make_xe_step(model, tx)
@@ -355,10 +368,11 @@ def main():
             tstate, m = run_train(1, tstate)
             _fetch(m["loss"])
             break
-        except jax.errors.JaxRuntimeError:             # transient tunnel RPC
+        except jax.errors.JaxRuntimeError as e:        # transient tunnel RPC
             if i == 3:
                 raise
-            time.sleep(2.0 * (i + 1))
+            time.sleep(45.0 if "RESOURCE_EXHAUSTED" in str(e)
+                       else 2.0 * (i + 1))
             tstate = fresh_state()   # the failed step consumed its donation
     t_tr = float("inf")
     for _ in range(N_REPEATS):
@@ -407,10 +421,11 @@ def main():
                 mm = run(1)
                 _fetch(mm["loss"])
                 break
-            except jax.errors.JaxRuntimeError:
+            except jax.errors.JaxRuntimeError as e:
                 if i == 3:
                     raise
-                time.sleep(2.0 * (i + 1))
+                time.sleep(45.0 if "RESOURCE_EXHAUSTED" in str(e)
+                           else 2.0 * (i + 1))
                 nonlocal_state[0] = fresh_state()
         best = float("inf")
         for _ in range(N_REPEATS):
@@ -421,162 +436,195 @@ def main():
                 (time.perf_counter() - t0 - RTT_S) / n_chain, 1e-6))
         return best, nonlocal_state[0]
 
-    targs_64 = xe_batch(64)
-    t_tr64, tstate = time_xe(targs_64)
-    targs_256 = xe_batch(256)
-    t_tr256, tstate = time_xe(targs_256)
-
-    # (b) MFU at the saturating batch: XLA's own cost model for the ACTUAL
-    # compiled step (fwd incl. both UIC branches + bwd + adam) over the
-    # measured wall time, against the 275 TFLOP/s bf16 roofline measured on
-    # this chip (BENCH_NOTES.md: d512 matmul sweep).
+    # The chip is co-tenant shared: the optional deep-dive sections can
+    # transiently fail with RESOURCE_EXHAUSTED under a neighbor's HBM
+    # pressure even with retries.  The headline decode metrics must always
+    # print (the driver consumes this line), so each optional section
+    # degrades to None + a bench_warnings note instead of crashing.
+    bench_warnings = []
+    t_tr64 = t_tr256 = None
+    tflops_s = est_mfu = mfu_64 = mfu_256 = None
     ROOFLINE_BF16 = 275e12
-
-    def _xe_flops(targs_b):
-        try:
-            cost = xe_step.lower(tstate, *targs_b, None, tkeys[0],
-                                 glat).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0] if cost else {}
-            return float((cost or {}).get("flops", 0.0))
-        except Exception:
-            return 0.0
-
-    xe_flops_256 = _xe_flops(targs_256)
-    xe_flops_64 = _xe_flops(targs_64)
-    tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
-    mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
-               if xe_flops_256 else None)
-    mfu_64 = (xe_flops_64 / t_tr64 / ROOFLINE_BF16
-              if xe_flops_64 else None)
-    # best operating point (b64x5 outruns b256x5 per image on this chip)
-    est_mfu = max(x for x in (mfu_256, mfu_64, 0.0) if x is not None) \
-        or None
-
-    # (c) RL-stage step decomposition at the reference RL recipe batch
-    # (10 imgs x train_sample_n=5, configs/uic_sd_kd100_sd_nscl.yml):
-    # jit sample -> host CIDEr-D (native C++ scorer) -> jit re-score+update.
-    # Uses a UIC model (the recipe's train_mode; the bench's UIC_u would
-    # add a third AR branch the recipe doesn't run).
-    from boficap_tpu.rewards import init_scorer
-    from boficap_tpu.train.steps import (make_rl_sample, make_rl_step,
-                                         rl_host_scores)
-    cfg_rl = default_config()
-    for k, v in dict(train_mode="UIC", N_enc=6, N_dec=6, N_len=1,
-                     d_model=512, d_ff=2048, num_att_heads=8, max_boxes=36,
-                     id="bench_rl", dtype="bfloat16").items():
-        cfg_rl[k] = v
-    finalize(cfg_rl)
-    model_rl = build_model(cfg_rl, vocab_size)
-    params_rl = model_rl.init({"params": jax.random.PRNGKey(2)},
-                              att, am, labels, pn, pl, ps, glat_p=None,
-                              deterministic=True)
-    RB, SN = 10, 5
-    att_r, am_r = att[:RB], am[:RB]
-    rl_cfg = {"structure_loss_type": "new_self_critical",
-              "train_sample_n": SN, "structure_loss_weight": 1.0,
-              "cider_reward_weight": 1, "bleu_reward_weight": 0}
-    rl_sample = make_rl_sample(model_rl, "sample", 1.0, SN)
-    _warm(lambda a, m, k: rl_sample(params_rl, k, a, m), att_r, am_r, KEY)
-    t_rl_sample = timed(lambda a, m, k: rl_sample(params_rl, k, a, m),
-                        att_r, am_r)
-    samples = rl_sample(params_rl, KEY, att_r, am_r)
-    _fetch(samples["na"]["seq"])
-    samples_np = {k: {"seq": np.asarray(v["seq"])}
-                  for k, v in samples.items()}
-    gts_rl = [np.concatenate(
-        [np.random.RandomState(i).randint(4, vocab_size + 4, (5, 9)),
-         np.zeros((5, 11), np.int64)], axis=1) for i in range(RB)]
-    init_scorer("corpus")
-    t_host = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        scores_np = rl_host_scores(samples_np, gts_rl, rl_cfg)
-        t_host = min(t_host, time.perf_counter() - t0)
-    scores_dev = {k: jnp.asarray(v) for k, v in scores_np.items()}
-    tx_rl = optax.adam(5e-6)                    # recipe stage-2 lr
-    rl_state = create_state(
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params_rl),
-        tx_rl)
-    rl_step = make_rl_step(model_rl, tx_rl, rl_cfg)
-
-    def run_rl(n, st):
-        mm = None
-        for i in range(n):
-            st, mm = rl_step(st, tkeys[i % 10], att_r, am_r, samples,
-                             scores_dev)
-        return st, mm
-
-    for i in range(4):
-        try:
-            rl_state, mm = run_rl(1, rl_state)
-            _fetch(mm["loss"])
-            break
-        except jax.errors.JaxRuntimeError:
-            if i == 3:
-                raise
-            time.sleep(2.0 * (i + 1))
-            rl_state = create_state(jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x) + 0, params_rl), tx_rl)
-    t_rl_update = float("inf")
-    for _ in range(N_REPEATS):
-        t0 = time.perf_counter()
-        rl_state, mm = run_rl(5, rl_state)
-        _fetch(mm["loss"])
-        t_rl_update = min(t_rl_update, max(
-            (time.perf_counter() - t0 - RTT_S) / 5, 1e-6))
-    t_rl_total = t_rl_sample + t_host + t_rl_update
-
-    # ---- device-side serving percentiles (r2 verdict #6) ----
-    # Per-bucket p50/p99 of the ONE-program caption path (encode + bound +
-    # fill), tunnel-RTT subtracted per chained sample like timed(); the
-    # fused/unfused program with the lower p50 is the serving route
-    # (serve.py routes the same way).
-    def latency_samples(fn, *args, reps=20):
-        """Each sample is the mean of a chained run sized so the chain's
-        device time dominates the tunnel-RTT subtraction noise (~±10 ms):
-        chain ~ 50 ms / t_exec.  True per-execution tails are unmeasurable
-        through the tunnel; chain-mean percentiles still capture the
-        cross-dispatch variation serving would see."""
-        _warm(fn, *args, KEY)
-        t_est = timed(fn, *args, n_iters=64)
-        chain = int(np.clip(0.05 / max(t_est, 1e-5), 8, 512))
-        skeys = [jax.random.fold_in(KEY, 7000 + i) for i in range(chain)]
-        _fetch(skeys[-1])
-        out = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            o = None
-            for i in range(chain):
-                o = fn(*args, skeys[i])
-            _fetch(o)
-            out.append(max((time.perf_counter() - t0 - RTT_S) / chain,
-                           1e-6))
-        return np.asarray(out)
-
+    t_rl_sample = t_host = t_rl_update = t_rl_total = None
     serve_stats = {}
-    for nb in (1, 8, 64):
-        a_b, m_b = att[:nb], am[:nb]
-        cands = [(latency_samples(caption_unfused, a_b, m_b),
-                  caption_unfused)]
-        if FUSED:
-            cands.append((latency_samples(caption_fused, a_b, m_b),
-                          caption_fused))
-        best_s, best_fn = min(cands, key=lambda s: np.percentile(s[0], 50))
-        p50 = float(np.percentile(best_s, 50))
-        p99 = float(np.percentile(best_s, 99))
-        # the min-estimator floor separates device time from the 1-core
-        # host's dispatch jitter, which dominates small-batch percentiles
-        # on this box (percentiles are chain means incl. host dispatch;
-        # the floor is the same protocol's best of N_REPEATS)
-        floor = timed(best_fn, a_b, m_b, n_iters=256)
-        serve_stats[f"b{nb}"] = {
-            "p50_ms": round(p50 * 1000, 3),
-            "p99_ms": round(p99 * 1000, 3),
-            "floor_ms": round(floor * 1000, 3),
-            "captions_per_s": round(nb / p50, 1),
-        }
+    try:
+        # ---- device-side serving percentiles (r2 verdict #6) ----
+        # Per-bucket p50/p99 of the ONE-program caption path (encode + bound +
+        # fill), tunnel-RTT subtracted per chained sample like timed(); the
+        # fused/unfused program with the lower p50 is the serving route
+        # (serve.py routes the same way).
+        def latency_samples(fn, *args, reps=20):
+            """Each sample is the mean of a chained run sized so the chain's
+            device time dominates the tunnel-RTT subtraction noise (~±10 ms):
+            chain ~ 50 ms / t_exec.  True per-execution tails are unmeasurable
+            through the tunnel; chain-mean percentiles still capture the
+            cross-dispatch variation serving would see."""
+            _warm(fn, *args, KEY)
+            t_est = timed(fn, *args, n_iters=64)
+            chain = int(np.clip(0.05 / max(t_est, 1e-5), 8, 512))
+            skeys = [jax.random.fold_in(KEY, 7000 + i) for i in range(chain)]
+            _fetch(skeys[-1])
+            out = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                o = None
+                for i in range(chain):
+                    o = fn(*args, skeys[i])
+                _fetch(o)
+                out.append(max((time.perf_counter() - t0 - RTT_S) / chain,
+                               1e-6))
+            return np.asarray(out)
 
+        serve_stats = {}
+        for nb in (1, 8, 64):
+            a_b, m_b = att[:nb], am[:nb]
+            cands = [(latency_samples(caption_unfused, a_b, m_b),
+                      caption_unfused)]
+            if FUSED:
+                cands.append((latency_samples(caption_fused, a_b, m_b),
+                              caption_fused))
+            best_s, best_fn = min(cands, key=lambda s: np.percentile(s[0], 50))
+            p50 = float(np.percentile(best_s, 50))
+            p99 = float(np.percentile(best_s, 99))
+            # the min-estimator floor separates device time from the 1-core
+            # host's dispatch jitter, which dominates small-batch percentiles
+            # on this box (percentiles are chain means incl. host dispatch;
+            # the floor is the same protocol's best of N_REPEATS)
+            floor = timed(best_fn, a_b, m_b, n_iters=256)
+            serve_stats[f"b{nb}"] = {
+                "p50_ms": round(p50 * 1000, 3),
+                "p99_ms": round(p99 * 1000, 3),
+                "floor_ms": round(floor * 1000, 3),
+                "captions_per_s": round(nb / p50, 1),
+            }
+
+
+    except jax.errors.JaxRuntimeError as e:
+        bench_warnings.append(
+            "serving-percentile section skipped: "
+            + str(e).splitlines()[0][:120])
+
+    # sections run LIGHT -> HEAVY (serving -> RL -> saturating XE) so each
+    # gets its best shot at the co-tenant-shared chip's remaining HBM
+    try:
+        # (c) RL-stage step decomposition at the reference RL recipe batch
+        # (10 imgs x train_sample_n=5, configs/uic_sd_kd100_sd_nscl.yml):
+        # jit sample -> host CIDEr-D (native C++ scorer) -> jit re-score+update.
+        # Uses a UIC model (the recipe's train_mode; the bench's UIC_u would
+        # add a third AR branch the recipe doesn't run).
+        from boficap_tpu.rewards import init_scorer
+        from boficap_tpu.train.steps import (make_rl_sample, make_rl_step,
+                                             rl_host_scores)
+        cfg_rl = default_config()
+        for k, v in dict(train_mode="UIC", N_enc=6, N_dec=6, N_len=1,
+                         d_model=512, d_ff=2048, num_att_heads=8, max_boxes=36,
+                         id="bench_rl", dtype="bfloat16").items():
+            cfg_rl[k] = v
+        finalize(cfg_rl)
+        model_rl = build_model(cfg_rl, vocab_size)
+        params_rl = model_rl.init({"params": jax.random.PRNGKey(2)},
+                                  att, am, labels, pn, pl, ps, glat_p=None,
+                                  deterministic=True)
+        RB, SN = 10, 5
+        att_r, am_r = att[:RB], am[:RB]
+        rl_cfg = {"structure_loss_type": "new_self_critical",
+                  "train_sample_n": SN, "structure_loss_weight": 1.0,
+                  "cider_reward_weight": 1, "bleu_reward_weight": 0}
+        rl_sample = make_rl_sample(model_rl, "sample", 1.0, SN)
+        _warm(lambda a, m, k: rl_sample(params_rl, k, a, m), att_r, am_r, KEY)
+        t_rl_sample = timed(lambda a, m, k: rl_sample(params_rl, k, a, m),
+                            att_r, am_r)
+        samples = rl_sample(params_rl, KEY, att_r, am_r)
+        _fetch(samples["na"]["seq"])
+        samples_np = {k: {"seq": np.asarray(v["seq"])}
+                      for k, v in samples.items()}
+        gts_rl = [np.concatenate(
+            [np.random.RandomState(i).randint(4, vocab_size + 4, (5, 9)),
+             np.zeros((5, 11), np.int64)], axis=1) for i in range(RB)]
+        init_scorer("corpus")
+        t_host = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            scores_np = rl_host_scores(samples_np, gts_rl, rl_cfg)
+            t_host = min(t_host, time.perf_counter() - t0)
+        scores_dev = {k: jnp.asarray(v) for k, v in scores_np.items()}
+        tx_rl = optax.adam(5e-6)                    # recipe stage-2 lr
+        rl_state = _retry_oom(lambda: create_state(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params_rl),
+            tx_rl))
+        rl_step = make_rl_step(model_rl, tx_rl, rl_cfg)
+
+        def run_rl(n, st):
+            mm = None
+            for i in range(n):
+                st, mm = rl_step(st, tkeys[i % 10], att_r, am_r, samples,
+                                 scores_dev)
+            return st, mm
+
+        for i in range(4):
+            try:
+                rl_state, mm = run_rl(1, rl_state)
+                _fetch(mm["loss"])
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if i == 3:
+                    raise
+                time.sleep(45.0 if "RESOURCE_EXHAUSTED" in str(e)
+                           else 2.0 * (i + 1))
+                rl_state = _retry_oom(lambda: create_state(jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x) + 0, params_rl), tx_rl))
+        t_rl_update = float("inf")
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            rl_state, mm = run_rl(5, rl_state)
+            _fetch(mm["loss"])
+            t_rl_update = min(t_rl_update, max(
+                (time.perf_counter() - t0 - RTT_S) / 5, 1e-6))
+        t_rl_total = t_rl_sample + t_host + t_rl_update
+
+
+    except jax.errors.JaxRuntimeError as e:
+        bench_warnings.append(
+            "RL section skipped: " + str(e).splitlines()[0][:120])
+    # free the RL section's model/optimizer before the big-batch XE steps
+    rl_state = params_rl = samples = scores_dev = model_rl = None
+    try:
+        targs_64 = xe_batch(64)
+        t_tr64, tstate = time_xe(targs_64)
+        targs_256 = xe_batch(256)
+        t_tr256, tstate = time_xe(targs_256)
+
+        # (b) MFU at the saturating batch: XLA's own cost model for the ACTUAL
+        # compiled step (fwd incl. both UIC branches + bwd + adam) over the
+        # measured wall time, against the 275 TFLOP/s bf16 roofline measured on
+        # this chip (BENCH_NOTES.md: d512 matmul sweep).
+
+        def _xe_flops(targs_b):
+            try:
+                cost = xe_step.lower(tstate, *targs_b, None, tkeys[0],
+                                     glat).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0] if cost else {}
+                return float((cost or {}).get("flops", 0.0))
+            except Exception:
+                return 0.0
+
+        xe_flops_256 = _xe_flops(targs_256)
+        xe_flops_64 = _xe_flops(targs_64)
+        tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
+        mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
+                   if xe_flops_256 else None)
+        mfu_64 = (xe_flops_64 / t_tr64 / ROOFLINE_BF16
+                  if xe_flops_64 else None)
+        # best operating point (b64x5 outruns b256x5 per image on this chip)
+        est_mfu = max(x for x in (mfu_256, mfu_64, 0.0) if x is not None) \
+            or None
+
+
+    except jax.errors.JaxRuntimeError as e:
+        bench_warnings.append(
+            "saturating-batch XE section skipped: "
+            + str(e).splitlines()[0][:120])
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
     speedup_ref = t_ar0 / t_na
@@ -600,10 +648,14 @@ def main():
             # saturating-batch training throughput + MFU (r2 verdict #2):
             # the recipe batch above is latency-bound; these are the
             # chip-limited numbers
-            "xe_train_b64x5_images_per_s": round(64 / t_tr64, 1),
-            "xe_train_b64x5_step_ms": round(t_tr64 * 1000, 2),
-            "xe_train_b256x5_images_per_s": round(256 / t_tr256, 1),
-            "xe_train_b256x5_step_ms": round(t_tr256 * 1000, 2),
+            "xe_train_b64x5_images_per_s": (round(64 / t_tr64, 1)
+                                            if t_tr64 else None),
+            "xe_train_b64x5_step_ms": (round(t_tr64 * 1000, 2)
+                                       if t_tr64 else None),
+            "xe_train_b256x5_images_per_s": (round(256 / t_tr256, 1)
+                                             if t_tr256 else None),
+            "xe_train_b256x5_step_ms": (round(t_tr256 * 1000, 2)
+                                        if t_tr256 else None),
             "xe_train_b256_tflops_per_s": (round(tflops_s, 1)
                                            if tflops_s else None),
             "est_train_mfu": (round(est_mfu, 3) if est_mfu else None),
@@ -613,15 +665,21 @@ def main():
             # RL-stage step decomposition at the recipe batch (10x5, UIC,
             # new_self_critical): jit sample + native-C++ CIDEr-D host
             # scoring + jit re-score/update
-            "rl_step_ms": round(t_rl_total * 1000, 2),
-            "rl_sample_ms": round(t_rl_sample * 1000, 2),
-            "rl_host_score_ms": round(t_host * 1000, 2),
-            "rl_update_ms": round(t_rl_update * 1000, 2),
-            "rl_steps_per_s": round(1.0 / t_rl_total, 2),
+            "rl_step_ms": (round(t_rl_total * 1000, 2)
+                           if t_rl_total else None),
+            "rl_sample_ms": (round(t_rl_sample * 1000, 2)
+                             if t_rl_sample else None),
+            "rl_host_score_ms": (round(t_host * 1000, 2)
+                                 if t_host else None),
+            "rl_update_ms": (round(t_rl_update * 1000, 2)
+                             if t_rl_update else None),
+            "rl_steps_per_s": (round(1.0 / t_rl_total, 2)
+                               if t_rl_total else None),
             # device-side serving latency percentiles per bucket (r2
             # verdict #6; RTT-subtracted chained samples, winner of
             # fused/unfused per bucket like serve.py's routing)
-            "serve_device_latency": serve_stats,
+            "serve_device_latency": serve_stats or None,
+            "bench_warnings": bench_warnings or None,
             "na_p50_b1_unfused_ms": round(t_na1_unf * 1000, 3),
             # None (not inf) off-TPU: json.dumps would emit the non-RFC
             # token `Infinity` and break strict consumers of this line
