@@ -588,43 +588,41 @@ def main():
             "RL section skipped: " + str(e).splitlines()[0][:120])
     # free the RL section's model/optimizer before the big-batch XE steps
     rl_state = params_rl = samples = scores_dev = model_rl = None
+    # (b) MFU: XLA's own cost model for the ACTUAL compiled step (fwd
+    # incl. both UIC branches + bwd + adam) over the measured wall time,
+    # against the 275 TFLOP/s bf16 roofline measured on this chip
+    # (BENCH_NOTES.md: d512 matmul sweep).
+    def _xe_flops(targs_b, st):
+        try:
+            cost = xe_step.lower(st, *targs_b, None, tkeys[0],
+                                 glat).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else {}
+            return float((cost or {}).get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     try:
         targs_64 = xe_batch(64)
         t_tr64, tstate = time_xe(targs_64)
+        mfu_64 = ((_xe_flops(targs_64, tstate) / t_tr64 / ROOFLINE_BF16)
+                  or None)
+    except jax.errors.JaxRuntimeError as e:
+        bench_warnings.append(
+            "b64x5 XE section skipped: " + str(e).splitlines()[0][:120])
+    try:
         targs_256 = xe_batch(256)
         t_tr256, tstate = time_xe(targs_256)
-
-        # (b) MFU at the saturating batch: XLA's own cost model for the ACTUAL
-        # compiled step (fwd incl. both UIC branches + bwd + adam) over the
-        # measured wall time, against the 275 TFLOP/s bf16 roofline measured on
-        # this chip (BENCH_NOTES.md: d512 matmul sweep).
-
-        def _xe_flops(targs_b):
-            try:
-                cost = xe_step.lower(tstate, *targs_b, None, tkeys[0],
-                                     glat).compile().cost_analysis()
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0] if cost else {}
-                return float((cost or {}).get("flops", 0.0))
-            except Exception:
-                return 0.0
-
-        xe_flops_256 = _xe_flops(targs_256)
-        xe_flops_64 = _xe_flops(targs_64)
+        xe_flops_256 = _xe_flops(targs_256, tstate)
         tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
         mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
                    if xe_flops_256 else None)
-        mfu_64 = (xe_flops_64 / t_tr64 / ROOFLINE_BF16
-                  if xe_flops_64 else None)
-        # best operating point (b64x5 outruns b256x5 per image on this chip)
-        est_mfu = max(x for x in (mfu_256, mfu_64, 0.0) if x is not None) \
-            or None
-
-
     except jax.errors.JaxRuntimeError as e:
         bench_warnings.append(
-            "saturating-batch XE section skipped: "
-            + str(e).splitlines()[0][:120])
+            "b256x5 XE section skipped: " + str(e).splitlines()[0][:120])
+    # best operating point (b64x5 outruns b256x5 per image on this chip)
+    est_mfu = max((x for x in (mfu_256, mfu_64) if x is not None),
+                  default=None)
     na_img_s = BATCH / t_na
     # paper-protocol ratio: NA vs the reference's (uncached) AR algorithm
     speedup_ref = t_ar0 / t_na
