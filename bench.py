@@ -610,9 +610,34 @@ def main():
     except jax.errors.JaxRuntimeError as e:
         bench_warnings.append(
             "b64x5 XE section skipped: " + str(e).splitlines()[0][:120])
+    xe_b256_remat = False
     try:
         targs_256 = xe_batch(256)
-        t_tr256, tstate = time_xe(targs_256)
+        try:
+            t_tr256, tstate = time_xe(targs_256)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # plain b256 doesn't fit next to the co-tenant: retry with the
+            # REMAT model (cfg.remat — enc/dec layers recomputed in bwd, a
+            # fraction of the activation memory for ~1/3 extra fwd FLOPs);
+            # param tree identical so the same state shape serves
+            bench_warnings.append("b256x5 plain step OOM; remeasured with "
+                                  "remat=1 (see cfg.remat)")
+            cfg_r = default_config()
+            for kk, vv in dict(cfg).items():
+                cfg_r[kk] = vv
+            cfg_r.remat = 1
+            model_r = build_model(cfg_r, vocab_size)
+            xe_step_r = make_xe_step(model_r, tx)
+            saved_step = xe_step
+            xe_step = xe_step_r           # time_xe closes over the global
+            try:
+                tstate = fresh_state()
+                t_tr256, tstate = time_xe(targs_256)
+                xe_b256_remat = True
+            finally:
+                xe_step = saved_step
         xe_flops_256 = _xe_flops(targs_256, tstate)
         tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
         mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
@@ -654,6 +679,7 @@ def main():
                                              if t_tr256 else None),
             "xe_train_b256x5_step_ms": (round(t_tr256 * 1000, 2)
                                         if t_tr256 else None),
+            "xe_train_b256_remat": xe_b256_remat,
             "xe_train_b256_tflops_per_s": (round(tflops_s, 1)
                                            if tflops_s else None),
             "est_train_mfu": (round(est_mfu, 3) if est_mfu else None),

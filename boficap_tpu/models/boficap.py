@@ -100,6 +100,7 @@ class BoFiCap(nn.Module):
     train_mode: str = "UIC"
     decoder_input_mode: str = "add"   # add | single | gate
     norm_mode: str = "copy"           # PB_pad input mode: copy|compress|complex
+    remat: bool = False               # rematerialize enc/dec layers in bwd
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------------ setup
@@ -109,12 +110,14 @@ class BoFiCap(nn.Module):
                                   dtype=self.dtype, name="att_embed")
         self.att_drop = nn.Dropout(self.drop_prob_lm)
         self.encoder = Encoder(self.N_enc, self.d_model, self.d_ff,
-                               self.num_heads, self.dropout, self.dtype)
+                               self.num_heads, self.dropout, self.dtype,
+                               remat=self.remat)
         roles = decoder_roles(self.train_mode)
         n_stacks = max(roles.values()) + 1
         self.decoders = [
             Decoder(self.N_dec, self.d_model, self.d_ff, self.num_heads,
-                    self.dropout, self.dtype, name=f"decoder{i}")
+                    self.dropout, self.dtype, remat=self.remat,
+                    name=f"decoder{i}")
             for i in range(n_stacks)
         ]
         self.word_embed = TokenEmbed(self.tgt_vocab, self.d_model, self.dtype)
@@ -704,5 +707,6 @@ def build_model(cfg, vocab_size: int) -> BoFiCap:
         train_mode=cfg.get("train_mode", "AIC"),
         decoder_input_mode=cfg.get("decoder_input_mode", "add"),
         norm_mode=cfg.get("norm_mode", "copy") or "copy",
+        remat=bool(cfg.get("remat", 0)),
         dtype=dtype,
     )

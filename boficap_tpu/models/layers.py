@@ -213,7 +213,13 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
-    """N-layer self-attention encoder over region features (reference :1325-1336)."""
+    """N-layer self-attention encoder over region features (reference :1325-1336).
+
+    ``remat``: rematerialize each layer in the backward pass
+    (jax.checkpoint via nn.remat) — activations are recomputed instead of
+    stored, trading ~1/3 extra forward FLOPs for O(layers) less training
+    memory.  Parameter tree and numerics are unchanged (tested); inference
+    is unaffected (remat only alters gradient computation)."""
 
     num_layers: int
     d_model: int
@@ -221,12 +227,15 @@ class Encoder(nn.Module):
     num_heads: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        Layer = (nn.remat(EncoderLayer, static_argnums=(3,))
+                 if self.remat else EncoderLayer)
         for i in range(self.num_layers):
-            x = EncoderLayer(self.d_model, self.d_ff, self.num_heads,
-                             self.dropout_rate, self.dtype, name=f"layer{i}")(
+            x = Layer(self.d_model, self.d_ff, self.num_heads,
+                      self.dropout_rate, self.dtype, name=f"layer{i}")(
                 x, mask, deterministic)
         return layer_norm(self.dtype)(x)
 
@@ -340,11 +349,17 @@ class Decoder(nn.Module):
     num_heads: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False   # see Encoder.remat — backward-pass recompute
 
     def setup(self):
+        # nn.remat transforms only __call__; init_cache/step (the KV-cached
+        # inference paths) are untouched, and remat itself is a no-op
+        # outside differentiation, so decode behavior is identical
+        Layer = (nn.remat(DecoderLayer, static_argnums=(5,))
+                 if self.remat else DecoderLayer)
         self.layers = [
-            DecoderLayer(self.d_model, self.d_ff, self.num_heads,
-                         self.dropout_rate, self.dtype, name=f"layer{i}")
+            Layer(self.d_model, self.d_ff, self.num_heads,
+                  self.dropout_rate, self.dtype, name=f"layer{i}")
             for i in range(self.num_layers)
         ]
         self.norm = layer_norm(self.dtype)

@@ -398,3 +398,79 @@ def test_optimizer_reference_semantics():
     # normalizer (|update| ~ lr), unlike zero-decay adam (no update)
     ua, _ = txa.update({"w": jnp.zeros(1)}, sta, p)
     assert abs(float(ua["w"][0])) > 1e-3
+
+
+def test_remat_matches_plain():
+    """cfg.remat=1 rematerializes enc/dec layers in the backward pass
+    (nn.remat / jax.checkpoint): the parameter TREE must be identical
+    (checkpoints interchange), the loss bit-identical, and grads equal to
+    reassociation tolerance — remat only changes what is stored vs
+    recomputed.  The memory lever for saturating-batch training
+    (BENCH_NOTES r3: the b256x5 XE step OOMs on the co-tenant-shared
+    chip without it)."""
+    import jax
+    import jax.numpy as jnp
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.train.steps import xe_loss_fn
+
+    def make(remat):
+        cfg = default_config()
+        cfg.train_mode = "UIC"
+        cfg.N_enc = cfg.N_dec = 2
+        cfg.N_len = 1
+        cfg.d_model = 32
+        cfg.d_ff = 64
+        cfg.num_att_heads = 2
+        cfg.remat = remat
+        cfg.id = "remat_t"
+        finalize(cfg)
+        return build_model(cfg, 40)
+
+    r = np.random.RandomState(7)
+    B, S = 3, 2
+    att = jnp.asarray(r.randn(B, 9, 2048).astype(np.float32))
+    am = jnp.ones((B, 9), jnp.float32)
+    lab = np.zeros((B, S, 22), np.int32)
+    lab[:, :, 0] = 1
+    lab[:, :, 1:7] = r.randint(4, 44, (B, S, 6))
+    lab[:, :, 7] = 2
+    pl = np.zeros((B, S, 22), np.int32)
+    pl[:, :, 0] = 1
+    pl[:, :, 1] = 3
+    pl[:, :, 2] = 3
+    ps = np.zeros((B, S, 22), np.int32)
+    ps[:, :, 0] = 1
+    ps[:, :, 1] = 5
+    ps[:, :, 2] = 4
+    pn = np.full((B, S), 3, np.int32)
+    batch = {"att_feats": att, "att_masks": am, "labels": jnp.asarray(lab),
+             "phrase_num": jnp.asarray(pn), "phrase_length": jnp.asarray(pl),
+             "phrase_syn": jnp.asarray(ps),
+             "masks": jnp.asarray((lab != 0).astype(np.float32))}
+    m0, m1 = make(0), make(1)
+    init_args = (att, am, jnp.asarray(lab[:, 0]), jnp.asarray(pn[:, 0]),
+                 jnp.asarray(pl[:, 0]), jnp.asarray(ps[:, 0]))
+    rngs = {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)}
+    p0 = m0.init(rngs, *init_args, glat_p=None, deterministic=True)
+    p1 = m1.init(rngs, *init_args, glat_p=None, deterministic=True)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def lf(model):
+        def f(params):
+            l, _ = xe_loss_fn(model, params, batch, jax.random.PRNGKey(2),
+                              glat_p=None, deterministic=True)
+            return l
+        return f
+
+    l0, g0 = jax.value_and_grad(lf(m0))(p0)
+    l1, g1 = jax.value_and_grad(lf(m1))(p0)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
