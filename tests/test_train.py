@@ -474,3 +474,63 @@ def test_remat_matches_plain():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_remat_training_step_with_dropout():
+    """remat must thread the dropout/glat rngs through nn.remat (the
+    equivalence test above runs deterministic; this pins the TRAINING path
+    — dropout active, glancing on — compiles and optimizes)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.train.state import create_state
+    from boficap_tpu.train.steps import make_xe_step
+
+    cfg = default_config()
+    cfg.train_mode = "UIC"
+    cfg.N_enc = cfg.N_dec = 2
+    cfg.N_len = 1
+    cfg.d_model = 32
+    cfg.d_ff = 64
+    cfg.num_att_heads = 2
+    cfg.remat = 1
+    cfg.id = "remat_drop"
+    finalize(cfg)
+    model = build_model(cfg, 40)
+    r = np.random.RandomState(1)
+    B, S = 3, 2
+    att = jnp.asarray(r.randn(B, 9, 2048).astype(np.float32))
+    am = jnp.ones((B, 9), jnp.float32)
+    lab = np.zeros((B, S, 22), np.int32)
+    lab[:, :, 0] = 1
+    lab[:, :, 1:7] = r.randint(4, 44, (B, S, 6))
+    lab[:, :, 7] = 2
+    pl = np.zeros((B, S, 22), np.int32)
+    pl[:, :, 0] = 1
+    pl[:, :, 1] = 3
+    pl[:, :, 2] = 3
+    ps = np.zeros((B, S, 22), np.int32)
+    ps[:, :, 0] = 1
+    ps[:, :, 1] = 5
+    ps[:, :, 2] = 4
+    pn = np.full((B, S), 3, np.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)},
+        att, am, jnp.asarray(lab[:, 0]), jnp.asarray(pn[:, 0]),
+        jnp.asarray(pl[:, 0]), jnp.asarray(ps[:, 0]), glat_p=None,
+        deterministic=True)
+    tx = optax.adam(1e-3)
+    state = create_state(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params), tx)
+    step = make_xe_step(model, tx)
+    targs = (att, am) + tuple(jnp.asarray(x) for x in (lab, pn, pl, ps))
+    losses = []
+    for i in range(4):
+        state, m = step(state, *targs, None, jax.random.PRNGKey(5 + i),
+                        jnp.float32(0.3))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
