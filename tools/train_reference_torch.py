@@ -155,6 +155,8 @@ def train_reference(args):
     ref = TransformerModel(opt)
     ref.train()
     crit = (Crit.LanguageModelCriterion() if mode in ("AIC", "auto")
+            else Crit.LanguageModelCriterion_NAIC()
+            if mode in ("NAIC", "SAIC")      # loss_wrapper.py:21-22
             else Crit.LanguageModelCriterion_UIC())
     optim = torch.optim.Adam(ref.parameters(), lr=args.lr,
                              betas=(0.9, 0.98), eps=1e-9)
@@ -187,6 +189,8 @@ def train_reference(args):
                 torch.from_numpy(ext_syn.astype(np.int64)),
                 torch.from_numpy(ext_word.astype(np.int64)),
                 torch.from_numpy(ext_mask), glat_p=-1.0)
+            # SAIC _forward returns the 3-tuple the NAIC criterion eats
+            # (loss_wrapper.py:139-142); UIC returns the 6-tuple
             loss = crit(*out, torch.from_numpy(f["pn"]),
                         torch.from_numpy(f["pl"]),
                         torch.from_numpy(f["ps"]),
@@ -312,7 +316,8 @@ def torch_eval_beam(ref, loader, split="val", beam_size=3,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="data_synth")
-    ap.add_argument("--train_mode", default="UIC", choices=["UIC", "AIC"])
+    ap.add_argument("--train_mode", default="UIC",
+                    choices=["UIC", "AIC", "SAIC"])
     ap.add_argument("--out", default="ref_trained")
     ap.add_argument("--id", default="ref")
     ap.add_argument("--iters", type=int, default=400)
@@ -332,7 +337,9 @@ def main(argv=None):
     ref, loader, model_path, infos_path = train_reference(args)
     if args.eval_after:
         from boficap_tpu.eval.metrics import language_eval
-        modes = ("AIC",) if args.train_mode == "AIC" else ("NAIC", "SAIC")
+        modes = (("AIC",) if args.train_mode == "AIC"
+                 else ("SAIC",) if args.train_mode == "SAIC"
+                 else ("NAIC", "SAIC"))
         caps, gts = torch_eval_split(ref, loader, "val", modes=modes)
         for m, d in caps.items():
             preds = [{"image_id": k, "caption": v} for k, v in d.items()]
