@@ -316,6 +316,11 @@ def torch_eval_beam(ref, loader, split="val", beam_size=3,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="data_synth")
+    # NOT offered: UIC_ds — the reference's own _forward passes glat_p into
+    # EncoderDecoder_UIC_ds.forward, which takes no such argument
+    # (TransformerModel.py:1770 vs :618) — its XE stage (ss_prob=0)
+    # raises TypeError as shipped; training it would mean re-plumbing the
+    # reference, not exercising it (defect documented in PARITY.md)
     ap.add_argument("--train_mode", default="UIC",
                     choices=["UIC", "AIC", "SAIC"])
     ap.add_argument("--out", default="ref_trained")
