@@ -415,3 +415,98 @@ def test_trained_saic_parity(trained_saic, tmp_path_factory):
     torch_stats = language_eval(preds, trained_saic["gts_words"])
     assert result["lang_stats"]["CIDEr"] == pytest.approx(
         torch_stats["CIDEr"], abs=CIDER_TOL)
+
+
+# ------------------------------------------------------------------ UIC_ds
+# Fourth trained family: separate SA/NA decoder stacks — trained validation
+# of the converter's decoder_SA/decoder_NA -> decoder0/decoder1 mapping.
+# (The reference's own _forward cannot train UIC_ds — it passes glat_p into
+# a forward that doesn't take it, PARITY.md; the trainer drives the inner
+# module exactly like test_uic_ds_forward_parity.)
+
+
+@pytest.fixture(scope="module")
+def trained_uic_ds(tmp_path_factory):
+    import argparse as _ap
+    root = tmp_path_factory.mktemp("trained_parity_uicds")
+    corpus = str(root / "corpus")
+    out = str(root / "ref_out")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
+         "--out", corpus, "--n_images", "200"],
+        check=True, cwd=REPO)
+    from tools.train_reference_torch import (_import_reference, loader_cfg,
+                                             main as train_main,
+                                             reference_opt,
+                                             torch_eval_split)
+    iters = max(ITERS, 250)
+    argv = ["--data", corpus, "--out", out, "--iters", str(iters),
+            "--train_mode", "UIC_ds", "--log_every", "100",
+            "--eval_after", "0", "--id", "refds"]
+    model_path, infos_path = train_main(argv)
+    ns = _ap.Namespace(data=corpus, out=out, id="refds", iters=iters,
+                       batch_size=10, d_model=64, d_ff=256, heads=4,
+                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
+                       log_every=100, train_mode="UIC_ds")
+    tch, TransformerModel, _ = _import_reference()
+    from boficap_tpu.data.dataset import CaptionData
+    loader = CaptionData(loader_cfg(ns))
+    opt = reference_opt(ns, loader.vocab_size)
+    opt.vocab = loader.ix_to_word
+    ref = TransformerModel(opt)
+    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
+    caps, gts, lps = torch_eval_split(ref, loader, "val",
+                                      modes=("NAIC", "SAIC"),
+                                      with_logprobs=True)
+    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
+    return {"model_path": model_path, "infos_path": infos_path,
+            "torch_caps": caps, "torch_lps": lps, "gts_words": gts,
+            "word_to_ix": word_to_ix}
+
+
+@pytest.mark.parametrize("mode", ["NAIC", "SAIC"])
+def test_trained_uic_ds_parity(trained_uic_ds, tmp_path_factory, mode):
+    """UIC_ds-trained checkpoint through convert + tools/eval.py: the
+    two-decoder converter mapping with REAL trained (divergent) stacks,
+    margin-rule caption parity + CIDEr tolerance per branch."""
+    from tools.convert import main as convert_main
+    from tools.eval import main as eval_main
+    out_dir = str(tmp_path_factory.mktemp(f"converted_ds_{mode}"))
+    model_ckpt, infos_pkl = convert_main(
+        ["--torch", trained_uic_ds["model_path"],
+         "--infos", trained_uic_ds["infos_path"],
+         "--out_dir", out_dir, "--id", "convds"])
+    result = eval_main([
+        "--model", model_ckpt, "--infos_path", infos_pkl,
+        "--split", "val", "--num_images", "-1", "--batch_size", "8",
+        "--language_eval", "1", "--inference_mode", mode,
+        "--id", f"trained_parity_ds_{mode}", "--force", "1"])
+    ours = {p["image_id"]: p["caption"] for p in result["predictions"]}
+    theirs = trained_uic_ds["torch_caps"][mode]
+    lps = trained_uic_ds["torch_lps"][mode]
+    w2i = trained_uic_ds["word_to_ix"]
+    assert set(ours) == set(theirs)
+    flips, hard = [], []
+    for img_id, t_cap in theirs.items():
+        o_cap = ours[img_id]
+        if o_cap == t_cap:
+            continue
+        t_ids = _tok_ids(t_cap, w2i)
+        o_ids = _tok_ids(o_cap, w2i)
+        lp = lps[img_id]
+        for pos in range(max(len(t_ids), len(o_ids))):
+            t_tok = t_ids[pos] if pos < len(t_ids) else 0
+            o_tok = o_ids[pos] if pos < len(o_ids) else 0
+            if t_tok == o_tok:
+                continue
+            margin = float(lp[pos, t_tok] - lp[pos, o_tok])
+            (flips if margin <= 2.5 * MARGIN_TOL else hard).append(
+                (img_id, pos, margin, o_cap, t_cap))
+            break
+    assert not hard, f"{mode}: above-noise divergences: {hard[:5]}"
+    assert len(flips) <= MAX_FLIPS * len(theirs), flips[:10]
+    from boficap_tpu.eval.metrics import language_eval
+    preds = [{"image_id": k, "caption": v} for k, v in theirs.items()]
+    torch_stats = language_eval(preds, trained_uic_ds["gts_words"])
+    assert result["lang_stats"]["CIDEr"] == pytest.approx(
+        torch_stats["CIDEr"], abs=CIDER_TOL), mode

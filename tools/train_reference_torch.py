@@ -181,14 +181,32 @@ def train_reference(args):
             ext_syn = np.asarray(po.extend_syn_seq(f["pl"], f["ps"], L))
             ext_word = np.asarray(po.copy_init(f["labels"], f["pl"], L))
             ext_mask = np.asarray(po.blockwise_mask(f["pl"], L))
-            out = ref._forward(
-                torch.zeros(f["labels"].shape[0], 2048),
-                torch.from_numpy(f["att"]), torch.from_numpy(f["labels"]),
-                torch.from_numpy(f["am"]), torch.from_numpy(f["pn"]),
-                torch.from_numpy(f["pl"]), torch.from_numpy(f["ps"]),
-                torch.from_numpy(ext_syn.astype(np.int64)),
-                torch.from_numpy(ext_word.astype(np.int64)),
-                torch.from_numpy(ext_mask), glat_p=-1.0)
+            if mode == "UIC_ds":
+                # inner-module route (see --train_mode help): the 6-tuple
+                # pre-generator, then log_softmax(ref.logit(.)) like
+                # _forward's UIC branch does
+                att_e = ref.att_embed(torch.from_numpy(f["att"]))
+                t_mask = torch.from_numpy(f["am"]).unsqueeze(-2)
+                sa_len, sa_syn, sa_h, na_len, na_syn, na_h = ref.model(
+                    att_e, t_mask, torch.from_numpy(f["labels"]),
+                    torch.from_numpy(f["pn"]), torch.from_numpy(f["pl"]),
+                    torch.from_numpy(ext_syn.astype(np.int64)),
+                    torch.from_numpy(ext_word.astype(np.int64)),
+                    torch.from_numpy(ext_mask))
+                out = (sa_len, sa_syn,
+                       torch.log_softmax(ref.logit(sa_h), -1),
+                       na_len, na_syn,
+                       torch.log_softmax(ref.logit(na_h), -1))
+            else:
+                out = ref._forward(
+                    torch.zeros(f["labels"].shape[0], 2048),
+                    torch.from_numpy(f["att"]),
+                    torch.from_numpy(f["labels"]),
+                    torch.from_numpy(f["am"]), torch.from_numpy(f["pn"]),
+                    torch.from_numpy(f["pl"]), torch.from_numpy(f["ps"]),
+                    torch.from_numpy(ext_syn.astype(np.int64)),
+                    torch.from_numpy(ext_word.astype(np.int64)),
+                    torch.from_numpy(ext_mask), glat_p=-1.0)
             # SAIC _forward returns the 3-tuple the NAIC criterion eats
             # (loss_wrapper.py:139-142); UIC returns the 6-tuple
             loss = crit(*out, torch.from_numpy(f["pn"]),
@@ -316,13 +334,15 @@ def torch_eval_beam(ref, loader, split="val", beam_size=3,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="data_synth")
-    # NOT offered: UIC_ds — the reference's own _forward passes glat_p into
+    # UIC_ds: the reference's own _forward passes glat_p into
     # EncoderDecoder_UIC_ds.forward, which takes no such argument
-    # (TransformerModel.py:1770 vs :618) — its XE stage (ss_prob=0)
-    # raises TypeError as shipped; training it would mean re-plumbing the
-    # reference, not exercising it (defect documented in PARITY.md)
+    # (TransformerModel.py:1770 vs :618) — its XE stage raises TypeError as
+    # shipped (defect documented in PARITY.md).  The trainer drives the
+    # inner module directly (att_embed + encode/decode + generator), the
+    # same route test_uic_ds_forward_parity uses — _forward minus the
+    # buggy glat argument.
     ap.add_argument("--train_mode", default="UIC",
-                    choices=["UIC", "AIC", "SAIC"])
+                    choices=["UIC", "UIC_ds", "AIC", "SAIC"])
     ap.add_argument("--out", default="ref_trained")
     ap.add_argument("--id", default="ref")
     ap.add_argument("--iters", type=int, default=400)
