@@ -125,6 +125,42 @@ def _tok_ids(caption, word_to_ix):
     return [word_to_ix[w] for w in caption.split() if w]
 
 
+
+def assert_caption_parity(ours, theirs, lps, w2i, margin_tol,
+                          label="", eos_id=0):
+    """Shared margin-rule comparison: captions must match token-exactly
+    except where the torch-side top-2 logprob margin at the FIRST
+    diverging position is within cross-backend noise; bounded flip rate.
+    ``eos_id`` pads the shorter caption's ids (AR compares against EOS=2,
+    phrase modes against PAD=0)."""
+    assert set(ours) == set(theirs)
+    flips, hard = [], []
+    for img_id, t_cap in theirs.items():
+        o_cap = ours[img_id]
+        if o_cap == t_cap:
+            continue
+        t_ids = _tok_ids(t_cap, w2i)
+        o_ids = _tok_ids(o_cap, w2i)
+        lp = lps[img_id]
+        for pos in range(max(len(t_ids), len(o_ids))):
+            t_tok = t_ids[pos] if pos < len(t_ids) else eos_id
+            o_tok = o_ids[pos] if pos < len(o_ids) else eos_id
+            if t_tok == o_tok:
+                continue
+            margin = float(lp[pos, t_tok] - lp[pos, o_tok])
+            (flips if margin <= margin_tol else hard).append(
+                (img_id, pos, margin, o_cap, t_cap))
+            # judge only the FIRST divergence: SA/AR condition later tokens
+            # on earlier ones, and for NA later positions are independent
+            break
+    assert not hard, (
+        f"{label}: {len(hard)} caption(s) diverge ABOVE the noise margin "
+        f"{margin_tol}: {hard[:5]}")
+    assert len(flips) <= MAX_FLIPS * len(theirs), (
+        f"{label}: too many sub-noise flips ({len(flips)}/{len(theirs)}): "
+        f"{flips[:10]}")
+
+
 @pytest.mark.parametrize("mode", ["NAIC", "SAIC"])
 def test_trained_checkpoint_caption_parity(trained_reference, our_results,
                                            mode):
@@ -137,39 +173,7 @@ def test_trained_checkpoint_caption_parity(trained_reference, our_results,
     theirs = trained_reference["torch_caps"][mode]
     lps = trained_reference["torch_lps"][mode]
     w2i = trained_reference["word_to_ix"]
-    assert set(ours) == set(theirs)
-
-    flips, hard = [], []
-    for img_id, t_cap in theirs.items():
-        o_cap = ours[img_id]
-        if o_cap == t_cap:
-            continue
-        t_ids = _tok_ids(t_cap, w2i)
-        o_ids = _tok_ids(o_cap, w2i)
-        lp = lps[img_id]
-        diverged = False
-        for pos in range(max(len(t_ids), len(o_ids))):
-            t_tok = t_ids[pos] if pos < len(t_ids) else 0
-            o_tok = o_ids[pos] if pos < len(o_ids) else 0
-            if t_tok == o_tok:
-                continue
-            margin = float(lp[pos, t_tok] - lp[pos, o_tok])
-            if margin <= MARGIN_TOL:
-                flips.append((img_id, pos, margin))
-            else:
-                hard.append((img_id, pos, margin, o_cap, t_cap))
-            # judge only the FIRST divergence: SA conditions later phrases
-            # on earlier words, so everything after a flip legitimately
-            # differs (and for NA later positions are independent anyway)
-            diverged = True
-            break
-        assert diverged, (img_id, o_cap, t_cap)
-    assert not hard, (
-        f"{mode}: {len(hard)} caption(s) diverge ABOVE the noise margin "
-        f"{MARGIN_TOL}: {hard[:5]}")
-    assert len(flips) <= MAX_FLIPS * len(theirs), (
-        f"{mode}: too many sub-noise flips ({len(flips)}/{len(theirs)}): "
-        f"{flips[:10]}")
+    assert_caption_parity(ours, theirs, lps, w2i, MARGIN_TOL, label=mode)
 
 
 def test_trained_checkpoint_cider_parity(trained_reference, our_results):
@@ -266,32 +270,12 @@ def test_trained_aic_greedy_parity(trained_aic, converted_aic):
     theirs = trained_aic["torch_caps"]
     lps = trained_aic["torch_lps"]
     w2i = trained_aic["word_to_ix"]
-    assert set(ours) == set(theirs)
-    flips, hard = [], []
-    for img_id, t_cap in theirs.items():
-        o_cap = ours[img_id]
-        if o_cap == t_cap:
-            continue
-        t_ids = _tok_ids(t_cap, w2i)
-        o_ids = _tok_ids(o_cap, w2i)
-        lp = lps[img_id]
-        for pos in range(max(len(t_ids), len(o_ids))):
-            t_tok = t_ids[pos] if pos < len(t_ids) else 2   # EOS
-            o_tok = o_ids[pos] if pos < len(o_ids) else 2
-            if t_tok == o_tok:
-                continue
-            margin = float(lp[pos, t_tok] - lp[pos, o_tok])
-            # the cross-backend deviation scales with trained weight
-            # magnitude: the AIC checkpoint trains to a lower loss than
-            # the UIC one in the same iters (sharper logits, larger
-            # activations), and its measured flips reach ~0.06 — the AR
-            # bound gets headroom while staying 3-10x below the decisive
-            # margins (0.3-1.5)
-            (flips if margin <= 2.5 * MARGIN_TOL else hard).append(
-                (img_id, pos, margin, o_cap, t_cap))
-            break
-    assert not hard, f"above-noise AR divergences: {hard[:5]}"
-    assert len(flips) <= MAX_FLIPS * len(theirs), flips[:10]
+    # the cross-backend deviation scales with trained weight magnitude:
+    # sharper checkpoints (AIC/SAIC/UIC_ds train to lower loss in the same
+    # iters) show measured flips to ~0.06, so they get 2.5x the UIC bound —
+    # still 3-10x below the decisive margins (0.3-1.5)
+    assert_caption_parity(ours, theirs, lps, w2i, 2.5 * MARGIN_TOL,
+                          label="AIC", eos_id=2)
     # CIDEr parity (same scorer, same gts)
     from boficap_tpu.eval.metrics import language_eval
     preds = [{"image_id": k, "caption": v} for k, v in theirs.items()]
@@ -390,26 +374,8 @@ def test_trained_saic_parity(trained_saic, tmp_path_factory):
     theirs = trained_saic["torch_caps"]
     lps = trained_saic["torch_lps"]
     w2i = trained_saic["word_to_ix"]
-    assert set(ours) == set(theirs)
-    flips, hard = [], []
-    for img_id, t_cap in theirs.items():
-        o_cap = ours[img_id]
-        if o_cap == t_cap:
-            continue
-        t_ids = _tok_ids(t_cap, w2i)
-        o_ids = _tok_ids(o_cap, w2i)
-        lp = lps[img_id]
-        for pos in range(max(len(t_ids), len(o_ids))):
-            t_tok = t_ids[pos] if pos < len(t_ids) else 0
-            o_tok = o_ids[pos] if pos < len(o_ids) else 0
-            if t_tok == o_tok:
-                continue
-            margin = float(lp[pos, t_tok] - lp[pos, o_tok])
-            (flips if margin <= 2.5 * MARGIN_TOL else hard).append(
-                (img_id, pos, margin, o_cap, t_cap))
-            break
-    assert not hard, f"above-noise SA divergences: {hard[:5]}"
-    assert len(flips) <= MAX_FLIPS * len(theirs), flips[:10]
+    assert_caption_parity(ours, theirs, lps, w2i, 2.5 * MARGIN_TOL,
+                          label="SAIC-only")
     from boficap_tpu.eval.metrics import language_eval
     preds = [{"image_id": k, "caption": v} for k, v in theirs.items()]
     torch_stats = language_eval(preds, trained_saic["gts_words"])
@@ -485,26 +451,8 @@ def test_trained_uic_ds_parity(trained_uic_ds, tmp_path_factory, mode):
     theirs = trained_uic_ds["torch_caps"][mode]
     lps = trained_uic_ds["torch_lps"][mode]
     w2i = trained_uic_ds["word_to_ix"]
-    assert set(ours) == set(theirs)
-    flips, hard = [], []
-    for img_id, t_cap in theirs.items():
-        o_cap = ours[img_id]
-        if o_cap == t_cap:
-            continue
-        t_ids = _tok_ids(t_cap, w2i)
-        o_ids = _tok_ids(o_cap, w2i)
-        lp = lps[img_id]
-        for pos in range(max(len(t_ids), len(o_ids))):
-            t_tok = t_ids[pos] if pos < len(t_ids) else 0
-            o_tok = o_ids[pos] if pos < len(o_ids) else 0
-            if t_tok == o_tok:
-                continue
-            margin = float(lp[pos, t_tok] - lp[pos, o_tok])
-            (flips if margin <= 2.5 * MARGIN_TOL else hard).append(
-                (img_id, pos, margin, o_cap, t_cap))
-            break
-    assert not hard, f"{mode}: above-noise divergences: {hard[:5]}"
-    assert len(flips) <= MAX_FLIPS * len(theirs), flips[:10]
+    assert_caption_parity(ours, theirs, lps, w2i, 2.5 * MARGIN_TOL,
+                          label=f"UIC_ds/{mode}")
     from boficap_tpu.eval.metrics import language_eval
     preds = [{"image_id": k, "caption": v} for k, v in theirs.items()]
     torch_stats = language_eval(preds, trained_uic_ds["gts_words"])
