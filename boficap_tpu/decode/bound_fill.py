@@ -380,6 +380,16 @@ def sa_decode(model, params, rng, memory, src_mask, *,
                                                 project_cross_kv)
         if stacked is None:
             stacked = _use_stacked(model, fused_interpret, B)
+        elif stacked and B > 128 and not fused_interpret:
+            # the WINDOWED stack kernels have no batch-chunked variant
+            # (their in-kernel K/V-cache scatter carries [B, L, D] blocks);
+            # forcing them past the VMEM cap would die in Mosaic with an
+            # opaque allocation error — fail clearly instead
+            raise ValueError(
+                f"sa_decode(stacked=True): B={B} exceeds the windowed "
+                "stack kernels' 128-row VMEM cap and the SA family has no "
+                "chunked grid — use stacked=False (per-layer kernels, the "
+                "measured-faster route at large B) or B <= 128")
         k2_l, v2_l = project_cross_kv(fctx[0], memory)
         k2s, v2s = jnp.stack(k2_l), jnp.stack(v2_l)       # [NL, B, R, D]
         n_layers = len(fctx[0])

@@ -548,7 +548,21 @@ class BoFiCap(nn.Module):
         src_mask are repeated here — the reference instead repeats the RAW
         region features and runs the encoder seq_per_img times on identical
         inputs (TransformerModel.py:1694-1703); encoding once is a pure win.
+
+        Caption rows from the collate are image-major (jnp.repeat order),
+        which is exactly what the grouped cross-attention fold assumes —
+        entered explicitly here (layers.grouped_cross_attention) so no
+        other caller gets grouping by accidental shape coincidence.
         """
+        from .layers import grouped_cross_attention
+        with grouped_cross_attention():
+            return self._decode_train(memory, src_mask, labels, phrase_num,
+                                      phrase_length, phrase_syn, glat_p,
+                                      deterministic)
+
+    def _decode_train(self, memory, src_mask, labels, phrase_num=None,
+                      phrase_length=None, phrase_syn=None, glat_p=-1.0,
+                      deterministic=True) -> Dict[str, jnp.ndarray]:
         L = self.max_length
         # word-decoder passes keep the UN-repeated memory: DecoderLayer
         # groups the seq_per_img caption rows over one image's keys

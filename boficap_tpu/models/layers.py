@@ -14,6 +14,7 @@ reference's annotated-transformer pieces (captioning/models/TransformerModel.py:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Any
@@ -35,6 +36,28 @@ PALLAS_ATTENTION = {"enabled": False, "interpret": False}
 # enabled, every unfused attention call sows its probs into the
 # 'intermediates' collection (apply with mutable=["intermediates"])
 CAPTURE_ATTENTION = {"enabled": False}
+
+# grouped cross-attention opt-in (trace-time toggle, set by
+# BoFiCap.decode_train): when ON, a cross-attention whose query batch is
+# k x the memory batch folds the k caption rows of each image into the
+# query-length axis over that image's keys — valid ONLY for image-major
+# (jnp.repeat-order) caption rows.  When OFF (the default), a batch
+# mismatch raises instead of silently grouping a caller whose rows might
+# be interleaved differently (e.g. jnp.tile order), which would compute
+# the wrong attention without any shape error.
+GROUPED_XATTN = {"enabled": False}
+
+
+@contextlib.contextmanager
+def grouped_cross_attention(enabled: bool = True):
+    """Enable the image-major grouped cross-attention fold within a trace
+    scope.  The caller asserts its caption rows are image-major."""
+    prev = GROUPED_XATTN["enabled"]
+    GROUPED_XATTN["enabled"] = enabled
+    try:
+        yield
+    finally:
+        GROUPED_XATTN["enabled"] = prev
 
 
 def set_pallas_attention(enabled: bool, interpret: bool = False):
@@ -163,9 +186,20 @@ class RefLayerNorm(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         xf = x.astype(jnp.float32)
-        mean = xf.mean(-1, keepdims=True)
-        var = ((xf - mean) ** 2).sum(-1, keepdims=True) / max(d - 1, 1)
-        y = (xf - mean) / (jnp.sqrt(var) + self.epsilon)
+        # ONE-pass moments: mean and mean-of-squares are independent
+        # sibling reductions XLA fuses into a single sweep over x, where
+        # the naive centered form forces two dependent sweeps (mean, then
+        # (x - mean)^2) — LN reductions were ~8 ms of the 93.5 ms XE step
+        # (BENCH_NOTES.md r3 profile).  Semantics unchanged: unbiased
+        # variance (n/(n-1) correction) with eps added to the STD, exactly
+        # torch x.std(-1); the E[x^2]-E[x]^2 rearrangement differs only in
+        # f32 rounding (~1e-6 relative on unit-scale activations, far
+        # below the ~1e-3 cross-backend noise the trained-parity suite
+        # calibrates against).
+        m1 = xf.mean(-1, keepdims=True)
+        m2 = (xf * xf).mean(-1, keepdims=True)
+        var = jnp.maximum(m2 - m1 * m1, 0.0) * (d / max(d - 1, 1))
+        y = (xf - m1) / (jnp.sqrt(var) + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
         return (y * scale + bias).astype(self.dtype)
@@ -292,9 +326,20 @@ class DecoderLayer(nn.Module):
         [B*g, R, H, Dh] relayout copies + repeated projections).  Row
         order matches jnp.repeat (caption rows are image-major).  With
         attention capture on, the sown probs for a grouped pass are
-        [B, H, g*L, R] (same numbers, folded layout)."""
+        [B, H, g*L, R] (same numbers, folded layout).
+
+        Grouping is OPT-IN via layers.grouped_cross_attention() (which
+        decode_train enters): a caller with a different row interleave
+        (jnp.tile order) would silently get wrong grouping under pure
+        shape inference, so a batch mismatch without the opt-in raises."""
         B = memory.shape[0]
-        if y.shape[0] != B and y.shape[0] % B == 0:
+        if y.shape[0] != B:
+            if not (GROUPED_XATTN["enabled"] and y.shape[0] % B == 0):
+                raise ValueError(
+                    f"cross-attention query batch {y.shape[0]} != memory "
+                    f"batch {B}: either repeat the memory to match, or — "
+                    "for image-major (jnp.repeat-order) caption rows — "
+                    "opt in with layers.grouped_cross_attention()")
             yr = y.reshape(B, -1, y.shape[-1])
             out = self.src_attn(yr, memory, memory, src_mask, deterministic)
             return out.reshape(y.shape)

@@ -140,6 +140,18 @@ def _chunk_rows(B: int, G: int, cap: int = 128) -> int:
         if B % d == 0:
             best = d
         d += G
+    n_chunks = B // best
+    if n_chunks > (B + cap - 1) // cap * 2:
+        # no good divisor under the cap (e.g. B=136, G=8 -> 17 chunks of
+        # 8): each chunk re-fetches the ~7 MB weight blob per layer — a
+        # silent performance cliff vs a batch padded to a friendlier size
+        import warnings
+        warnings.warn(
+            f"pallas_stack: batch {B} chunks into {n_chunks} x {best} rows "
+            f"(no multiple of {G} <= {cap} divides it); each chunk re-"
+            "fetches the full weight blob per layer. Pad the batch to a "
+            f"multiple of {cap} (or any size with a divisor near {cap}) "
+            "or use the per-layer kernel route.", stacklevel=3)
     return best
 
 
