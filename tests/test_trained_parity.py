@@ -132,8 +132,19 @@ def assert_caption_parity(ours, theirs, lps, w2i, margin_tol,
     except where the torch-side top-2 logprob margin at the FIRST
     diverging position is within cross-backend noise; bounded flip rate.
     ``eos_id`` pads the shorter caption's ids (AR compares against EOS=2,
-    phrase modes against PAD=0)."""
-    assert set(ours) == set(theirs)
+    phrase modes against PAD=0).
+
+    Phrase families add a PLAN-margin fallback: when ``lps`` carries
+    ``"_plan_margin"`` (per-image minimum top-2 margin of the torch
+    length/syn bounding heads, captured by torch_eval_split), a word-level
+    hard divergence on an image whose plan chain contained a decision
+    inside that noise is reclassified as a sub-noise flip — a flipped
+    bound shifts every later word, so word margins say nothing about
+    which side erred (measured instance: len-head margin 0.0099 flipped a
+    trained UIC_s SA plan between backends)."""
+    assert set(k for k in ours if not isinstance(k, str)) == \
+        set(k for k in theirs if not isinstance(k, str))
+    plan_margin = lps.get("_plan_margin", {}) if hasattr(lps, "get") else {}
     flips, hard = [], []
     for img_id, t_cap in theirs.items():
         o_cap = ours[img_id]
@@ -147,9 +158,22 @@ def assert_caption_parity(ours, theirs, lps, w2i, margin_tol,
             o_tok = o_ids[pos] if pos < len(o_ids) else eos_id
             if t_tok == o_tok:
                 continue
+            # No logprob evidence past the torch caption: the reference
+            # zero-fills post-finish rows (AttModel.py:403 `logprobs *
+            # unfinished`), so a margin read there would be 0 and silently
+            # classify a REAL length divergence as a sub-noise flip.  An
+            # out-of-range or all-zero torch row is a hard divergence.
+            # (The eos-decision row itself — pos == len(t_ids) for AR —
+            # has real values and keeps the margin rule: a sub-noise eos
+            # tie is the legitimate length-flip case.)
+            pm = plan_margin.get(img_id, float("inf"))
+            if pos >= lp.shape[0] or not np.any(lp[pos]):
+                ((flips if pm <= margin_tol else hard)
+                 .append((img_id, pos, float("nan"), o_cap, t_cap)))
+                break
             margin = float(lp[pos, t_tok] - lp[pos, o_tok])
-            (flips if margin <= margin_tol else hard).append(
-                (img_id, pos, margin, o_cap, t_cap))
+            (flips if margin <= margin_tol or pm <= margin_tol
+             else hard).append((img_id, pos, min(margin, pm), o_cap, t_cap))
             # judge only the FIRST divergence: SA/AR condition later tokens
             # on earlier ones, and for NA later positions are independent
             break
@@ -428,6 +452,211 @@ def trained_uic_ds(tmp_path_factory):
     return {"model_path": model_path, "infos_path": infos_path,
             "torch_caps": caps, "torch_lps": lps, "gts_words": gts,
             "word_to_ix": word_to_ix}
+
+
+# ------------------------------------------------------- shared family rig
+# Families 5-9 (UIC_s, UIC_u, PB_pad, NNAIC) use one parameterized builder:
+# synth corpus -> train the ACTUAL reference in that train_mode -> torch-eval
+# with dense logprobs.  (The four families above predate it and keep their
+# bespoke fixtures — they are the proven round-3 shape.)
+
+
+def _build_trained(tmp_path_factory, train_mode, eval_modes, tag,
+                   extra_eval=None):
+    import argparse as _ap
+    root = tmp_path_factory.mktemp(f"trained_parity_{tag}")
+    corpus = str(root / "corpus")
+    out = str(root / "ref_out")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
+         "--out", corpus, "--n_images", "200"],
+        check=True, cwd=REPO)
+    from tools.train_reference_torch import (_import_reference, loader_cfg,
+                                             main as train_main,
+                                             reference_opt,
+                                             torch_eval_split)
+    iters = max(ITERS, 250)
+    argv = ["--data", corpus, "--out", out, "--iters", str(iters),
+            "--train_mode", train_mode, "--log_every", "100",
+            "--eval_after", "0", "--id", tag]
+    model_path, infos_path = train_main(argv)
+    ns = _ap.Namespace(data=corpus, out=out, id=tag, iters=iters,
+                       batch_size=10, d_model=64, d_ff=256, heads=4,
+                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
+                       log_every=100, train_mode=train_mode)
+    tch, TransformerModel, _ = _import_reference()
+    from boficap_tpu.data.dataset import CaptionData
+    loader = CaptionData(loader_cfg(ns))
+    opt = reference_opt(ns, loader.vocab_size)
+    opt.vocab = loader.ix_to_word
+    ref = TransformerModel(opt)
+    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
+    caps, gts, lps = torch_eval_split(ref, loader, "val", modes=eval_modes,
+                                      with_logprobs=True)
+    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
+    res = {"model_path": model_path, "infos_path": infos_path,
+           "torch_caps": caps, "torch_lps": lps, "gts_words": gts,
+           "word_to_ix": word_to_ix, "root": root}
+    if extra_eval is not None:
+        res.update(extra_eval(ref, loader))
+    return res
+
+
+def _convert(src, tmp_path_factory, tag):
+    from tools.convert import main as convert_main
+    out_dir = str(tmp_path_factory.mktemp(f"converted_{tag}"))
+    return convert_main(
+        ["--torch", src["model_path"], "--infos", src["infos_path"],
+         "--out_dir", out_dir, "--id", f"conv{tag}"])
+
+
+def _assert_family_parity(src, converted, torch_mode, eval_argv_extra,
+                          label, eos_id=0, margin_scale=2.5,
+                          run_id=None, batch_size=8):
+    """Our eval CLI on the converted checkpoint vs the stored torch eval:
+    margin-rule captions + CIDEr-D tolerance (the round-3 shape)."""
+    from tools.eval import main as eval_main
+    model_ckpt, infos_pkl = converted
+    result = eval_main([
+        "--model", model_ckpt, "--infos_path", infos_pkl,
+        "--split", "val", "--num_images", "-1",
+        "--batch_size", str(batch_size),
+        "--language_eval", "1", "--id", run_id or f"tp_{label}",
+        "--force", "1"] + eval_argv_extra)
+    ours = {p["image_id"]: p["caption"] for p in result["predictions"]}
+    theirs = src["torch_caps"][torch_mode]
+    lps = src["torch_lps"][torch_mode]
+    assert_caption_parity(ours, theirs, lps, src["word_to_ix"],
+                          margin_scale * MARGIN_TOL, label=label,
+                          eos_id=eos_id)
+    from boficap_tpu.eval.metrics import language_eval
+    preds = [{"image_id": k, "caption": v} for k, v in theirs.items()]
+    torch_stats = language_eval(preds, src["gts_words"])
+    assert result["lang_stats"]["CIDEr"] == pytest.approx(
+        torch_stats["CIDEr"], abs=CIDER_TOL), label
+    assert torch_stats["CIDEr"] > 0.05, (
+        f"{label}: trained checkpoint scored {torch_stats['CIDEr']}; "
+        "training produced nothing to compare")
+    return result, torch_stats
+
+
+# ------------------------------------------------------------- UIC_s/UIC_u
+# Families 5+6: the three-decoder (AR + SA + NA) and fully-unified
+# one-decoder models, trained through the reference's own _forward + TUIC
+# criterion; all three inference branches checked on trained weights —
+# including core_UIC_s_AIC, the AR branch that only these families expose
+# (reference TransformerModel.py:744-975, AttModel.py:438-466).
+
+
+@pytest.fixture(scope="module")
+def trained_uic_s(tmp_path_factory):
+    return _build_trained(tmp_path_factory, "UIC_s",
+                          ("UIC_s_NAIC", "UIC_s_SAIC", "UIC_s_AIC"), "uics")
+
+
+@pytest.fixture(scope="module")
+def converted_uic_s(trained_uic_s, tmp_path_factory):
+    return _convert(trained_uic_s, tmp_path_factory, "uics")
+
+
+@pytest.mark.parametrize("mode", ["NAIC", "SAIC", "AIC"])
+def test_trained_uic_s_parity(trained_uic_s, converted_uic_s, mode):
+    _assert_family_parity(
+        trained_uic_s, converted_uic_s, f"UIC_s_{mode}",
+        ["--inference_mode", mode], f"UIC_s/{mode}",
+        eos_id=2 if mode == "AIC" else 0,
+        run_id=f"tp_uics_{mode}")
+
+
+@pytest.fixture(scope="module")
+def trained_uic_u(tmp_path_factory):
+    return _build_trained(tmp_path_factory, "UIC_u",
+                          ("UIC_s_NAIC", "UIC_s_SAIC", "UIC_s_AIC"), "uicu")
+
+
+@pytest.fixture(scope="module")
+def converted_uic_u(trained_uic_u, tmp_path_factory):
+    return _convert(trained_uic_u, tmp_path_factory, "uicu")
+
+
+@pytest.mark.parametrize("mode", ["NAIC", "SAIC", "AIC"])
+def test_trained_uic_u_parity(trained_uic_u, converted_uic_u, mode):
+    _assert_family_parity(
+        trained_uic_u, converted_uic_u, f"UIC_s_{mode}",
+        ["--inference_mode", mode], f"UIC_u/{mode}",
+        eos_id=2 if mode == "AIC" else 0,
+        run_id=f"tp_uicu_{mode}")
+
+
+# ----------------------------------------------------------------- PB_pad
+# Family 7: the legacy phrase-based variant — private predictor word embed
+# (lp_word_embed), packed while_loop decode, and all THREE norm_modes on
+# ONE trained checkpoint (norm_mode only selects the decoder-input
+# assembly; the parameter set is identical, so flipping it exercises each
+# assembly path on the same trained weights — reference
+# TransformerModel.py:1167-1203).
+
+
+@pytest.fixture(scope="module")
+def trained_pb_pad(tmp_path_factory):
+    def _norm_mode_evals(ref, loader):
+        from tools.train_reference_torch import torch_eval_split
+        caps, lps = {}, {}
+        for nm in ("compress", "complex"):
+            ref.model.norm_mode = nm
+            c, _, l = torch_eval_split(ref, loader, "val",
+                                       modes=("PB_pad",),
+                                       with_logprobs=True)
+            caps[nm], lps[nm] = c["PB_pad"], l["PB_pad"]
+        ref.model.norm_mode = "copy"
+        return {"nm_caps": caps, "nm_lps": lps}
+    return _build_trained(tmp_path_factory, "PB_pad", ("PB_pad",), "pb",
+                          extra_eval=_norm_mode_evals)
+
+
+@pytest.fixture(scope="module")
+def converted_pb(trained_pb_pad, tmp_path_factory):
+    return _convert(trained_pb_pad, tmp_path_factory, "pb")
+
+
+@pytest.mark.parametrize("norm_mode", ["copy", "compress", "complex"])
+def test_trained_pb_pad_parity(trained_pb_pad, converted_pb, tmp_path,
+                               norm_mode):
+    src = dict(trained_pb_pad)
+    if norm_mode != "copy":   # checkpoint was trained with norm_mode=copy
+        src["torch_caps"] = {"PB_pad": trained_pb_pad["nm_caps"][norm_mode]}
+        src["torch_lps"] = {"PB_pad": trained_pb_pad["nm_lps"][norm_mode]}
+    cfg_yaml = str(tmp_path / f"nm_{norm_mode}.yml")
+    with open(cfg_yaml, "w") as f:
+        f.write(f"norm_mode: {norm_mode}\n")
+    # batch_size=1: PB_pad inference is inherently BATCH-COMPOSITION-
+    # dependent in the reference — each round's packed column width is the
+    # max of the BATCH's predicted next-phrase lengths and pos_embed runs
+    # over the packed axis (TransformerModel.py:1158-1164, 1204), so one
+    # image's logits legitimately shift with its batchmates' plans.  Our
+    # decode reproduces that layout semantics (decode/pb.py), making B=1
+    # the only apples-to-apples comparison against the per-image torch
+    # eval.  (The other 8 families are batch-shape invariant and keep B=8.)
+    _assert_family_parity(src, converted_pb, "PB_pad",
+                          ["--cfg", cfg_yaml], f"PB_pad/{norm_mode}",
+                          run_id=f"tp_pb_{norm_mode}", batch_size=1)
+
+
+# ------------------------------------------------------------------ NNAIC
+# Family 8: the naive fully-parallel baseline — whole-caption MLP length
+# head (LengthPredictor_NNAIC, reference TransformerModel.py:1221-1281),
+# the one head shape no other family shares.
+
+
+@pytest.fixture(scope="module")
+def trained_nnaic(tmp_path_factory):
+    return _build_trained(tmp_path_factory, "NNAIC", ("NNAIC",), "nnaic")
+
+
+def test_trained_nnaic_parity(trained_nnaic, tmp_path_factory):
+    converted = _convert(trained_nnaic, tmp_path_factory, "nnaic")
+    _assert_family_parity(trained_nnaic, converted, "NNAIC", [],
+                          "NNAIC", run_id="tp_nnaic")
 
 
 @pytest.mark.parametrize("mode", ["NAIC", "SAIC"])

@@ -135,6 +135,9 @@ def _flat_batch(data):
             data["phrase_num"]).reshape(-1).astype(np.int64)
         out["pl"] = fl(data["phrase_length"]).astype(np.int64)
         out["ps"] = fl(data["phrase_syn"]).astype(np.int64)
+    for k in ("pb_labels", "pb_word_mask"):   # PB_pad packed targets
+        if data.get(k) is not None:           # (already [B*S, PL] flat)
+            out[k] = np.asarray(data[k])
     return out
 
 
@@ -155,8 +158,14 @@ def train_reference(args):
     ref = TransformerModel(opt)
     ref.train()
     crit = (Crit.LanguageModelCriterion() if mode in ("AIC", "auto")
+            else Crit.LanguageModelCriterion_NNAIC()
+            if mode == "NNAIC"               # loss_wrapper.py:20
             else Crit.LanguageModelCriterion_NAIC()
             if mode in ("NAIC", "SAIC")      # loss_wrapper.py:21-22
+            else Crit.LanguageModelCriterion_TUIC()
+            if mode in ("UIC_s", "UIC_u")    # loss_wrapper.py:26-27
+            else Crit.PB_pad_LanguageModelCriterion()
+            if mode == "PB_pad"              # loss_wrapper.py:28-29
             else Crit.LanguageModelCriterion_UIC())
     optim = torch.optim.Adam(ref.parameters(), lr=args.lr,
                              betas=(0.9, 0.98), eps=1e-9)
@@ -177,6 +186,39 @@ def train_reference(args):
             loss = crit(lp, torch.from_numpy(f["labels"][:, 1:]),
                         torch.from_numpy(f["masks"][:, 1:]),
                         reduction="mean")
+        elif mode == "NNAIC":
+            # reference NNAIC XE (loss_wrapper.py:110-112): all-bos parallel
+            # forward on labels[:, :-1]; word NLL + MSE length loss
+            length_N, word_logprob = ref._forward(
+                torch.zeros(f["labels"].shape[0], 2048),
+                torch.from_numpy(f["att"]),
+                torch.from_numpy(f["labels"][:, :-1]),
+                torch.from_numpy(f["am"]))
+            loss = crit(length_N, word_logprob,
+                        torch.from_numpy(f["labels"][:, 1:]),
+                        torch.from_numpy(f["masks"][:, 1:]),
+                        reduction="mean")
+        elif mode == "PB_pad":
+            # reference PB_pad XE (loss_wrapper.py:353-355): _forward's
+            # PB branch wants phrase_length at the PB collate width
+            # max(pn)+2 (dataloader.py:363-365 — NOT the L+2 width the
+            # other phrase modes use), and the loss runs over the PACKED
+            # phrase targets + masks with the bos column dropped
+            max_pn = int(f["pn"].max())
+            pl_pb = f["pl"][:, :max_pn + 1]
+            out = ref._forward(
+                torch.zeros(f["labels"].shape[0], 2048),
+                torch.from_numpy(f["att"]),
+                torch.from_numpy(f["labels"]),
+                torch.from_numpy(f["am"]),
+                torch.from_numpy(f["pn"]), torch.from_numpy(pl_pb))
+            loss = crit(
+                torch.from_numpy(f["pb_labels"][:, 1:]), out[2],
+                torch.from_numpy(
+                    f["pb_word_mask"][:, 1:].astype(np.float32)),
+                torch.from_numpy(f["pn"]),
+                torch.from_numpy(pl_pb[:, 1:]),
+                out[0], out[1], reduction="mean")[0]
         else:
             ext_syn = np.asarray(po.extend_syn_seq(f["pl"], f["ps"], L))
             ext_word = np.asarray(po.copy_init(f["labels"], f["pl"], L))
@@ -208,7 +250,9 @@ def train_reference(args):
                     torch.from_numpy(ext_word.astype(np.int64)),
                     torch.from_numpy(ext_mask), glat_p=-1.0)
             # SAIC _forward returns the 3-tuple the NAIC criterion eats
-            # (loss_wrapper.py:139-142); UIC returns the 6-tuple
+            # (loss_wrapper.py:139-142); UIC returns the 6-tuple; UIC_s/u
+            # return the 7-tuple the TUIC criterion eats (loss_wrapper.py:
+            # 312-318) — all share the trailing (pn, pl, ps, labels) args
             loss = crit(*out, torch.from_numpy(f["pn"]),
                         torch.from_numpy(f["pl"]),
                         torch.from_numpy(f["ps"]),
@@ -252,6 +296,38 @@ def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
     caps = {m: {} for m in modes}
     lps = {m: {} for m in modes}
     gts_words = {}
+
+    # Plan-head margin capture (phrase families): hook every
+    # ``get_predict_phrase_length_syn_part*`` bounding call and record the
+    # per-round top-2 margins of the LENGTH and SYN heads.  The per-image
+    # minimum is stored under lps[mode]["_plan_margin"] — a caption-level
+    # divergence whose torch plan chain contained a decision inside
+    # cross-backend noise (observed: len top-2 margin 0.0099 on a trained
+    # UIC_s checkpoint) is attributable to that tie, which the WORD-logprob
+    # margin rule cannot see (the flipped plan shifts every later word).
+    plan_margins_round = []
+
+    def _margin(lp_row):
+        import numpy as _np
+        top2 = _np.sort(_np.asarray(lp_row, dtype=_np.float64).ravel())[-2:]
+        return float(top2[1] - top2[0])
+
+    hooked_names = [n for n in dir(ref.model)
+                    if n.startswith("get_predict_phrase_length_syn_part")]
+    originals = {n: getattr(ref.model, n) for n in hooked_names}
+
+    def _wrap(fn):
+        def h(*a, **k):
+            out = fn(*a, **k)
+            # (len_N, len_logprob, syn_N, syn_logprob)
+            plan_margins_round.append(min(_margin(out[1][0]),
+                                          _margin(out[3][0])))
+            return out
+        return h
+
+    for n in hooked_names:
+        setattr(ref.model, n, _wrap(originals[n]))
+
     loader.reset_iterator(split)
     seen = set()
     while True:
@@ -268,6 +344,7 @@ def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
             am = torch.from_numpy(np.asarray(data["att_masks"][i:i + 1]))
             with torch.no_grad():
                 for m in modes:
+                    plan_margins_round.clear()
                     out = ref(torch.zeros(1, 2048), att, am,
                               opt={"train_mode": m,
                                    "sample_method": "greedy",
@@ -278,6 +355,9 @@ def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
                         loader.ix_to_word, seq)[0]
                     if with_logprobs:
                         lps[m][img_id] = out[1][0].numpy().copy()
+                        if plan_margins_round:
+                            lps[m].setdefault("_plan_margin", {})[
+                                img_id] = min(plan_margins_round)
             # same ids->words rule eval_split applies to its gts
             # (decode_sequence stops at the first id <= 3)
             gts_words[img_id] = decode_sequence(
@@ -286,6 +366,8 @@ def torch_eval_split(ref, loader, split="val", modes=("NAIC", "SAIC"),
             break
         if max_images and len(seen) >= max_images:
             break
+    for n, fn in originals.items():
+        setattr(ref.model, n, fn)
     if with_logprobs:
         return caps, gts_words, lps
     return caps, gts_words
@@ -342,7 +424,8 @@ def main(argv=None):
     # same route test_uic_ds_forward_parity uses — _forward minus the
     # buggy glat argument.
     ap.add_argument("--train_mode", default="UIC",
-                    choices=["UIC", "UIC_ds", "AIC", "SAIC"])
+                    choices=["UIC", "UIC_ds", "UIC_s", "UIC_u", "AIC",
+                             "SAIC", "NNAIC", "PB_pad"])
     ap.add_argument("--out", default="ref_trained")
     ap.add_argument("--id", default="ref")
     ap.add_argument("--iters", type=int, default=400)
@@ -364,6 +447,11 @@ def main(argv=None):
         from boficap_tpu.eval.metrics import language_eval
         modes = (("AIC",) if args.train_mode == "AIC"
                  else ("SAIC",) if args.train_mode == "SAIC"
+                 else ("NNAIC",) if args.train_mode == "NNAIC"
+                 else ("PB_pad",) if args.train_mode == "PB_pad"
+                 # _sample's UIC_s-family dispatch keys (AttModel.py:438-466)
+                 else ("UIC_s_NAIC", "UIC_s_SAIC", "UIC_s_AIC")
+                 if args.train_mode in ("UIC_s", "UIC_u")
                  else ("NAIC", "SAIC"))
         caps, gts = torch_eval_split(ref, loader, "val", modes=modes)
         for m, d in caps.items():
