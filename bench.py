@@ -352,9 +352,13 @@ def main():
     xe_step = make_xe_step(model, tx)
 
     # pre-built keys: a fold_in per step would dispatch a SECOND program
-    # per iteration and pay the ~0.8 ms enqueue floor twice (see timed())
-    tkeys = [jax.random.fold_in(KEY, 1000 + i) for i in range(10)]
-    _fetch(tkeys[-1])
+    # per iteration and pay the ~0.8 ms enqueue floor twice (see timed()).
+    # Training keys use the production rng impl (cfg.rng_impl 'rbg',
+    # tools/train.py): threefry dropout-mask generation alone cost the XE
+    # step 93.6 vs 59.9 ms/step at b64x5 (BENCH_NOTES r4).
+    tkeys = [jax.random.fold_in(jax.random.key(1000 + 7, impl="rbg"), i)
+             for i in range(10)]
+    jax.block_until_ready(tkeys[-1])
     glat = jnp.float32(0.3)
 
     def run_train(n, st):
@@ -647,7 +651,17 @@ def main():
         nonlocal t_tr256, tflops_s, mfu_256, tstate, xe_step, xe_b256_remat
         timed_step_256 = xe_step  # the program whose wall time t_tr256 is
         targs_256 = xe_batch(256)
+        # the PLAIN b256x5 step needs ~7 GB; the REMAT variant ~4.5 GB (and
+        # measured FASTER at this batch — the plain program HBM-thrashes,
+        # BENCH_NOTES r3).  Under co-tenant pressure, skip straight to
+        # remat instead of surrendering the section: a remat number beats
+        # a null.
+        plain_fits = _hbm_probe(7.0)
         try:
+            if not plain_fits:
+                raise jax.errors.JaxRuntimeError(
+                    "RESOURCE_EXHAUSTED (pre-flight): plain b256x5 "
+                    "footprint does not fit next to the co-tenant")
             t_tr256, tstate = time_xe(targs_256)
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
@@ -689,7 +703,9 @@ def main():
     run_section("serving-percentile section", sec_serving, need_gb=1.5)
     run_section("RL section", sec_rl, need_gb=2.5)
     run_section("b64x5 XE section", sec_xe64, need_gb=3.5)
-    run_section("b256x5 XE section", sec_xe256, need_gb=7.0)
+    # need_gb is the REMAT footprint: the section probes the plain
+    # footprint itself and falls back to remat under pressure
+    run_section("b256x5 XE section", sec_xe256, need_gb=4.5)
 
     # ---- end-of-run retry pass (r3 verdict #1) ----
     for wait_s in (60.0, 180.0):

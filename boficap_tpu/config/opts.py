@@ -166,6 +166,25 @@ DEFAULTS: Dict[str, Any] = dict(
                                 # NA at B=64 on v5e), off elsewhere
     profile_steps=0,            # jax.profiler trace of the first N steps
     debug_checks=False,         # checkify nan/oob checks in the XE step
+    fused_optimizer=False,      # adam via train/optim.py::fused_adam (flat
+                                # [P] moments, clip/decay folded in) —
+                                # numerics identical to the optax chain
+                                # (tested) but MEASURED SLOWER on v5e (the
+                                # ravel/unravel traffic outweighs any launch
+                                # savings; XLA already schedules the
+                                # per-leaf update efficiently — BENCH_NOTES
+                                # r4); kept as an option for sharded-moment
+                                # experiments
+    rng_impl="rbg",             # training-stream PRNG: 'rbg' keeps threefry
+                                # key derivation (split/fold_in) but makes
+                                # dropout/glat mask BITS with the TPU's fast
+                                # RBG generator — measured 93.6 -> 59.9
+                                # ms/step XE at b64x5 on v5e (threefry mask
+                                # generation dominated the step, BENCH_NOTES
+                                # r4); 'threefry2x32' restores the jax
+                                # default streams bit-for-bit.  Param INIT
+                                # always stays threefry, so checkpoints are
+                                # impl-independent.
     REFORWARD=False,
 )
 

@@ -127,13 +127,19 @@ def get_self_critical_reward(greedy_res: np.ndarray, data_gts,
     return np.repeat(adv[:, None], gen_result.shape[1], 1).astype(np.float32)
 
 
-def get_scores(data_gts, gen_result: np.ndarray, opt) -> np.ndarray:
-    """Per-sample scores for the structure losses (rewards.py:86-117)."""
+def get_scores(data_gts, gen_result: np.ndarray, opt,
+               gts_strs=None) -> np.ndarray:
+    """Per-sample scores for the structure losses (rewards.py:86-117).
+
+    ``gts_strs``: precomputed ``_gts_dict(data_gts)`` — the UIC RL step
+    scores two branches (SA + NA) against the SAME references, and the
+    string conversion was ~15% of the host phase; callers scoring several
+    branches share one dict (train/steps.py::rl_host_scores)."""
     gen_result = np.asarray(gen_result)
     B = gen_result.shape[0]
     seq_per_img = B // len(data_gts)
     res = {i: [array_to_str(gen_result[i])] for i in range(B)}
-    gts0 = _gts_dict(data_gts)
+    gts0 = _gts_dict(data_gts) if gts_strs is None else gts_strs
     gts = {i: gts0[i // seq_per_img] for i in range(B)}
 
     cw = _opt_get(opt, "cider_reward_weight", 1)

@@ -16,9 +16,82 @@ can set the rate without re-jitting.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, NamedTuple, Optional
 
 import optax
+
+
+class FusedAdamState(NamedTuple):
+    count: Any
+    mu: Any      # FLAT [P] f32 first moment
+    nu: Any      # FLAT [P] f32 second moment
+
+
+def fused_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-8, clip_value: float = 0.0,
+               weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """optax.adam-equivalent with FLAT moment buffers and fused value-clip
+    / coupled weight decay.
+
+    Why: the d512 BoFiCap has 298 parameter leaves; leaf-wise
+    clip+adam+apply runs ~3 tiny kernels per leaf and is LAUNCH-bound —
+    measured 4.5-7 ms/step on v5e (scripts/profile_rl.py), ~2.5x the
+    ~1.9 ms HBM-bandwidth floor for the ~1.5 GB the update must move.
+    Flattening grads/moments into single [P] arrays turns it into a few
+    contiguous fused passes; element math is bit-for-bit optax.adam's
+    (same eps-outside-sqrt, same bias correction;
+    tests/test_train.py::test_fused_adam_matches_optax).
+
+    ``learning_rate`` may be a float or an optax schedule (called with the
+    PRE-increment count, matching optax.scale_by_schedule).  ``clip_value``
+    folds the reference's elementwise grad clip (tools/train.py:225 there)
+    into the same pass; ``weight_decay`` is the torch-style COUPLED L2
+    (gradient += wd*p before the moments see it, misc.py:114-130).
+
+    Sharding note: the flat moments are effectively REPLICATED under a
+    tensor-parallel mesh (raveling TP-sharded grads gathers them) — the
+    same regime the repo's multichip setup already uses for opt_state
+    (__graft_entry__.dryrun_multichip keeps it P()); a sharded-optimizer
+    (ZeRO-style) regime would want the per-leaf chain
+    (cfg.fused_optimizer=False) or a sharded flat layout."""
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        # mu and nu must be DISTINCT buffers: the train steps donate their
+        # state, and aliased leaves trip XLA's double-donation check
+        return FusedAdamState(jnp.zeros([], jnp.int32),
+                              jnp.zeros(flat.shape, jnp.float32),
+                              jnp.zeros(flat.shape, jnp.float32))
+
+    def update(grads, state, params=None):
+        g, unravel = ravel_pytree(grads)
+        gdt = g.dtype
+        g = g.astype(jnp.float32)
+        # order matches the torch reference: grads are value-clipped FIRST
+        # (tools/train.py:225 there), THEN the optimizer's coupled decay
+        # joins (torch adam adds wd*p to the already-clipped grad)
+        if clip_value:
+            g = jnp.clip(g, -clip_value, clip_value)
+        if weight_decay:
+            if params is None:
+                raise ValueError("fused_adam(weight_decay=...) needs params")
+            p, _ = ravel_pytree(params)
+            g = g + weight_decay * p.astype(jnp.float32)
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+        count = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1 ** c)
+        nu_hat = nu / (1.0 - b2 ** c)
+        upd = (-lr * mu_hat / (jnp.sqrt(nu_hat) + eps)).astype(gdt)
+        return unravel(upd), FusedAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def noam_schedule(d_model: int, factor: float, warmup: int):
@@ -69,20 +142,43 @@ def make_base_opt(cfg, lr):
 
 def build_optimizer(cfg) -> optax.GradientTransformation:
     """Returns the full transform incl. value clipping (reference clips grad
-    VALUES to [-grad_clip, grad_clip], train.py:225 + misc clip_gradient)."""
+    VALUES to [-grad_clip, grad_clip], train.py:225 + misc clip_gradient).
+
+    Adam routes through :func:`fused_adam` (flat moments, clip/decay folded
+    into one pass — numerics identical to the optax chain, tested) unless
+    ``cfg.fused_optimizer`` is falsy; other optimizer kinds keep the
+    per-leaf optax chain."""
     clip_value = cfg.get("grad_clip_value", 0.1)
-    if cfg.get("grad_clip_mode", "value") == "norm":
-        clip = optax.clip_by_global_norm(clip_value)
-    else:
+    value_clip = cfg.get("grad_clip_mode", "value") != "norm"
+    fused = (cfg.get("fused_optimizer", True)
+             and cfg.get("optim", "adam") == "adam")
+    if value_clip:
         clip = optax.clip(clip_value)
+    else:
+        clip = optax.clip_by_global_norm(clip_value)
+
+    def adam_like(lr, b1, b2, eps, wd=0.0):
+        if fused:
+            fa = fused_adam(lr, b1, b2, eps,
+                            clip_value=clip_value if value_clip else 0.0,
+                            weight_decay=wd)
+            return fa if value_clip else optax.chain(clip, fa)
+        base = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+        if wd:
+            base = optax.chain(optax.add_decayed_weights(wd), base)
+        return optax.chain(clip, base)
+
     if cfg.get("noamopt", False):
         sched = noam_schedule(cfg.d_model, cfg.get("noamopt_factor", 1.0),
                               cfg.get("noamopt_warmup", 2000))
-        tx = optax.chain(clip,
-                         optax.adam(sched, b1=0.9, b2=0.98, eps=1e-9))
-        return tx
+        return adam_like(sched, 0.9, 0.98, 1e-9)
 
     def with_lr(lr):
+        if fused:
+            return adam_like(lr, cfg.get("optim_alpha", 0.9),
+                             cfg.get("optim_beta", 0.999),
+                             cfg.get("optim_epsilon", 1e-8),
+                             cfg.get("weight_decay", 0))
         return optax.chain(clip, make_base_opt(cfg, lr))
 
     return optax.inject_hyperparams(

@@ -546,11 +546,13 @@ def rl_host_scores(samples, gts, cfg, classic_scst: bool = False
             np.asarray(samples["sample"]["seq"]), cfg)
         return out
     sc_w = cfg.get("self_cider_reward_weight", 0) or 0.0
+    from ..rewards.self_critical import _gts_dict
+    gts_strs = _gts_dict(gts)   # shared across branches (same references)
     for key in ("sa", "na", "sample"):
         if key not in samples:
             continue
         seqs = np.asarray(samples[key]["seq"])
-        scores = get_scores(gts, seqs, cfg)
+        scores = get_scores(gts, seqs, cfg, gts_strs=gts_strs)
         out[key] = scores.reshape(-1, sample_n)
         if sc_w > 0:
             # per-image eigenvalue diversity bonus (reference losses.py

@@ -100,10 +100,11 @@ def main():
     bench._fetch(tf_keys[-1])
     measure("threefry (default)", tf_keys)
 
-    rbg_keys = [jax.random.fold_in(
-        jax.random.key(7, impl="unsafe_rbg"), i) for i in range(10)]
-    jax.block_until_ready(rbg_keys[-1])
-    measure("unsafe_rbg dropout keys", rbg_keys)
+    for impl in ("rbg", "unsafe_rbg"):
+        keys = [jax.random.fold_in(jax.random.key(7, impl=impl), i)
+                for i in range(10)]
+        jax.block_until_ready(keys[-1])
+        measure(f"{impl} dropout keys", keys)
 
 
 if __name__ == "__main__":

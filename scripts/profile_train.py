@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--glat", type=float, default=0.3)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--rng_impl", default="rbg",
+                    help="training-stream PRNG impl (rbg|unsafe_rbg|"
+                         "threefry2x32) — matches tools/train.py cfg.rng_impl")
     args = ap.parse_args()
 
     import bench
@@ -79,7 +82,8 @@ def main():
         jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params), tx)
     xe_step = make_xe_step(model, tx)
     glat = jnp.float32(args.glat)
-    key = jax.random.PRNGKey(7)
+    key = (jax.random.PRNGKey(7) if args.rng_impl.startswith("threefry")
+           else jax.random.key(7, impl=args.rng_impl))
 
     state, m = xe_step(state, *targs, None, key, glat)      # compile
     bench._fetch(m["loss"])

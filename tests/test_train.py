@@ -534,3 +534,61 @@ def test_remat_training_step_with_dropout():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_fused_adam_matches_optax():
+    """fused_adam (flat moments, clip/decay folded) must walk the SAME
+    parameter trajectory as the reference-semantics optax chain
+    clip -> add_decayed_weights -> adam (see build_optimizer): element math
+    is identical, only the layout (one [P] buffer vs 298 leaves) differs."""
+    import optax
+
+    from boficap_tpu.train.optim import fused_adam
+
+    r = np.random.RandomState(0)
+    params = {"a": jnp.asarray(r.randn(7, 5), jnp.float32),
+              "b": {"w": jnp.asarray(r.randn(11), jnp.float32),
+                    "s": jnp.asarray(r.randn(1), jnp.float32)}}
+    ref_tx = optax.chain(optax.clip(0.1), optax.add_decayed_weights(1e-3),
+                         optax.adam(3e-4, b1=0.9, b2=0.98, eps=1e-9))
+    fus_tx = fused_adam(3e-4, b1=0.9, b2=0.98, eps=1e-9, clip_value=0.1,
+                        weight_decay=1e-3)
+    p_ref, p_fus = params, params
+    s_ref, s_fus = ref_tx.init(p_ref), fus_tx.init(p_fus)
+    for i in range(6):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                np.random.RandomState(10 + i).randn(*x.shape) * 0.3,
+                jnp.float32), params)
+        u_ref, s_ref = ref_tx.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        u_fus, s_fus = fus_tx.update(g, s_fus, p_fus)
+        p_fus = optax.apply_updates(p_fus, u_fus)
+    for lr, lf in zip(jax.tree_util.tree_leaves(p_ref),
+                      jax.tree_util.tree_leaves(p_fus)):
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_adam_schedule_matches_optax():
+    """Schedule handling: fused_adam(schedule) must consume the same
+    pre-increment step count optax.scale_by_schedule does (noamopt path)."""
+    import optax
+
+    from boficap_tpu.train.optim import fused_adam, noam_schedule
+
+    sched = noam_schedule(64, 1.0, 20)
+    params = {"w": jnp.ones((4, 3), jnp.float32)}
+    ref_tx = optax.adam(sched, b1=0.9, b2=0.98, eps=1e-9)
+    fus_tx = fused_adam(sched, b1=0.9, b2=0.98, eps=1e-9)
+    p_ref = p_fus = params
+    s_ref, s_fus = ref_tx.init(p_ref), fus_tx.init(p_fus)
+    for i in range(5):
+        g = {"w": jnp.full((4, 3), 0.1 * (i + 1), jnp.float32)}
+        u_ref, s_ref = ref_tx.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        u_fus, s_fus = fus_tx.update(g, s_fus, p_fus)
+        p_fus = optax.apply_updates(p_fus, u_fus)
+    np.testing.assert_allclose(np.asarray(p_ref["w"]),
+                               np.asarray(p_fus["w"]),
+                               rtol=1e-6, atol=1e-7)

@@ -80,7 +80,13 @@ def train(opt):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     np.random.seed(opt.seed)
-    rng = jax.random.PRNGKey(opt.seed)
+    # training-stream keys (dropout/glat masks): cfg.rng_impl — 'rbg' bit
+    # generation measured +56% XE step throughput on v5e vs the threefry
+    # default (see config/opts.py); param init below stays PRNGKey
+    # (threefry) so initial weights are impl-independent.
+    impl = opt.get("rng_impl", "rbg") or "rbg"
+    rng = (jax.random.PRNGKey(opt.seed) if impl.startswith("threefry")
+           else jax.random.key(opt.seed, impl=impl))
 
     # data-parallel mesh over all visible devices (superset of the
     # reference's DataParallel, tools/train.py:99-101); multi-host paths
