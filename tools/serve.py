@@ -162,7 +162,15 @@ def make_http_server(srv, host: str, port: int):
         def log_message(self, *a):
             pass
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
+    class Srv(ThreadingHTTPServer):
+        # default listen backlog (5) resets connections under concurrent
+        # load (measured: 51/200 requests reset at 64 JSON clients on the
+        # loopback bench); deep backlog + daemon threads are the serving
+        # posture
+        request_queue_size = 256
+        daemon_threads = True
+
+    httpd = Srv((host, port), Handler)
     return httpd
 
 
