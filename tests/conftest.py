@@ -24,8 +24,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite is compile-bound (~25 min cold);
-# warm reruns drop to minutes
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# warm reruns drop to minutes.  SEPARATE dir from the TPU cache
+# (.jax_cache): XLA:CPU caches AOT executables whose machine-feature set
+# is not part of the cache key, and this VM's reported CPU features drift
+# between boots — a stale entry loads with "Compile machine features ...
+# vs host machine features" warnings and can die with SIGILL mid-suite
+# (observed 2026-08-21: one fatal crash ~80 min into the full suite).  A
+# per-host-generation CPU cache keeps warm reruns without importing
+# another machine's code.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                          ".jax_cache_cpu")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
