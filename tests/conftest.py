@@ -13,9 +13,20 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Cap XLA:CPU codegen at AVX2: this VM's reported CPU features are
+    # RICHER at compile time than the loader honors at run time
+    # (cpu_aot_loader logs "Compile machine features [+amx-avx512, ...]
+    # vs host machine features" on every persistent-cache hit), and a
+    # cached executable that actually exercises one of those instructions
+    # segfaults — observed twice as a fatal crash ~85 min into the full
+    # suite, stack in jax compilation_cache get_executable_and_time.
+    # AVX2-only artifacts are loadable under any feature reporting, and
+    # the flag participates in the cache key so stale full-ISA entries
+    # are never hit.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
