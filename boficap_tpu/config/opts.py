@@ -181,10 +181,17 @@ DEFAULTS: Dict[str, Any] = dict(
                                 # RBG generator — measured 93.6 -> 59.9
                                 # ms/step XE at b64x5 on v5e (threefry mask
                                 # generation dominated the step, BENCH_NOTES
-                                # r4); 'threefry2x32' restores the jax
-                                # default streams bit-for-bit.  Param INIT
-                                # always stays threefry, so checkpoints are
-                                # impl-independent.
+                                # r4).  CAVEAT: RBG bits are produced by
+                                # XLA's RngBitGenerator, whose output is NOT
+                                # guaranteed stable across jaxlib/compiler
+                                # versions or backends — dropout/glat masks
+                                # (and thus training trajectories) are only
+                                # reproducible within one software stack.
+                                # Set rng_impl=threefry2x32 to restore the
+                                # jax default streams, which ARE stable
+                                # bit-for-bit across versions and backends.
+                                # Param INIT always stays threefry, so
+                                # checkpoints are impl-independent.
     REFORWARD=False,
 )
 

@@ -223,6 +223,22 @@ class _PrefetchError:
         self.exc = exc
 
 
+# weak registry of live prefetchers; see _BatchPrefetcher.__init__
+import weakref  # noqa: E402
+_LIVE_PREFETCHERS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def close_all_prefetchers():
+    """Stop every live prefetch worker (idempotent).  Test-harness sweep
+    for loaders dropped without close(); production code paths call
+    CaptionData.close() explicitly."""
+    for p in list(_LIVE_PREFETCHERS):
+        try:
+            p.close()
+        except Exception:
+            pass
+
+
 class _BatchPrefetcher:
     """Background train-batch assembly (depth-N queue, one worker thread) —
     the TPU-side step and the host-side numpy assembly overlap instead of
@@ -248,6 +264,14 @@ class _BatchPrefetcher:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+        # Loaders dropped without close() (common in tests) must not leak
+        # a live worker: the r4 full-suite crash dump showed ~50 prefetch
+        # threads from long-finished tests still polling their queues.  A
+        # weakref registry lets the test harness sweep them (the running
+        # thread's target is a bound method, so instances are never
+        # GC-collectible while their worker lives — a finalizer can't do
+        # this).  See close_all_prefetchers().
+        _LIVE_PREFETCHERS.add(self)
 
     def _run(self):
         import queue

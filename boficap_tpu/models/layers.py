@@ -192,14 +192,22 @@ class RefLayerNorm(nn.Module):
         # (x - mean)^2) — LN reductions were ~8 ms of the 93.5 ms XE step
         # (BENCH_NOTES.md r3 profile).  Semantics unchanged: unbiased
         # variance (n/(n-1) correction) with eps added to the STD, exactly
-        # torch x.std(-1); the E[x^2]-E[x]^2 rearrangement differs only in
-        # f32 rounding (~1e-6 relative on unit-scale activations, far
-        # below the ~1e-3 cross-backend noise the trained-parity suite
-        # calibrates against).
-        m1 = xf.mean(-1, keepdims=True)
-        m2 = (xf * xf).mean(-1, keepdims=True)
+        # torch x.std(-1).  SHIFTED one-pass form: the raw E[x^2]-E[x]^2
+        # rearrangement cancels catastrophically when |mean| >> std
+        # (relative error ~ (mean^2/var)*f32-eps); subtracting a cheap
+        # per-row offset (the row's first element) before squaring keeps
+        # the single fused sweep — the shift is a broadcast sub, and the
+        # two reductions stay siblings — while bounding the cancellation:
+        # |mean - x0| is O(row spread), so the error stays ~1e-6 relative
+        # even for activations with a large common offset.  Variance is
+        # shift-invariant; mean(xs) = mean(x) - x0 exactly cancels in the
+        # normalized output.
+        s = jax.lax.stop_gradient(xf[..., :1])
+        xs = xf - s
+        m1 = xs.mean(-1, keepdims=True)
+        m2 = (xs * xs).mean(-1, keepdims=True)
         var = jnp.maximum(m2 - m1 * m1, 0.0) * (d / max(d - 1, 1))
-        y = (xf - m1) / (jnp.sqrt(var) + self.epsilon)
+        y = (xs - m1) / (jnp.sqrt(var) + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
         return (y * scale + bias).astype(self.dtype)

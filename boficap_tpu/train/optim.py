@@ -144,13 +144,17 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
     """Returns the full transform incl. value clipping (reference clips grad
     VALUES to [-grad_clip, grad_clip], train.py:225 + misc clip_gradient).
 
-    Adam routes through :func:`fused_adam` (flat moments, clip/decay folded
-    into one pass — numerics identical to the optax chain, tested) unless
-    ``cfg.fused_optimizer`` is falsy; other optimizer kinds keep the
-    per-leaf optax chain."""
+    Adam uses the per-leaf optax chain by default; setting
+    ``cfg.fused_optimizer`` truthy routes it through :func:`fused_adam`
+    (flat moments, clip/decay folded into one pass — numerics identical to
+    the optax chain, tested, but measured ~10% slower on v5e, BENCH_NOTES
+    r4).  The default here matches config/opts.py (False) so a cfg dict
+    missing the key gets the same opt_state pytree structure as the CLI —
+    the two paths produce structurally different states (flat [P] moments
+    vs per-leaf), which would defeat opt-state restore across them."""
     clip_value = cfg.get("grad_clip_value", 0.1)
     value_clip = cfg.get("grad_clip_mode", "value") != "norm"
-    fused = (cfg.get("fused_optimizer", True)
+    fused = (cfg.get("fused_optimizer", False)
              and cfg.get("optim", "adam") == "adam")
     if value_clip:
         clip = optax.clip(clip_value)

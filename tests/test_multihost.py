@@ -70,19 +70,24 @@ def _losses(stdout: str) -> list:
             re.finditer(r"iter \d+ \(epoch \d+\) loss (-?[\d.]+)", stdout)]
 
 
-def _run_pair(tmp_path, extra, timeout=600):
+def _run_pair_once(tmp_path, extra, attempt, timeout=600):
+    """One 2-process bring-up.  Returns (ok, outs, returncodes)."""
     port = _free_port()
     procs, outs = [], []
     try:
         for pid in (0, 1):
-            procs.append(_run_train(str(tmp_path / f"p{pid}"), [
-                "--multihost", "1",
-                "--dist_coordinator", f"localhost:{port}",
-                "--dist_num_processes", "2", "--dist_process_id", str(pid),
-            ] + extra, local_devices=2))
+            procs.append(_run_train(
+                str(tmp_path / f"a{attempt}" / f"p{pid}"), [
+                    "--multihost", "1",
+                    "--dist_coordinator", f"localhost:{port}",
+                    "--dist_num_processes", "2",
+                    "--dist_process_id", str(pid),
+                ] + extra, local_devices=2))
         for p in procs:
             out, _ = p.communicate(timeout=timeout)
             outs.append(out)
+    except subprocess.TimeoutExpired:
+        outs = []
     finally:
         # never leave an orphan holding the coordinator port (a dead peer
         # leaves the survivor blocked inside jax.distributed)
@@ -90,15 +95,48 @@ def _run_pair(tmp_path, extra, timeout=600):
             if p.poll() is None:
                 p.kill()
                 p.wait()
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
-    return outs
+    if not outs:
+        outs = ["<timeout: no output collected>"] * len(procs)
+    rcs = [p.returncode for p in procs]
+    return all(rc == 0 for rc in rcs), outs, rcs
+
+
+def _run_pair(tmp_path, extra, timeout=600):
+    """2-process gloo bring-up with ONE retry.  CPU gloo establishes its
+    cross-process context at the first collective inside a fixed ~30 s
+    XLA key-value window; under co-process load (the full one-process
+    suite) the two children can skew past it even with the warm-up psum
+    in tools/train.py — observed once in .full_suite_diag2.log:213 while
+    the same test passes standalone.  A transient bring-up failure is
+    retried once on a fresh port with a loud note; a real correctness
+    failure fails both attempts."""
+    attempt = 0
+    ok, outs, rcs = _run_pair_once(tmp_path, extra, attempt=attempt,
+                                   timeout=timeout)
+    if not ok:
+        sys.stderr.write(
+            "\n[test_multihost] 2-process bring-up FAILED "
+            f"(returncodes {rcs}); most likely the gloo ~30s KV-init "
+            "window skewed under host load.  Process tails:\n"
+            + "\n".join(f"--- process {i} ---\n{o[-2500:]}"
+                        for i, o in enumerate(outs))
+            + "\n[test_multihost] retrying once on a fresh port...\n")
+        attempt = 1
+        ok, outs, rcs = _run_pair_once(tmp_path, extra, attempt=attempt,
+                                       timeout=timeout)
+    for pid, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, (
+            f"process {pid} failed on both attempts (rc={rc}).\n"
+            "If the tail below shows a distributed-init or barrier "
+            "timeout, the host was overloaded during BOTH bring-up "
+            "windows; rerun standalone to distinguish load from a real "
+            f"regression.\n{out[-4000:]}")
+    ckdirs = [str(tmp_path / f"a{attempt}" / f"p{pid}") for pid in (0, 1)]
+    return outs, ckdirs
 
 
 def test_two_process_multihost_matches_single_process(tmp_path):
-    ck0 = str(tmp_path / "p0")
-    ck1 = str(tmp_path / "p1")
-    outs = _run_pair(tmp_path, [])
+    outs, (ck0, ck1) = _run_pair(tmp_path, [])
     assert "data-parallel mesh over 4 devices" in outs[0]
 
     l0, l1 = _losses(outs[0]), _losses(outs[1])
@@ -138,7 +176,7 @@ def test_two_process_multihost_rl_stage(tmp_path):
     """Classic SCST under --multihost: the sampled ids live on the
     cross-process mesh and must be allgathered before host CIDEr scoring
     (tools/train.py samples_host); both hosts must agree on every RL loss."""
-    outs = _run_pair(tmp_path, [
+    outs, _ck = _run_pair(tmp_path, [
         "--train_mode", "AIC", "--self_critical_after", "0",
         "--train_sample_n", "2", "--save_checkpoint_every", "99",
     ])

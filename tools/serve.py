@@ -142,8 +142,16 @@ def make_http_server(srv, host: str, port: int):
                     if dt_name == "bfloat16":
                         import ml_dtypes
                         dt = np.dtype(ml_dtypes.bfloat16)
-                    else:
+                    elif dt_name in ("float32", "float16"):
                         dt = np.dtype(dt_name)
+                    else:
+                        # whitelist: anything else (int8, float64,
+                        # 'object', ...) would be silently reinterpreted
+                        # as features or fail later with a confusing
+                        # frombuffer message
+                        raise ValueError(
+                            f"X-Dtype must be one of float32|float16|"
+                            f"bfloat16, got {dt_name!r}")
                     feats = np.frombuffer(self.rfile.read(n), dt)
                     feats = feats.reshape(R, -1).astype(np.float32)
                 else:
