@@ -26,6 +26,28 @@
 //       CIDEr-D per candidate.  With no installed df, builds corpus df from
 //       the refs of THIS call (df mode 'corpus'), exactly like the python
 //       scorer.
+//   score_ids(cands, cand_width, refs, ref_counts, ref_width, img_idx)
+//       -> list[float]
+//       Same scores straight from int32 id arrays — no Python id->string
+//       building (that serialization was ~1.9 ms of the RL host phase at
+//       the reference batch; the reference itself pays it in
+//       captioning/utils/rewards.py:33-39 array_to_str).  Tokens are
+//       hashed by their DECIMAL DIGITS with the same separator as the
+//       string path, so hashes (and cached-df lookups) are bit-identical
+//       to score() on array_to_str output.  Shapes:
+//         cands      int32 [N, Lc]   candidate rows
+//         cand_width int32 [N]      true row width BEFORE any zero padding
+//         refs       int32 [M, R, Lr] per-image reference bank
+//         ref_counts int32 [M]      refs per image
+//         ref_width  int32 [M]      true ref row width per image
+//         img_idx    int32 [N]      candidate i scores against image
+//                                   img_idx[i]'s refs
+//       A row's token sequence stops at the first 0 INCLUSIVE (the
+//       array_to_str convention); rows without a 0 inside their true
+//       width take every token.  Corpus mode builds df per CANDIDATE
+//       (each candidate's ref set counts once, duplicates across
+//       candidates of one image count repeatedly) with ref_len = N —
+//       exactly the alignment the string path produces.
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -83,6 +105,48 @@ void count_ngrams(const std::string& sent, CountsN& out) {
     for (int n = 0; n < kN && a + n < toks.size(); ++n) {
       h = fnv1a(sent.data() + toks[a + n].first, toks[a + n].second, h);
       h = fnv1a("\x1f", 1, h);  // token separator
+      out[n][h] += 1;
+    }
+  }
+}
+
+// hash one int32 token by its decimal digits + the token separator —
+// byte-identical to hashing str(int(x)) inside a space-joined sentence
+// (count_ngrams tokenizes on spaces, then hashes token bytes + "\x1f")
+inline uint64_t hash_token(int32_t v, uint64_t h) {
+  char buf[13];  // sign + 10 digits + sep
+  int p = 0;
+  if (v < 0) {
+    buf[p++] = '-';
+    // avoid INT_MIN overflow: format via int64
+  }
+  int64_t a = v < 0 ? -static_cast<int64_t>(v) : v;
+  char digits[12];
+  int d = 0;
+  do {
+    digits[d++] = char('0' + (a % 10));
+    a /= 10;
+  } while (a);
+  while (d) buf[p++] = digits[--d];
+  h = fnv1a(buf, size_t(p), h);
+  return fnv1a("\x1f", 1, h);
+}
+
+// token run = row[0:width] truncated at the first 0 INCLUSIVE
+// (array_to_str keeps the terminating '0' token)
+inline size_t id_run(const int32_t* row, size_t width) {
+  for (size_t i = 0; i < width; ++i)
+    if (row[i] == 0) return i + 1;
+  return width;
+}
+
+void count_ngrams_ids(const int32_t* row, size_t width, CountsN& out) {
+  const size_t ntok = id_run(row, width);
+  const uint64_t seed = 1469598103934665603ULL;
+  for (size_t a = 0; a < ntok; ++a) {
+    uint64_t h = seed;
+    for (int n = 0; n < kN && a + n < ntok; ++n) {
+      h = hash_token(row[a + n], h);
       out[n][h] += 1;
     }
   }
@@ -248,10 +312,125 @@ PyObject* score(PyObject*, PyObject* args) {
   return out;
 }
 
+// RAII over Py_buffer: every early return releases acquired views
+struct BufView {
+  Py_buffer view{};
+  bool ok = false;
+  ~BufView() {
+    if (ok) PyBuffer_Release(&view);
+  }
+  bool acquire(PyObject* o, int ndim_want, const char* what) {
+    if (PyObject_GetBuffer(o, &view, PyBUF_C_CONTIGUOUS) != 0) return false;
+    ok = true;
+    if (view.ndim != ndim_want) {
+      PyErr_Format(PyExc_ValueError, "%s must be %d-d, got %d-d", what,
+                   ndim_want, view.ndim);
+      return false;
+    }
+    if (view.itemsize != 4) {
+      PyErr_Format(PyExc_ValueError, "%s must be int32", what);
+      return false;
+    }
+    return true;
+  }
+  const int32_t* data() const {
+    return static_cast<const int32_t*>(view.buf);
+  }
+  Py_ssize_t dim(int i) const { return view.shape[i]; }
+};
+
+PyObject* score_ids(PyObject*, PyObject* args) {
+  PyObject *cands_o, *cw_o, *refs_o, *rc_o, *rw_o, *idx_o;
+  if (!PyArg_ParseTuple(args, "OOOOOO", &cands_o, &cw_o, &refs_o, &rc_o,
+                        &rw_o, &idx_o))
+    return nullptr;
+  BufView cands, cw, refs, rc, rw, idx;
+  if (!cands.acquire(cands_o, 2, "cands") ||
+      !cw.acquire(cw_o, 1, "cand_width") ||
+      !refs.acquire(refs_o, 3, "refs") ||
+      !rc.acquire(rc_o, 1, "ref_counts") ||
+      !rw.acquire(rw_o, 1, "ref_width") || !idx.acquire(idx_o, 1, "img_idx"))
+    return nullptr;
+  const Py_ssize_t N = cands.dim(0), Lc = cands.dim(1);
+  const Py_ssize_t M = refs.dim(0), R = refs.dim(1), Lr = refs.dim(2);
+  if (cw.dim(0) != N || idx.dim(0) != N || rc.dim(0) != M ||
+      rw.dim(0) != M) {
+    PyErr_SetString(PyExc_ValueError, "score_ids shape mismatch");
+    return nullptr;
+  }
+
+  // count each image's ref set ONCE (the string path re-counts it per
+  // candidate — at train_sample_n=5 that is 5x the ref hashing work)
+  std::vector<std::vector<CountsN>> ref_counts(M);
+  for (Py_ssize_t m = 0; m < M; ++m) {
+    int cnt = rc.data()[m];
+    int width = rw.data()[m];
+    if (cnt < 0 || cnt > R || width < 0 || width > Lr) {
+      PyErr_SetString(PyExc_ValueError, "ref_counts/ref_width out of range");
+      return nullptr;
+    }
+    ref_counts[m].resize(cnt);
+    for (int j = 0; j < cnt; ++j)
+      count_ngrams_ids(refs.data() + (m * R + j) * Lr, size_t(width),
+                       ref_counts[m][j]);
+  }
+  std::vector<CountsN> cand_counts(N);
+  for (Py_ssize_t i = 0; i < N; ++i) {
+    int width = cw.data()[i];
+    int m = idx.data()[i];
+    if (width < 0 || width > Lc || m < 0 || m >= M) {
+      PyErr_SetString(PyExc_ValueError, "cand_width/img_idx out of range");
+      return nullptr;
+    }
+    count_ngrams_ids(cands.data() + i * Lc, size_t(width), cand_counts[i]);
+  }
+
+  State local;
+  const State* st = &g_state;
+  if (!g_state.has_df) {
+    // corpus mode, aligned with score(): df increments once per CANDIDATE
+    // per unique ngram of that candidate's ref set; ref_len = N.  The
+    // per-image unique set is computed once and added idx-count times.
+    std::vector<std::unordered_map<uint64_t, char>> uniq(M);
+    std::vector<int> uses(M, 0);
+    for (Py_ssize_t i = 0; i < N; ++i) ++uses[idx.data()[i]];
+    for (Py_ssize_t m = 0; m < M; ++m) {
+      if (!uses[m]) continue;
+      for (auto& rcs : ref_counts[m])
+        for (int nn = 0; nn < kN; ++nn)
+          for (const auto& kv : rcs[nn]) uniq[m][kv.first] = 1;
+      for (const auto& kv : uniq[m]) local.df[kv.first] += double(uses[m]);
+    }
+    local.log_ref_len = std::log(std::max(double(N), 1.0));
+    st = &local;
+  }
+
+  // ref tf-idf vectors once per image (string path: once per candidate)
+  std::vector<std::vector<Vec>> ref_vecs(M);
+  for (Py_ssize_t m = 0; m < M; ++m) {
+    ref_vecs[m].reserve(ref_counts[m].size());
+    for (auto& rcs : ref_counts[m]) ref_vecs[m].push_back(to_vec(rcs, *st));
+  }
+
+  PyObject* out = PyList_New(N);
+  if (!out) return nullptr;
+  for (Py_ssize_t i = 0; i < N; ++i) {
+    Vec hv = to_vec(cand_counts[i], *st);
+    const auto& rv = ref_vecs[idx.data()[i]];
+    double s = 0.0;
+    for (const Vec& r : rv) s += sim(hv, r);
+    if (!rv.empty()) s /= double(rv.size());
+    PyList_SetItem(out, i, PyFloat_FromDouble(s * 10.0));
+  }
+  return out;
+}
+
 PyMethodDef kMethods[] = {
     {"set_df", set_df, METH_VARARGS, "install cached df table"},
     {"clear_df", clear_df, METH_NOARGS, "remove cached df"},
     {"score", score, METH_VARARGS, "CIDEr-D per candidate"},
+    {"score_ids", score_ids, METH_VARARGS,
+     "CIDEr-D per candidate from int32 id arrays"},
     {nullptr, nullptr, 0, nullptr},
 };
 

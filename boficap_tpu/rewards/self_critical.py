@@ -69,6 +69,42 @@ def _cider_scores(res_list, refs_list):
     return scores.astype(np.float32)
 
 
+def _native_ids() -> bool:
+    """True when the int-array native entry point is usable."""
+    return _native is not None and hasattr(_native, "score_ids")
+
+
+def pack_refs(data_gts):
+    """Pack per-image reference id rows into the [M, R, L] int32 bank +
+    counts + true-width arrays ``_ciderd.score_ids`` consumes.  Zero
+    padding is safe because the true width rides alongside (a row filled
+    to its width without a 0 must NOT grow a trailing '0' token — the
+    array_to_str convention the string path implements).  Shared across
+    branches in the UIC RL step, like _gts_dict was for the string path."""
+    M = len(data_gts)
+    arrs = [np.asarray(g) for g in data_gts]
+    R = max((a.shape[0] for a in arrs), default=1)
+    L = max((a.shape[1] for a in arrs), default=1)
+    bank = np.zeros((M, R, L), np.int32)
+    counts = np.zeros((M,), np.int32)
+    widths = np.zeros((M,), np.int32)
+    for m, a in enumerate(arrs):
+        bank[m, :a.shape[0], :a.shape[1]] = a
+        counts[m] = a.shape[0]
+        widths[m] = a.shape[1]
+    return bank, counts, widths
+
+
+def _cider_scores_ids(cands: np.ndarray, cand_width: np.ndarray,
+                      gts_pack, img_idx: np.ndarray) -> np.ndarray:
+    bank, counts, widths = gts_pack
+    out = _native.score_ids(
+        np.ascontiguousarray(cands, np.int32),
+        np.ascontiguousarray(cand_width, np.int32), bank, counts, widths,
+        np.ascontiguousarray(img_idx, np.int32))
+    return np.asarray(out, np.float32)
+
+
 def array_to_str(arr) -> str:
     """Space-joined token ids, stopping at the first 0 (rewards.py:33-39)."""
     out = []
@@ -103,20 +139,38 @@ def get_self_critical_reward(greedy_res: np.ndarray, data_gts,
     n_gen = gen_result.shape[0]
     seq_per_img = n_gen // batch_size
 
-    res = {i: [array_to_str(gen_result[i])] for i in range(n_gen)}
-    res.update({n_gen + i: [array_to_str(greedy_res[i])]
-                for i in range(batch_size)})
-    gts0 = _gts_dict(data_gts)
-    gts = {i: gts0[i // seq_per_img] for i in range(n_gen)}
-    gts.update({n_gen + i: gts0[i] for i in range(batch_size)})
-
     cw = _opt_get(opt, "cider_reward_weight", 1)
     bw = _opt_get(opt, "bleu_reward_weight", 0)
+    use_ids = _native_ids() and not (bw > 0)
+    if not use_ids:
+        res = {i: [array_to_str(gen_result[i])] for i in range(n_gen)}
+        res.update({n_gen + i: [array_to_str(greedy_res[i])]
+                    for i in range(batch_size)})
+        gts0 = _gts_dict(data_gts)
+        gts = {i: gts0[i // seq_per_img] for i in range(n_gen)}
+        gts.update({n_gen + i: gts0[i] for i in range(batch_size)})
     scores = 0.0
     if cw > 0:
-        ids = list(range(n_gen + batch_size))
-        cider = _cider_scores([res[i][0] for i in ids],
-                              [gts[i] for i in ids])
+        if use_ids:
+            # one native call over [gen; greedy] — corpus-mode df must see
+            # the combined candidate set (ref_len = n_gen + B), exactly
+            # like the single score() call the string path makes
+            Lg, Lb = gen_result.shape[1], greedy_res.shape[1]
+            L = max(Lg, Lb)
+            cands = np.zeros((n_gen + batch_size, L), np.int32)
+            cands[:n_gen, :Lg] = gen_result
+            cands[n_gen:, :Lb] = greedy_res
+            width = np.concatenate([np.full(n_gen, Lg, np.int32),
+                                    np.full(batch_size, Lb, np.int32)])
+            img_idx = np.concatenate([
+                np.arange(n_gen, dtype=np.int32) // seq_per_img,
+                np.arange(batch_size, dtype=np.int32)])
+            cider = _cider_scores_ids(cands, width, pack_refs(data_gts),
+                                      img_idx)
+        else:
+            ids = list(range(n_gen + batch_size))
+            cider = _cider_scores([res[i][0] for i in ids],
+                                  [gts[i] for i in ids])
         scores = scores + cw * cider
     if bw > 0:
         _, bleu = Bleu_scorer.compute_score(gts, res)
@@ -128,26 +182,37 @@ def get_self_critical_reward(greedy_res: np.ndarray, data_gts,
 
 
 def get_scores(data_gts, gen_result: np.ndarray, opt,
-               gts_strs=None) -> np.ndarray:
+               gts_strs=None, gts_pack=None) -> np.ndarray:
     """Per-sample scores for the structure losses (rewards.py:86-117).
 
-    ``gts_strs``: precomputed ``_gts_dict(data_gts)`` — the UIC RL step
-    scores two branches (SA + NA) against the SAME references, and the
-    string conversion was ~15% of the host phase; callers scoring several
-    branches share one dict (train/steps.py::rl_host_scores)."""
+    ``gts_strs`` / ``gts_pack``: precomputed shared reference forms — the
+    UIC RL step scores two branches (SA + NA) against the SAME references,
+    and reference serialization was ~15% of the host phase; callers scoring
+    several branches share one (train/steps.py::rl_host_scores).
+    ``gts_strs`` is a ``_gts_dict(data_gts)`` for the string path,
+    ``gts_pack`` a ``pack_refs(data_gts)`` for the native int-array path
+    (used when the extension exposes score_ids and BLEU is off)."""
     gen_result = np.asarray(gen_result)
     B = gen_result.shape[0]
     seq_per_img = B // len(data_gts)
-    res = {i: [array_to_str(gen_result[i])] for i in range(B)}
-    gts0 = _gts_dict(data_gts) if gts_strs is None else gts_strs
-    gts = {i: gts0[i // seq_per_img] for i in range(B)}
 
     cw = _opt_get(opt, "cider_reward_weight", 1)
     bw = _opt_get(opt, "bleu_reward_weight", 0)
+    use_ids = _native_ids() and not (bw > 0)
+    if not use_ids:
+        res = {i: [array_to_str(gen_result[i])] for i in range(B)}
+        gts0 = _gts_dict(data_gts) if gts_strs is None else gts_strs
+        gts = {i: gts0[i // seq_per_img] for i in range(B)}
     scores = 0.0
     if cw > 0:
-        cider = _cider_scores([res[i][0] for i in range(B)],
-                              [gts[i] for i in range(B)])
+        if use_ids:
+            width = np.full(B, gen_result.shape[1], np.int32)
+            img_idx = np.arange(B, dtype=np.int32) // seq_per_img
+            pack = pack_refs(data_gts) if gts_pack is None else gts_pack
+            cider = _cider_scores_ids(gen_result, width, pack, img_idx)
+        else:
+            cider = _cider_scores([res[i][0] for i in range(B)],
+                                  [gts[i] for i in range(B)])
         scores = scores + cw * cider
     if bw > 0:
         _, bleu = Bleu_scorer.compute_score(gts, res)

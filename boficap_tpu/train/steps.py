@@ -546,13 +546,20 @@ def rl_host_scores(samples, gts, cfg, classic_scst: bool = False
             np.asarray(samples["sample"]["seq"]), cfg)
         return out
     sc_w = cfg.get("self_cider_reward_weight", 0) or 0.0
-    from ..rewards.self_critical import _gts_dict
-    gts_strs = _gts_dict(gts)   # shared across branches (same references)
+    from ..rewards.self_critical import _gts_dict, _native_ids, pack_refs
+    # shared across branches (same references): packed int32 bank for the
+    # native score_ids path, id-string dict for the string path
+    bleu_on = (cfg.get("bleu_reward_weight", 0) or 0) > 0
+    if _native_ids() and not bleu_on:
+        gts_strs, gts_pack = None, pack_refs(gts)
+    else:
+        gts_strs, gts_pack = _gts_dict(gts), None
     for key in ("sa", "na", "sample"):
         if key not in samples:
             continue
         seqs = np.asarray(samples[key]["seq"])
-        scores = get_scores(gts, seqs, cfg, gts_strs=gts_strs)
+        scores = get_scores(gts, seqs, cfg, gts_strs=gts_strs,
+                            gts_pack=gts_pack)
         out[key] = scores.reshape(-1, sample_n)
         if sc_w > 0:
             # per-image eigenvalue diversity bonus (reference losses.py

@@ -209,3 +209,111 @@ def test_native_ciderd_error_paths():
     assert native_corpus == pytest.approx(expect)
     native.clear_df()                                  # leave clean state
     assert native.score(["a b"], [["a b"]]) is not None
+
+
+def _rand_row(L, rng, zero_prob=0.7):
+    """Random id row; with prob zero_prob ends in 0s, else FULL width (no
+    terminating zero — the array_to_str edge the ids path must match)."""
+    row = rng.randint(4, 300, size=L)
+    if rng.rand() < zero_prob:
+        row[rng.randint(1, L):] = 0
+    return row
+
+
+def test_native_score_ids_matches_string_path():
+    """score_ids (int32 arrays, no id->string building) is bit-identical
+    to score() on array_to_str output — corpus AND cached-df modes, with
+    per-image ref widths/counts varying and rows lacking a terminating 0."""
+    native = pytest.importorskip("boficap_tpu.native").get_ciderd()
+    if native is None or not hasattr(native, "score_ids"):
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(7)
+    B, n, Lg = 6, 3, 12
+    N = B * n
+    gen = np.stack([_rand_row(Lg, rng) for _ in range(N)])
+    gts = []
+    for _ in range(B):
+        w = rng.randint(6, 16)
+        gts.append(np.stack([_rand_row(w, rng)
+                             for _ in range(rng.randint(2, 6))]))
+    # NB: one image's refs share a width (stacked), widths differ ACROSS
+    # images — pack_refs must carry the true width so zero padding does
+    # not grow a phantom trailing '0' token
+    res = [sc.array_to_str(gen[i]) for i in range(N)]
+    refs = [[sc.array_to_str(r) for r in gts[i // n]] for i in range(N)]
+    pack = sc.pack_refs(gts)
+    width = np.full(N, Lg, np.int32)
+    img_idx = (np.arange(N) // n).astype(np.int32)
+    cands32 = np.ascontiguousarray(gen, np.int32)
+
+    native.clear_df()
+    want = np.asarray(native.score(res, refs))
+    got = np.asarray(native.score_ids(cands32, width, *pack, img_idx))
+    np.testing.assert_array_equal(got, want)
+
+    df, nimg = build_doc_freq(
+        [[sc.array_to_str(r) for r in g] for g in gts])
+    native.set_df([" ".join(k) for k in df],
+                  [float(v) for v in df.values()], float(nimg))
+    want2 = np.asarray(native.score(res, refs))
+    got2 = np.asarray(native.score_ids(cands32, width, *pack, img_idx))
+    native.clear_df()
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_reward_entry_points_ids_vs_string_paths():
+    """get_scores / get_self_critical_reward produce identical rewards
+    through the native ids path and the string path."""
+    native = pytest.importorskip("boficap_tpu.native").get_ciderd()
+    if native is None or not hasattr(native, "score_ids"):
+        pytest.skip("no native toolchain")
+    sc.init_scorer("corpus")
+    assert sc._native_ids()
+    rng = np.random.RandomState(3)
+    B, n, L = 5, 4, 10
+    gen = np.stack([_rand_row(L, rng) for _ in range(B * n)])
+    greedy = np.stack([_rand_row(L - 2, rng) for _ in range(B)])  # width skew
+    gts = [np.stack([_rand_row(L + 2, rng) for _ in range(5)])
+           for _ in range(B)]
+
+    class O:
+        cider_reward_weight = 1
+        bleu_reward_weight = 0
+
+    s_ids = sc.get_scores(gts, gen, O())
+    r_ids = sc.get_self_critical_reward(greedy, gts, gen, O())
+
+    class _NoIds:  # native module minus score_ids -> string path
+        score = staticmethod(native.score)
+        set_df = staticmethod(native.set_df)
+        clear_df = staticmethod(native.clear_df)
+
+    saved = sc._native
+    try:
+        sc._native = _NoIds
+        s_str = sc.get_scores(gts, gen, O())
+        r_str = sc.get_self_critical_reward(greedy, gts, gen, O())
+    finally:
+        sc._native = saved
+    np.testing.assert_array_equal(s_ids, s_str)
+    np.testing.assert_array_equal(r_ids, r_str)
+
+
+def test_score_ids_error_paths():
+    native = pytest.importorskip("boficap_tpu.native").get_ciderd()
+    if native is None or not hasattr(native, "score_ids"):
+        pytest.skip("no native toolchain")
+    c = np.zeros((2, 4), np.int32)
+    w = np.full(2, 4, np.int32)
+    bank = np.zeros((1, 2, 4), np.int32)
+    rc = np.full(1, 2, np.int32)
+    rw = np.full(1, 4, np.int32)
+    ix = np.zeros(2, np.int32)
+    with pytest.raises(ValueError):
+        native.score_ids(c.astype(np.int64), w, bank, rc, rw, ix)  # itemsize
+    with pytest.raises(ValueError):
+        native.score_ids(c, w, bank, rc, rw, np.zeros(3, np.int32))  # N skew
+    with pytest.raises(ValueError):
+        native.score_ids(c, w, bank, np.full(1, 9, np.int32), rw, ix)
+    with pytest.raises(ValueError):
+        native.score_ids(c, w, bank, rc, rw, np.full(2, 5, np.int32))  # idx
