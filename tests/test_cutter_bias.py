@@ -34,7 +34,8 @@ from boficap_tpu.prepro.labels import assemble_phrases, heuristic_chunks
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens",
                        "constituency_cuts.json")
-BOUNDARY_F1_FLOOR = 0.60   # measured 0.659 on the 43-entry r4 set
+BOUNDARY_F1_FLOOR = 0.85   # measured 0.892 on the 43-entry set (r5 rules)
+CATEGORY_F1_FLOOR = 0.70   # worst category measured 0.750 (conj-vp)
 MAX_LENGTH = 20
 
 
@@ -121,6 +122,13 @@ def test_heuristic_boundary_agreement():
     assert f1 >= BOUNDARY_F1_FLOOR, (
         f"F1 {f1:.3f} fell below the documented floor "
         f"{BOUNDARY_F1_FLOOR}: {rows}")
+    for cat, s in stats.items():
+        if cat == "ALL":
+            continue
+        _, _, cf = prf(s)
+        assert cf >= CATEGORY_F1_FLOOR, (
+            f"category {cat} F1 {cf:.3f} below the per-category floor "
+            f"{CATEGORY_F1_FLOOR} (r5 rules measured worst 0.750)")
 
 
 def test_heuristic_emits_valid_syn_labels():
