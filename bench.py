@@ -23,6 +23,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -66,7 +67,7 @@ def _warm(fn, *args, tries: int = 4):
             time.sleep(2.0 * (i + 1))
 
 
-def timed(fn, *args, n_iters: int = None):
+def timed(fn, *args, n_iters: int = None, samples_out: list = None):
     """Per-execution device time via the PIPELINED protocol: dispatch
     n_iters executions back to back and fetch only the last result —
     single-chip execution is in order, so the last fetch bounds them all.
@@ -80,7 +81,12 @@ def timed(fn, *args, n_iters: int = None):
     uncertainty (~±10 ms) amortizes away — at 48 iters a 1 ms program's
     estimate swings ~20%, which was moving the headline speedup ratio
     between bench invocations.  Slow programs (AR-nocache ~20 ms) are
-    insensitive and keep the cheaper default."""
+    insensitive and keep the cheaper default.
+
+    ``samples_out``: optional list; every repeat's estimate is appended
+    (not just the min), so the artifact can carry the timing DISTRIBUTION
+    for sections whose floor has historically swung between runs (the SA
+    22-24.5k img/s spread, r4 verdict #6)."""
     if n_iters is None:
         n_iters = N_ITERS
     # pre-build per-iteration rng keys OUTSIDE the timed loop: every extra
@@ -97,10 +103,13 @@ def timed(fn, *args, n_iters: int = None):
             outs = fn(*args, keys[i])
         _fetch(outs)
         total = time.perf_counter() - t0
+        est = max((total - RTT_S) / n_iters, 1e-6)
+        if samples_out is not None:
+            samples_out.append(est)
         # min over repeats: tunnel dispatch latency swings 2-3x run to run
         # (measured; see BENCH_NOTES.md), and the minimum is the standard
         # estimator for a noisy timing floor
-        best = min(best, max((total - RTT_S) / n_iters, 1e-6))
+        best = min(best, est)
     return best
 
 
@@ -254,7 +263,8 @@ def main():
     t_na_unf = timed(decode_na_unfused, memory, src_mask,
                      n_iters=FAST_ITERS)
     t_na = min(t_na, t_na_unf) if not FUSED else t_na
-    t_sa = timed(decode_sa, memory, src_mask)
+    sa_samples = []              # full repeat distribution (r4 verdict #6)
+    t_sa = timed(decode_sa, memory, src_mask, samples_out=sa_samples)
     t_ar = timed(decode_ar, memory, src_mask)
     t_ar0 = timed(decode_ar_nocache, memory, src_mask)
     # encoder time: the reference's timer wraps the whole sample call, which
@@ -543,6 +553,57 @@ def main():
                 "captions_per_s": round(nb / p50, 1),
             }
 
+    serve_loopback = None
+
+    def sec_serve_loopback():
+        # ---- e2e loopback serving (r4 verdict #7) ----
+        # The binary-transport HTTP path measured end to end: tools/serve.py
+        # in a child process on 127.0.0.1, driven by
+        # scripts/bench_serve_loopback.py (same harness as BENCH_NOTES r4's
+        # prose numbers — now recorded in the artifact so the scoreboard
+        # witnesses the serving layer).  The child's device dispatch still
+        # crosses the dev tunnel; absolute latencies carry fetch_rtt_ms of
+        # tunnel inflation that a co-located deployment would not pay.
+        nonlocal serve_loopback
+        import pickle
+        import subprocess
+        import tempfile
+        from flax import serialization
+        tmpd = tempfile.mkdtemp(prefix="bench_serve_")
+        try:
+            with open(os.path.join(tmpd, "model_best.ckpt"), "wb") as f:
+                f.write(serialization.to_bytes(params))
+            vocab = {str(i): f"w{i}" for i in range(1, vocab_size + 1)}
+            with open(os.path.join(tmpd, "infos_bench_best.pkl"),
+                      "wb") as f:
+                pickle.dump({"opt": dict(cfg), "vocab": vocab}, f)
+            script = os.path.join(os.path.dirname(os.path.abspath(
+                __file__)), "scripts", "bench_serve_loopback.py")
+            proc = subprocess.run(
+                [sys.executable, script, "--ckpt", tmpd, "--json", "0",
+                 "--requests", "200", "--port", "8794"],
+                capture_output=True, text=True, timeout=1500)
+            last = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")]
+            if proc.returncode != 0 or not last:
+                raise RuntimeError(
+                    "loopback bench failed: "
+                    + (proc.stdout + proc.stderr)[-300:].replace("\n", " "))
+            parsed = json.loads(last[-1])
+            serve_loopback = {
+                **parsed["loopback_serving"],
+                "transport": "binary /caption_bin",
+                "bin_body_bytes": parsed.get("bin_body_bytes"),
+                "note": ("e2e over 127.0.0.1; device dispatch crosses the "
+                         "dev tunnel (see fetch_rtt_ms)"),
+            }
+        except Exception as e:  # subprocess/IO failures must not kill bench
+            bench_warnings.append(
+                f"serve-loopback section skipped: {str(e)[:200]}")
+        finally:
+            import shutil
+            shutil.rmtree(tmpd, ignore_errors=True)
+
     def sec_rl():
         nonlocal t_rl_sample, t_host, t_rl_update, t_rl_total
         # (c) RL-stage step decomposition at the reference RL recipe batch
@@ -651,11 +712,13 @@ def main():
         nonlocal t_tr256, tflops_s, mfu_256, tstate, xe_step, xe_b256_remat
         timed_step_256 = xe_step  # the program whose wall time t_tr256 is
         targs_256 = xe_batch(256)
-        # the PLAIN b256x5 step needs ~7 GB; the REMAT variant ~4.5 GB (and
-        # measured FASTER at this batch — the plain program HBM-thrashes,
-        # BENCH_NOTES r3).  Under co-tenant pressure, skip straight to
-        # remat instead of surrendering the section: a remat number beats
-        # a null.
+        # fallback order PLAIN -> REMAT, matched to current measurements
+        # (r4: plain 347 ms vs r3-isolation remat 457 ms — the r3 runs
+        # where remat won were taken under co-tenant HBM pressure that
+        # made the plain program thrash; on a quiet chip plain wins).
+        # The plain step needs ~7 GB, remat ~4.5 GB; under pressure fall
+        # back to remat instead of surrendering the section — a remat
+        # number beats a null, and xe_train_b256_remat records which ran.
         plain_fits = _hbm_probe(7.0)
         try:
             if not plain_fits:
@@ -701,6 +764,8 @@ def main():
     # end-of-run retry pass.  need_gb estimates are generous program
     # footprints (weights + opt state + activations) probed by allocation.
     run_section("serving-percentile section", sec_serving, need_gb=1.5)
+    # loopback child allocates its own HBM; parent-side probe not relevant
+    run_section("serve-loopback section", sec_serve_loopback)
     run_section("RL section", sec_rl, need_gb=2.5)
     run_section("b64x5 XE section", sec_xe64, need_gb=3.5)
     # need_gb is the REMAT footprint: the section probes the plain
@@ -722,19 +787,26 @@ def main():
                     + (prior or "").split(": ", 1)[-1])
     bench_warnings.extend(section_fail.values())
 
-    # late-run second sample of the headline decode timings: the SA
-    # 22-24.5k img/s spread is chip weather on a minutes scale
-    # (BENCH_NOTES.md r3); the artifact records the better of two
-    # temporally separated passes of the same min-estimator protocol,
-    # which is still a timing-floor estimate, just with two draws.
+    # late-run samples of the headline decode timings: the SA 22-24.5k
+    # img/s spread is chip weather on a minutes scale (BENCH_NOTES.md r3);
+    # the artifact records the best of THREE temporally separated passes
+    # (start of run, post-sections, +30 s) of the same min-estimator
+    # protocol, and for SA the full per-repeat distribution rides in the
+    # extras so an under-record is attributable (tunnel weather shows as a
+    # wide spread whose floor matches the best pass; a real regression
+    # shows as a tight spread at the slower level).
     try:
-        t_sa = min(t_sa, timed(decode_sa, memory, src_mask))
+        t_sa = min(t_sa, timed(decode_sa, memory, src_mask,
+                               samples_out=sa_samples))
         t_na = min(t_na, timed(decode_na, memory, src_mask,
                                n_iters=FAST_ITERS))
         t_ar = min(t_ar, timed(decode_ar, memory, src_mask))
         t_ar0 = min(t_ar0, timed(decode_ar_nocache, memory, src_mask))
+        time.sleep(30.0)
+        t_sa = min(t_sa, timed(decode_sa, memory, src_mask,
+                               samples_out=sa_samples))
     except jax.errors.JaxRuntimeError:
-        pass                     # first-pass numbers stand
+        pass                     # earlier-pass numbers stand
 
     # best operating point (b64x5 outruns b256x5 per image on this chip)
     est_mfu = max((x for x in (mfu_256, mfu_64) if x is not None),
@@ -751,6 +823,8 @@ def main():
             "batch": BATCH,
             "na_ms_per_image": round(t_na / BATCH * 1000, 4),
             "sa_images_per_s": round(BATCH / t_sa, 2),
+            "sa_samples_images_per_s": [round(BATCH / s, 1)
+                                        for s in sa_samples],
             "ar_kvcache_images_per_s": round(BATCH / t_ar, 2),
             "ar_nocache_images_per_s": round(BATCH / t_ar0, 2),
             "na_vs_ar_nocache_speedup": round(speedup_ref, 2),
@@ -794,6 +868,7 @@ def main():
             # verdict #6; RTT-subtracted chained samples, winner of
             # fused/unfused per bucket like serve.py's routing)
             "serve_device_latency": serve_stats or None,
+            "serve_loopback": serve_loopback,
             "bench_warnings": bench_warnings or None,
             "na_p50_b1_unfused_ms": round(t_na1_unf * 1000, 3),
             # None (not inf) off-TPU: json.dumps would emit the non-RFC

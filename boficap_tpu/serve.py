@@ -135,7 +135,13 @@ class CaptionServer:
         self._lock = threading.Lock()
         if warm:
             for b in self.buckets:
+                t0 = time.perf_counter()
                 self._program(b)
+                # visible bring-up progress: a cold cache compiles each
+                # bucket over the tunnel (~1 min each); without this a
+                # caller waiting on the port sees minutes of silence
+                print(f"serve warm: bucket {b} ready "
+                      f"({time.perf_counter() - t0:.1f}s)", flush=True)
         # pipeline=True (default) moves the blocking result fetch to a
         # completion thread so the next batch's feature upload overlaps the
         # in-flight decode — measured 303 vs 188 captions/s on the dev

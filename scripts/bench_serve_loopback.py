@@ -30,9 +30,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def wait_ready(port: int, timeout_s: float = 600.0):
+def wait_ready(port: int, timeout_s: float = 600.0, srv=None):
     t0 = time.time()
     while time.time() - t0 < timeout_s:
+        if srv is not None and srv.poll() is not None:
+            break                      # server process died: dump output
         try:
             c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
             c.request("GET", "/stats")
@@ -40,7 +42,19 @@ def wait_ready(port: int, timeout_s: float = 600.0):
                 return
         except OSError:
             time.sleep(2.0)
-    raise TimeoutError("server did not come up")
+    tail = b""
+    if srv is not None:
+        # diagnosability: a cold bring-up compiles every batch bucket over
+        # the dev tunnel (minutes); show where it got to instead of a bare
+        # timeout
+        srv.kill()
+        try:
+            tail = srv.communicate(timeout=15)[0][-2000:]
+        except subprocess.TimeoutExpired:
+            pass
+    raise TimeoutError(
+        f"server did not come up within {timeout_s:.0f}s; its output "
+        f"tail:\n{tail.decode(errors='replace')}")
 
 
 def drive(port: int, body: bytes, headers, path: str, n_requests: int,
@@ -98,6 +112,9 @@ def main():
                     default=[1, 8, 64])
     ap.add_argument("--json", type=int, default=1,
                     help="also measure the JSON transport")
+    ap.add_argument("--server_timeout", type=float, default=900.0,
+                    help="bring-up wait; a COLD cache compiles every "
+                         "batch bucket over the dev tunnel (minutes)")
     args = ap.parse_args()
 
     model = args.model
@@ -115,7 +132,7 @@ def main():
          "--port", str(args.port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     try:
-        wait_ready(args.port)
+        wait_ready(args.port, timeout_s=args.server_timeout, srv=srv)
         import pickle
         with open(infos, "rb") as f:
             R = int(dict(pickle.load(f)["opt"]).get("max_boxes", 36) or 36)

@@ -55,44 +55,56 @@ MAX_FLIPS = 0.2        # fraction of captions allowed to carry such ties
 CIDER_TOL = 0.15
 
 
-@pytest.fixture(scope="module")
-def trained_reference(tmp_path_factory):
-    """Build a small learnable corpus, train the actual reference UIC model
-    on it, and torch-eval the val split (captions + dense logprobs)."""
-    import argparse as _ap
-    root = tmp_path_factory.mktemp("trained_parity")
+def _ref_train_dump(root, train_mode, tag, iters, modes, beam=0,
+                    norm_modes=0):
+    """Synth corpus + reference torch training + torch eval in ONE
+    subprocess (tools/train_reference_torch.py --parity_dump), returning
+    the pickled eval bundle.
+
+    Process isolation is load-bearing: three one-process full-suite runs
+    (r4/r5) died with segfaults whose faulting frame was inside XLA:CPU
+    compile paths (read-cache, write-cache, then raw backend_compile with
+    the cache off), always after these fixtures had run heavy torch
+    training IN-PROCESS — torch's and XLA's native state (LLVM/oneDNN/
+    MKL) does not coexist reliably at that volume.  With the torch side
+    in a child process, the pytest process never mixes the two."""
     corpus = str(root / "corpus")
     out = str(root / "ref_out")
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
          "--out", corpus, "--n_images", "200"],
         check=True, cwd=REPO)
+    os.makedirs(out, exist_ok=True)
+    dump_path = os.path.join(out, "parity_dump.pkl")
+    cmd = [sys.executable,
+           os.path.join(REPO, "tools", "train_reference_torch.py"),
+           "--data", corpus, "--out", out, "--iters", str(iters),
+           "--train_mode", train_mode, "--log_every", "100",
+           "--eval_after", "0", "--id", tag,
+           "--parity_dump", dump_path, "--parity_modes", ",".join(modes)]
+    if beam:
+        cmd += ["--parity_beam", str(beam)]
+    if norm_modes:
+        cmd += ["--parity_norm_modes", "1"]
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          timeout=2400)
+    assert proc.returncode == 0, (
+        f"reference training subprocess failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-1500:]}\n{proc.stderr[-2500:]}")
+    import pickle
+    with open(dump_path, "rb") as f:
+        d = pickle.load(f)
+    d["corpus"], d["out"], d["root"] = corpus, out, root
+    return d
 
-    from tools.train_reference_torch import (_import_reference, loader_cfg,
-                                             main as train_main,
-                                             reference_opt,
-                                             torch_eval_split)
-    argv = ["--data", corpus, "--out", out, "--iters", str(ITERS),
-            "--log_every", "100", "--eval_after", "0", "--id", "ref"]
-    model_path, infos_path = train_main(argv)
 
-    ns = _ap.Namespace(data=corpus, out=out, id="ref", iters=ITERS,
-                       batch_size=10, d_model=64, d_ff=256, heads=4,
-                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
-                       log_every=100)
-    tch, TransformerModel, _ = _import_reference()
-    from boficap_tpu.data.dataset import CaptionData
-    loader = CaptionData(loader_cfg(ns))
-    opt = reference_opt(ns, loader.vocab_size)
-    opt.vocab = loader.ix_to_word
-    ref = TransformerModel(opt)
-    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
-    caps, gts, lps = torch_eval_split(ref, loader, "val",
-                                      with_logprobs=True)
-    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
-    return {"corpus": corpus, "out": out, "model_path": model_path,
-            "infos_path": infos_path, "torch_caps": caps,
-            "torch_lps": lps, "gts_words": gts, "word_to_ix": word_to_ix}
+@pytest.fixture(scope="module")
+def trained_reference(tmp_path_factory):
+    """Build a small learnable corpus, train the actual reference UIC model
+    on it, and torch-eval the val split (captions + dense logprobs) — all
+    in a SUBPROCESS (see _ref_train_dump)."""
+    root = tmp_path_factory.mktemp("trained_parity")
+    return _ref_train_dump(root, "UIC", "ref", ITERS, ("NAIC", "SAIC"))
 
 
 @pytest.fixture(scope="module")
@@ -227,45 +239,12 @@ def test_trained_checkpoint_cider_parity(trained_reference, our_results):
 
 @pytest.fixture(scope="module")
 def trained_aic(tmp_path_factory):
-    import argparse as _ap
     root = tmp_path_factory.mktemp("trained_parity_aic")
-    corpus = str(root / "corpus")
-    out = str(root / "ref_out")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
-         "--out", corpus, "--n_images", "200"],
-        check=True, cwd=REPO)
-
-    from tools.train_reference_torch import (_import_reference, loader_cfg,
-                                             main as train_main,
-                                             reference_opt,
-                                             torch_eval_beam,
-                                             torch_eval_split)
-    iters = max(ITERS, 250)
-    argv = ["--data", corpus, "--out", out, "--iters", str(iters),
-            "--train_mode", "AIC", "--log_every", "100",
-            "--eval_after", "0", "--id", "refaic"]
-    model_path, infos_path = train_main(argv)
-
-    ns = _ap.Namespace(data=corpus, out=out, id="refaic", iters=iters,
-                       batch_size=10, d_model=64, d_ff=256, heads=4,
-                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
-                       log_every=100, train_mode="AIC")
-    tch, TransformerModel, _ = _import_reference()
-    from boficap_tpu.data.dataset import CaptionData
-    loader = CaptionData(loader_cfg(ns))
-    opt = reference_opt(ns, loader.vocab_size)
-    opt.vocab = loader.ix_to_word
-    ref = TransformerModel(opt)
-    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
-    caps, gts, lps = torch_eval_split(ref, loader, "val", modes=("AIC",),
-                                      with_logprobs=True)
-    beam_caps, _ = torch_eval_beam(ref, loader, "val", beam_size=3)
-    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
-    return {"model_path": model_path, "infos_path": infos_path,
-            "torch_caps": caps["AIC"], "torch_lps": lps["AIC"],
-            "beam_caps": beam_caps, "gts_words": gts,
-            "word_to_ix": word_to_ix}
+    d = _ref_train_dump(root, "AIC", "refaic", max(ITERS, 250), ("AIC",),
+                        beam=3)
+    d["torch_caps"] = d["torch_caps"]["AIC"]
+    d["torch_lps"] = d["torch_lps"]["AIC"]
+    return d
 
 
 @pytest.fixture(scope="module")
@@ -342,40 +321,12 @@ def test_trained_aic_beam_parity(trained_aic, converted_aic):
 
 @pytest.fixture(scope="module")
 def trained_saic(tmp_path_factory):
-    import argparse as _ap
     root = tmp_path_factory.mktemp("trained_parity_saic")
-    corpus = str(root / "corpus")
-    out = str(root / "ref_out")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
-         "--out", corpus, "--n_images", "200"],
-        check=True, cwd=REPO)
-    from tools.train_reference_torch import (_import_reference, loader_cfg,
-                                             main as train_main,
-                                             reference_opt,
-                                             torch_eval_split)
-    iters = max(ITERS, 250)
-    argv = ["--data", corpus, "--out", out, "--iters", str(iters),
-            "--train_mode", "SAIC", "--log_every", "100",
-            "--eval_after", "0", "--id", "refsaic"]
-    model_path, infos_path = train_main(argv)
-    ns = _ap.Namespace(data=corpus, out=out, id="refsaic", iters=iters,
-                       batch_size=10, d_model=64, d_ff=256, heads=4,
-                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
-                       log_every=100, train_mode="SAIC")
-    tch, TransformerModel, _ = _import_reference()
-    from boficap_tpu.data.dataset import CaptionData
-    loader = CaptionData(loader_cfg(ns))
-    opt = reference_opt(ns, loader.vocab_size)
-    opt.vocab = loader.ix_to_word
-    ref = TransformerModel(opt)
-    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
-    caps, gts, lps = torch_eval_split(ref, loader, "val", modes=("SAIC",),
-                                      with_logprobs=True)
-    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
-    return {"model_path": model_path, "infos_path": infos_path,
-            "torch_caps": caps["SAIC"], "torch_lps": lps["SAIC"],
-            "gts_words": gts, "word_to_ix": word_to_ix}
+    d = _ref_train_dump(root, "SAIC", "refsaic", max(ITERS, 250),
+                        ("SAIC",))
+    d["torch_caps"] = d["torch_caps"]["SAIC"]
+    d["torch_lps"] = d["torch_lps"]["SAIC"]
+    return d
 
 
 def test_trained_saic_parity(trained_saic, tmp_path_factory):
@@ -417,41 +368,9 @@ def test_trained_saic_parity(trained_saic, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def trained_uic_ds(tmp_path_factory):
-    import argparse as _ap
     root = tmp_path_factory.mktemp("trained_parity_uicds")
-    corpus = str(root / "corpus")
-    out = str(root / "ref_out")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
-         "--out", corpus, "--n_images", "200"],
-        check=True, cwd=REPO)
-    from tools.train_reference_torch import (_import_reference, loader_cfg,
-                                             main as train_main,
-                                             reference_opt,
-                                             torch_eval_split)
-    iters = max(ITERS, 250)
-    argv = ["--data", corpus, "--out", out, "--iters", str(iters),
-            "--train_mode", "UIC_ds", "--log_every", "100",
-            "--eval_after", "0", "--id", "refds"]
-    model_path, infos_path = train_main(argv)
-    ns = _ap.Namespace(data=corpus, out=out, id="refds", iters=iters,
-                       batch_size=10, d_model=64, d_ff=256, heads=4,
-                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
-                       log_every=100, train_mode="UIC_ds")
-    tch, TransformerModel, _ = _import_reference()
-    from boficap_tpu.data.dataset import CaptionData
-    loader = CaptionData(loader_cfg(ns))
-    opt = reference_opt(ns, loader.vocab_size)
-    opt.vocab = loader.ix_to_word
-    ref = TransformerModel(opt)
-    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
-    caps, gts, lps = torch_eval_split(ref, loader, "val",
-                                      modes=("NAIC", "SAIC"),
-                                      with_logprobs=True)
-    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
-    return {"model_path": model_path, "infos_path": infos_path,
-            "torch_caps": caps, "torch_lps": lps, "gts_words": gts,
-            "word_to_ix": word_to_ix}
+    return _ref_train_dump(root, "UIC_ds", "refds", max(ITERS, 250),
+                           ("NAIC", "SAIC"))
 
 
 # ------------------------------------------------------- shared family rig
@@ -462,44 +381,10 @@ def trained_uic_ds(tmp_path_factory):
 
 
 def _build_trained(tmp_path_factory, train_mode, eval_modes, tag,
-                   extra_eval=None):
-    import argparse as _ap
+                   norm_modes=0):
     root = tmp_path_factory.mktemp(f"trained_parity_{tag}")
-    corpus = str(root / "corpus")
-    out = str(root / "ref_out")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/make_synth_corpus.py"),
-         "--out", corpus, "--n_images", "200"],
-        check=True, cwd=REPO)
-    from tools.train_reference_torch import (_import_reference, loader_cfg,
-                                             main as train_main,
-                                             reference_opt,
-                                             torch_eval_split)
-    iters = max(ITERS, 250)
-    argv = ["--data", corpus, "--out", out, "--iters", str(iters),
-            "--train_mode", train_mode, "--log_every", "100",
-            "--eval_after", "0", "--id", tag]
-    model_path, infos_path = train_main(argv)
-    ns = _ap.Namespace(data=corpus, out=out, id=tag, iters=iters,
-                       batch_size=10, d_model=64, d_ff=256, heads=4,
-                       n_layers=2, max_boxes=9, lr=5e-4, seed=0,
-                       log_every=100, train_mode=train_mode)
-    tch, TransformerModel, _ = _import_reference()
-    from boficap_tpu.data.dataset import CaptionData
-    loader = CaptionData(loader_cfg(ns))
-    opt = reference_opt(ns, loader.vocab_size)
-    opt.vocab = loader.ix_to_word
-    ref = TransformerModel(opt)
-    ref.load_state_dict(tch.load(model_path, map_location="cpu"))
-    caps, gts, lps = torch_eval_split(ref, loader, "val", modes=eval_modes,
-                                      with_logprobs=True)
-    word_to_ix = {w: int(i) for i, w in loader.ix_to_word.items()}
-    res = {"model_path": model_path, "infos_path": infos_path,
-           "torch_caps": caps, "torch_lps": lps, "gts_words": gts,
-           "word_to_ix": word_to_ix, "root": root}
-    if extra_eval is not None:
-        res.update(extra_eval(ref, loader))
-    return res
+    return _ref_train_dump(root, train_mode, tag, max(ITERS, 250),
+                           eval_modes, norm_modes=norm_modes)
 
 
 def _convert(src, tmp_path_factory, tag):
@@ -599,19 +484,11 @@ def test_trained_uic_u_parity(trained_uic_u, converted_uic_u, mode):
 
 @pytest.fixture(scope="module")
 def trained_pb_pad(tmp_path_factory):
-    def _norm_mode_evals(ref, loader):
-        from tools.train_reference_torch import torch_eval_split
-        caps, lps = {}, {}
-        for nm in ("compress", "complex"):
-            ref.model.norm_mode = nm
-            c, _, l = torch_eval_split(ref, loader, "val",
-                                       modes=("PB_pad",),
-                                       with_logprobs=True)
-            caps[nm], lps[nm] = c["PB_pad"], l["PB_pad"]
-        ref.model.norm_mode = "copy"
-        return {"nm_caps": caps, "nm_lps": lps}
+    # norm_modes=1: the subprocess also evals compress/complex on the same
+    # trained copy-mode checkpoint (the parameter set is identical; only
+    # the decoder-input assembly changes — see --parity_norm_modes)
     return _build_trained(tmp_path_factory, "PB_pad", ("PB_pad",), "pb",
-                          extra_eval=_norm_mode_evals)
+                          norm_modes=1)
 
 
 @pytest.fixture(scope="module")

@@ -440,9 +440,52 @@ def main(argv=None):
     ap.add_argument("--log_every", type=int, default=25)
     ap.add_argument("--eval_after", type=int, default=1,
                     help="run the torch-side val eval and print CIDEr-D")
+    # --parity_dump: train + torch-eval in THIS process and pickle
+    # everything the trained-parity fixtures need.  The test suite runs
+    # this CLI as a SUBPROCESS: three one-process full-suite crashes (r4/
+    # r5) all faulted inside XLA:CPU compile paths late in a pytest
+    # process that had also run heavy in-process torch training — the two
+    # runtimes' native state (LLVM/oneDNN/MKL) does not coexist reliably
+    # at that volume, so the torch side is process-isolated here.
+    ap.add_argument("--parity_dump", default="",
+                    help="pickle path for the trained-parity eval bundle")
+    ap.add_argument("--parity_modes", default="",
+                    help="comma-separated torch_eval_split modes for the "
+                         "dump (default: the train_mode's natural modes)")
+    ap.add_argument("--parity_beam", type=int, default=0,
+                    help="also dump beam_size=K beam captions (AIC)")
+    ap.add_argument("--parity_norm_modes", type=int, default=0,
+                    help="also dump compress/complex norm_mode evals "
+                         "(PB_pad)")
     args = ap.parse_args(argv)
 
     ref, loader, model_path, infos_path = train_reference(args)
+    if args.parity_dump:
+        import pickle
+        modes = (tuple(args.parity_modes.split(","))
+                 if args.parity_modes else ("NAIC", "SAIC"))
+        caps, gts, lps = torch_eval_split(ref, loader, "val", modes=modes,
+                                          with_logprobs=True)
+        dump = {"model_path": model_path, "infos_path": infos_path,
+                "torch_caps": caps, "torch_lps": lps, "gts_words": gts,
+                "word_to_ix": {w: int(i)
+                               for i, w in loader.ix_to_word.items()}}
+        if args.parity_beam:
+            bc, _ = torch_eval_beam(ref, loader, "val",
+                                    beam_size=args.parity_beam)
+            dump["beam_caps"] = bc
+        if args.parity_norm_modes:
+            nm_caps, nm_lps = {}, {}
+            for nm in ("compress", "complex"):
+                ref.model.norm_mode = nm
+                c, _, l = torch_eval_split(ref, loader, "val",
+                                           modes=("PB_pad",),
+                                           with_logprobs=True)
+                nm_caps[nm], nm_lps[nm] = c["PB_pad"], l["PB_pad"]
+            ref.model.norm_mode = "copy"
+            dump["nm_caps"], dump["nm_lps"] = nm_caps, nm_lps
+        with open(args.parity_dump, "wb") as f:
+            pickle.dump(dump, f)
     if args.eval_after:
         from boficap_tpu.eval.metrics import language_eval
         modes = (("AIC",) if args.train_mode == "AIC"
