@@ -707,10 +707,14 @@ def main():
                   or None)
 
     xe_b256_remat = False
+    xe_b256_variant = "plain"
+    t_tr256_plain = t_tr256_accum = None
 
     def sec_xe256():
         nonlocal t_tr256, tflops_s, mfu_256, tstate, xe_step, xe_b256_remat
+        nonlocal xe_b256_variant, t_tr256_plain, t_tr256_accum
         timed_step_256 = xe_step  # the program whose wall time t_tr256 is
+        timed_accum = 1           # scan-body multiplier for cost analysis
         targs_256 = xe_batch(256)
         # fallback order PLAIN -> REMAT, matched to current measurements
         # (r4: plain 347 ms vs r3-isolation remat 457 ms — the r3 runs
@@ -750,10 +754,42 @@ def main():
                 timed_step_256 = xe_step_r
             finally:
                 xe_step = saved_step
+        t_tr256_plain = t_tr256
+        # grad_accum=4 variant (r4 verdict #4 harvest): the monolithic
+        # b256x5 step runs near HBM capacity, where XLA auto-remat adds
+        # ~17% FLOPs and achieved bandwidth drops ~35% (roofline sweep,
+        # BENCH_NOTES r5); scanning 4 b64-sized microbatches with averaged
+        # grads + one adam update is the same math at the b64 operating
+        # point — measured 365 -> 234 ms (701 -> 1093 img/s).
+        try:
+            xe_step_a = make_xe_step(model, tx, grad_accum=4)
+            saved_step = xe_step
+            xe_step = xe_step_a
+            try:
+                tstate = fresh_state()
+                t_acc, tstate = time_xe(targs_256)
+            finally:
+                xe_step = saved_step
+            t_tr256_accum = t_acc
+            if t_acc < t_tr256:
+                t_tr256 = t_acc
+                timed_step_256 = xe_step_a
+                timed_accum = 4
+                xe_b256_variant = "accum4"
+            elif xe_b256_remat:
+                xe_b256_variant = "remat"
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            bench_warnings.append("b256x5 grad_accum=4 variant OOM'd; "
+                                  "recording the monolithic step only")
         # cost the program that was actually TIMED: under remat the
         # compiled step includes the bwd-pass recompute FLOPs, so the
-        # TFLOP/s is achieved hardware throughput (not model-FLOPs MFU)
-        xe_flops_256 = _xe_flops(targs_256, tstate, timed_step_256)
+        # TFLOP/s is achieved hardware throughput (not model-FLOPs MFU);
+        # under grad_accum the scan body is costed ONCE by XLA, so
+        # multiply by the trip count
+        xe_flops_256 = _xe_flops(targs_256, tstate,
+                                 timed_step_256) * timed_accum
         tflops_s = xe_flops_256 / t_tr256 / 1e12 if xe_flops_256 else None
         mfu_256 = (xe_flops_256 / t_tr256 / ROOFLINE_BF16
                    if xe_flops_256 else None)
@@ -845,6 +881,11 @@ def main():
             "xe_train_b256x5_step_ms": (round(t_tr256 * 1000, 2)
                                         if t_tr256 else None),
             "xe_train_b256_remat": xe_b256_remat,
+            "xe_train_b256_variant": xe_b256_variant,
+            "xe_train_b256_plain_ms": (round(t_tr256_plain * 1000, 2)
+                                       if t_tr256_plain else None),
+            "xe_train_b256_accum4_ms": (round(t_tr256_accum * 1000, 2)
+                                        if t_tr256_accum else None),
             "xe_train_b256_tflops_per_s": (round(tflops_s, 1)
                                            if tflops_s else None),
             "est_train_mfu": (round(est_mfu, 3) if est_mfu else None),

@@ -166,6 +166,17 @@ DEFAULTS: Dict[str, Any] = dict(
                                 # NA at B=64 on v5e), off elsewhere
     profile_steps=0,            # jax.profiler trace of the first N steps
     debug_checks=False,         # checkify nan/oob checks in the XE step
+    grad_accum=1,               # XE microbatch count: G>1 scans G equal
+                                # microbatches per step (grads averaged,
+                                # ONE adam update — same math as the full
+                                # batch).  The single-chip b256x5 step
+                                # runs near HBM capacity, where XLA auto-
+                                # remat adds ~17% FLOPs and achieved
+                                # bandwidth drops ~35%; G=2 keeps the
+                                # b128 operating point: 365 -> ~255 ms
+                                # measured (BENCH_NOTES r5).  Prefer mesh
+                                # data-parallelism when chips exist;
+                                # incompatible with drop_worst_rate>0.
     fused_optimizer=False,      # adam via train/optim.py::fused_adam (flat
                                 # [P] moments, clip/decay folded in) —
                                 # numerics identical to the optax chain

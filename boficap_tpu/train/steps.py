@@ -236,11 +236,24 @@ def model_cfg_self_dis(model: BoFiCap) -> bool:
 
 
 def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0,
-                 debug_checks: bool = False):
+                 debug_checks: bool = False, grad_accum: int = 1):
     """jit'd (state, batch_arrays, rng, glat_p, drop_worst_rate) -> (state,
     metrics).  ``debug_checks``: add non-finite loss/grad counters to the
     metrics (the TPU stand-in for the reference's NaN guards,
-    CaptionModel.py:422-424 / TransformerModel.py:1956-1958)."""
+    CaptionModel.py:422-424 / TransformerModel.py:1956-1958).
+
+    ``grad_accum`` = G > 1: the batch is split into G equal microbatches
+    scanned SEQUENTIALLY, gradients averaged, ONE optimizer update — the
+    mean XE loss over the full batch is exactly the mean of equal-size
+    microbatch means, so the update is mathematically the full-batch
+    update (dropout/GLAT masks draw per-microbatch folded keys, a
+    different but equidistributed realization).  This is the efficient
+    route to large per-chip batches: the monolithic b256x5 step runs near
+    HBM capacity where XLA's auto-rematerialization adds ~17% FLOPs and
+    achieved bandwidth drops ~35% (measured, BENCH_NOTES r5) — G=2 keeps
+    the working set at the b128 operating point.  Scaling batch via the
+    data-parallel mesh remains the first choice; grad_accum covers the
+    single-chip case."""
 
     # the incoming state is donated: params + opt_state update in place on
     # device instead of allocating a second ~3x-params HBM footprint per
@@ -257,20 +270,54 @@ def make_xe_step(model: BoFiCap, tx, label_smoothing: float = 0.0,
         if extra:
             batch.update(extra)
 
-        def lf(p):
-            return xe_loss_fn(model, p, batch, rng, glat_p, drop_worst,
-                              deterministic=False,
-                              label_smoothing=label_smoothing,
-                              ss_prob=ss_prob)
+        def lf_for(mb, r):
+            def lf(p):
+                return xe_loss_fn(model, p, mb, r, glat_p, drop_worst,
+                                  deterministic=False,
+                                  label_smoothing=label_smoothing,
+                                  ss_prob=ss_prob)
+            return lf
 
-        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
-            state.params)
+        if grad_accum > 1:
+            if drop_worst:
+                # drop-worst selects the top-k losses over the WHOLE batch;
+                # per-microbatch selection would silently change which
+                # samples are dropped
+                raise ValueError("grad_accum > 1 is incompatible with "
+                                 "drop_worst_rate > 0")
+            G = grad_accum
+
+            def slice_g(x):
+                assert x.shape[0] % G == 0, (
+                    f"batch {x.shape[0]} not divisible by grad_accum {G}")
+                return x.reshape((G, x.shape[0] // G) + x.shape[1:])
+
+            mbs = jax.tree_util.tree_map(slice_g, batch)
+
+            def body(acc, inp):
+                mb, idx = inp
+                r = rng if rng is None else jax.random.fold_in(rng, idx)
+                (loss, metrics), grads = jax.value_and_grad(
+                    lf_for(mb, r), has_aux=True)(state.params)
+                acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                return acc, metrics
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            acc, metrics_g = jax.lax.scan(
+                body, zero, (mbs, jnp.arange(G)))
+            grads = jax.tree_util.tree_map(lambda g: g / G, acc)
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(0),
+                                             metrics_g)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                lf_for(batch, rng), has_aux=True)(state.params)
         if debug_checks:
             bad = sum(jnp.sum(~jnp.isfinite(g.astype(jnp.float32)))
                       for g in jax.tree_util.tree_leaves(grads))
             metrics["nonfinite_grads"] = bad
             metrics["nonfinite_loss"] = (~jnp.isfinite(loss)).astype(
-                jnp.int32)
+                jnp.int32) if grad_accum == 1 else jnp.sum(
+                ~jnp.isfinite(metrics["loss"])).astype(jnp.int32)
         new_state = state.apply_gradients(tx, grads)
         return new_state, metrics
 

@@ -76,6 +76,43 @@ def _sweep_prefetch_threads():
         pass
 
 
+def _n_memory_maps() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+# ROOT CAUSE of the one-process full-suite segfaults (r4: 2 crashes, r5:
+# 2 more, all with the faulting frame inside XLA:CPU compile/serialize
+# paths ~350 tests in): every XLA:CPU executable holds ~3 mmap'd regions
+# for the life of the process (measured: 1500 tiny compiles -> +4566
+# maps), and the suite compiles thousands of programs — the process
+# exhausts vm.max_map_count (65530 default), at which point LLVM's next
+# mmap fails and it SEGFAULTS rather than erroring.  The crash location
+# drifted between runs (cache read, cache write, raw backend_compile)
+# because it lands on whichever compile crosses the limit.
+# jax.clear_caches() provably releases the mappings (measured 1107 -> 507,
+# stable over repeated cycles), so: cap the map count by clearing compiled
+# programs whenever the process crosses a threshold comfortably below the
+# limit.  Costs a few recompiles per suite run; held jax.jit wrappers
+# simply recompile on next call.
+_MAPS_CLEAR_THRESHOLD = 30000
+
+
+@pytest.fixture(autouse=True)
+def _cap_executable_maps():
+    yield
+    if _n_memory_maps() > _MAPS_CLEAR_THRESHOLD:
+        import sys as _sys
+        _sys.stderr.write(
+            f"\n[conftest] memory maps > {_MAPS_CLEAR_THRESHOLD} "
+            f"({_n_memory_maps()}): clearing jax executable caches to "
+            "stay below vm.max_map_count\n")
+        jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end integration tests")

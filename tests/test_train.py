@@ -592,3 +592,94 @@ def test_fused_adam_schedule_matches_optax():
     np.testing.assert_allclose(np.asarray(p_ref["w"]),
                                np.asarray(p_fus["w"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_grad_accum_matches_monolithic():
+    """make_xe_step(grad_accum=G) must produce the SAME update as the
+    monolithic step when the stochastic pieces are off (dropout=0, glat
+    disabled): the mean XE loss over the batch equals the mean of
+    equal-size microbatch means, and averaged microbatch grads equal the
+    full-batch grads to reassociation tolerance.  This is bench's (and
+    opts.py grad_accum's) single-chip route to large batches — the
+    monolithic b256x5 step runs near HBM capacity where XLA auto-remat
+    costs ~1.5x (BENCH_NOTES r5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from boficap_tpu.config import default_config, finalize
+    from boficap_tpu.models.boficap import build_model
+    from boficap_tpu.train.state import create_state
+    from boficap_tpu.train.steps import make_xe_step
+
+    cfg = default_config()
+    cfg.train_mode = "UIC"
+    cfg.N_enc = cfg.N_dec = 2
+    cfg.N_len = 1
+    cfg.d_model = 32
+    cfg.d_ff = 64
+    cfg.num_att_heads = 2
+    cfg.drop_prob_lm = 0.0       # stochastic masks off: exact comparison
+    cfg.dropout = 0.0            # (both knobs — att_embed AND transformer)
+    cfg.id = "accum_t"
+    finalize(cfg)
+    model = build_model(cfg, 40)
+
+    r = np.random.RandomState(11)
+    B, S = 4, 2
+    att = jnp.asarray(r.randn(B, 9, 2048).astype(np.float32))
+    am = jnp.ones((B, 9), jnp.float32)
+    lab = np.zeros((B, S, 22), np.int32)
+    lab[:, :, 0] = 1
+    lab[:, :, 1:7] = r.randint(4, 44, (B, S, 6))
+    lab[:, :, 7] = 2
+    pl = np.zeros((B, S, 22), np.int32)
+    pl[:, :, 0] = 1
+    pl[:, :, 1] = 3
+    pl[:, :, 2] = 3
+    ps = np.zeros((B, S, 22), np.int32)
+    ps[:, :, 0] = 1
+    ps[:, :, 1] = 5
+    ps[:, :, 2] = 4
+    pn = np.full((B, S), 3, np.int32)
+    targs = (att, am, jnp.asarray(lab), jnp.asarray(pn), jnp.asarray(pl),
+             jnp.asarray(ps), None)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "glat": jax.random.PRNGKey(1)},
+        att, am, jnp.asarray(lab[:, 0]), jnp.asarray(pn[:, 0]),
+        jnp.asarray(pl[:, 0]), jnp.asarray(ps[:, 0]),
+        glat_p=-1.0, deterministic=True)
+    # SGD: the update is LINEAR in the grads, so the param comparison
+    # bounds the grad difference directly (adam's rsqrt amplifies fp-
+    # reassociation-level grad noise into ±lr flips near zero moments)
+    tx = optax.sgd(1e-2)
+    rng = jax.random.PRNGKey(5)
+
+    def run(G):
+        step = make_xe_step(model, tx, grad_accum=G)
+        st = create_state(
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params),
+            tx)
+        st, m = step(st, *targs, rng, None)     # glat disabled
+        return st, m
+
+    st1, m1 = run(1)
+    st2, m2 = run(2)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    l1 = jax.tree_util.tree_leaves(st1.params)
+    l2 = jax.tree_util.tree_leaves(st2.params)
+    # atol covers near-zero leaves (embedding/bias grads for rarely-hit
+    # vocab rows reassociate across the microbatch boundary; measured
+    # residue <=2.1e-5 after the 1e-2-lr sgd step), rtol the O(1)
+    # weights.  A semantic difference (e.g. the dropout-mask coupling
+    # this test once caught) shows up 4 orders of magnitude larger.
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=5e-5)
+
+    # guard: drop_worst is whole-batch top-k; accumulation must refuse it
+    step_bad = make_xe_step(model, tx, grad_accum=2)
+    st = create_state(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x) + 0, params), tx)
+    with pytest.raises(ValueError, match="drop_worst"):
+        step_bad(st, *targs, rng, None, drop_worst=0.2)

@@ -217,7 +217,8 @@ def train(opt):
 
     xe_step = steps_mod.make_xe_step(
         model, tx, label_smoothing=opt.label_smoothing,
-        debug_checks=bool(opt.get("debug_checks", False)))
+        debug_checks=bool(opt.get("debug_checks", False)),
+        grad_accum=int(opt.get("grad_accum", 1) or 1))
     rl_sample = rl_step = None
     rl_step_kind = None          # "scst" | "struc"; rebuilt on change
     warned_sc_ignored = False
