@@ -130,6 +130,61 @@ def _measure_rtt():
 RTT_S = 0.0
 KEY = jax.random.PRNGKey(0)
 
+
+def _run_serve_loopback_phase():
+    """e2e loopback serving (r4 verdict #7), run BEFORE bench touches the
+    device: tools/serve.py in a child process on 127.0.0.1, driven by
+    scripts/bench_serve_loopback.py (the harness behind BENCH_NOTES r4's
+    prose numbers — now recorded in the artifact so the scoreboard
+    witnesses the serving layer).  The checkpoint is written by a CPU-side
+    child (scripts/bench_make_ckpt.py) so THIS process has no device
+    state yet and the server gets the whole chip — measured r5: a serve
+    child co-tenant with a bench process already holding the chip's HBM
+    spirals into axon-client retry buffering (68 GB host RSS, p50 4.4 s
+    vs ~50 ms with the chip free).  The child's device dispatch still
+    crosses the dev tunnel; absolute latencies carry fetch_rtt_ms of
+    tunnel inflation a co-located deployment would not pay.
+
+    Returns (result_dict_or_None, warning_or_None)."""
+    import shutil
+    import subprocess
+    import tempfile
+    here = os.path.dirname(os.path.abspath(__file__))
+    tmpd = tempfile.mkdtemp(prefix="bench_serve_")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts",
+                                          "bench_make_ckpt.py"),
+             "--out", tmpd], capture_output=True, text=True, timeout=600)
+        if proc.returncode != 0:
+            raise RuntimeError("bench_make_ckpt failed: "
+                               + proc.stderr[-300:].replace("\n", " "))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts",
+                                          "bench_serve_loopback.py"),
+             "--ckpt", tmpd, "--json", "0", "--requests", "200",
+             "--port", "8794"],
+            capture_output=True, text=True, timeout=1800)
+        last = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")]
+        if proc.returncode != 0 or not last:
+            raise RuntimeError(
+                "loopback bench failed: "
+                + (proc.stdout + proc.stderr)[-300:].replace("\n", " "))
+        parsed = json.loads(last[-1])
+        return {
+            **parsed["loopback_serving"],
+            "transport": "binary /caption_bin",
+            "bin_body_bytes": parsed.get("bin_body_bytes"),
+            "note": ("e2e over 127.0.0.1, serve child had the chip to "
+                     "itself; device dispatch crosses the dev tunnel "
+                     "(see fetch_rtt_ms)"),
+        }, None
+    except Exception as e:   # never let the serving phase kill the bench
+        return None, f"serve-loopback phase skipped: {str(e)[:200]}"
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
 # persistent compile cache (same dir as tests/conftest.py): the pallas fused
 # decoder layer's Mosaic compiles are slow over the axon tunnel (~1 min per
 # shape); warm reruns skip them
@@ -141,6 +196,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
+    # loopback serving phase FIRST: this process must not have touched
+    # the device yet (see _run_serve_loopback_phase)
+    serve_loopback, serve_loopback_warning = _run_serve_loopback_phase()
+
     from boficap_tpu.config import default_config, finalize
     from boficap_tpu.decode import ar as ar_mod
     from boficap_tpu.decode import bound_fill as bf
@@ -553,57 +612,6 @@ def main():
                 "captions_per_s": round(nb / p50, 1),
             }
 
-    serve_loopback = None
-
-    def sec_serve_loopback():
-        # ---- e2e loopback serving (r4 verdict #7) ----
-        # The binary-transport HTTP path measured end to end: tools/serve.py
-        # in a child process on 127.0.0.1, driven by
-        # scripts/bench_serve_loopback.py (same harness as BENCH_NOTES r4's
-        # prose numbers — now recorded in the artifact so the scoreboard
-        # witnesses the serving layer).  The child's device dispatch still
-        # crosses the dev tunnel; absolute latencies carry fetch_rtt_ms of
-        # tunnel inflation that a co-located deployment would not pay.
-        nonlocal serve_loopback
-        import pickle
-        import subprocess
-        import tempfile
-        from flax import serialization
-        tmpd = tempfile.mkdtemp(prefix="bench_serve_")
-        try:
-            with open(os.path.join(tmpd, "model_best.ckpt"), "wb") as f:
-                f.write(serialization.to_bytes(params))
-            vocab = {str(i): f"w{i}" for i in range(1, vocab_size + 1)}
-            with open(os.path.join(tmpd, "infos_bench_best.pkl"),
-                      "wb") as f:
-                pickle.dump({"opt": dict(cfg), "vocab": vocab}, f)
-            script = os.path.join(os.path.dirname(os.path.abspath(
-                __file__)), "scripts", "bench_serve_loopback.py")
-            proc = subprocess.run(
-                [sys.executable, script, "--ckpt", tmpd, "--json", "0",
-                 "--requests", "200", "--port", "8794"],
-                capture_output=True, text=True, timeout=1500)
-            last = [ln for ln in proc.stdout.splitlines()
-                    if ln.startswith("{")]
-            if proc.returncode != 0 or not last:
-                raise RuntimeError(
-                    "loopback bench failed: "
-                    + (proc.stdout + proc.stderr)[-300:].replace("\n", " "))
-            parsed = json.loads(last[-1])
-            serve_loopback = {
-                **parsed["loopback_serving"],
-                "transport": "binary /caption_bin",
-                "bin_body_bytes": parsed.get("bin_body_bytes"),
-                "note": ("e2e over 127.0.0.1; device dispatch crosses the "
-                         "dev tunnel (see fetch_rtt_ms)"),
-            }
-        except Exception as e:  # subprocess/IO failures must not kill bench
-            bench_warnings.append(
-                f"serve-loopback section skipped: {str(e)[:200]}")
-        finally:
-            import shutil
-            shutil.rmtree(tmpd, ignore_errors=True)
-
     def sec_rl():
         nonlocal t_rl_sample, t_host, t_rl_update, t_rl_total
         # (c) RL-stage step decomposition at the reference RL recipe batch
@@ -799,9 +807,9 @@ def main():
     # failed or pre-flight-deferred section lands in ``pending`` for the
     # end-of-run retry pass.  need_gb estimates are generous program
     # footprints (weights + opt state + activations) probed by allocation.
+    if serve_loopback_warning:
+        bench_warnings.append(serve_loopback_warning)
     run_section("serving-percentile section", sec_serving, need_gb=1.5)
-    # loopback child allocates its own HBM; parent-side probe not relevant
-    run_section("serve-loopback section", sec_serve_loopback)
     run_section("RL section", sec_rl, need_gb=2.5)
     run_section("b64x5 XE section", sec_xe64, need_gb=3.5)
     # need_gb is the REMAT footprint: the section probes the plain

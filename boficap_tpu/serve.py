@@ -101,7 +101,18 @@ class CaptionServer:
         # non-empty.
         self.mesh = mesh
         self._in_shard = None
-        if mesh is not None:
+        if mesh is None:
+            # pin the weights on device ONCE: tools/serve.py's checkpoint
+            # load restores a HOST-numpy pytree (flax from_bytes), and
+            # params ride as a jit argument — without this put every
+            # program call re-uploads the full tree (~220 MB for the
+            # 55M-param model: measured 5.2 s p50 per request over the
+            # dev tunnel with the re-uploaded buffers accumulating at
+            # ~2.5 GB/min host RSS; device-resident params restore ~50 ms
+            # e2e).  The r4 loopback runs used a tiny smoke model whose
+            # ~1 MB tree masked this entirely.
+            self.params = jax.device_put(params)
+        else:
             from .parallel.mesh import batch_sharding, replicated
             n_dev = mesh.devices.size
             if max_batch % n_dev:
